@@ -1,38 +1,331 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run
+over the driver's parquet tables; ``oracle_sql()[name]`` is the
+equivalent DuckDB SQL over the same tables. Both sides share the SAME
+SQL snippets for every derived value (anchors, cells, tiles, planar
+distance — see cdr_analysis_tools_hadoop_spark/functions/geo.py), so
+value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.functions import geo
+from cdr_analysis_tools_hadoop_spark.operators import (
+    frequent_locations as fl,
+)
+from cdr_analysis_tools_hadoop_spark.operators import prepare, statistics, trajectory, zones
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+# ---------------------------------------------------------------------------
+# Shared frame builders (Spark side)
+
+
+def _cdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prepare.events_as_cdr(spark, sf_dir)
+
+
+def _towers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic.towers_df(spark, sf_dir)
+
+
+def _zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zones.assign_zone(_cdr(spark, sf_dir), _towers(spark, sf_dir))
+
+
+def _freq(spark: SparkSession, sf_dir: str, night: bool = False) -> DataFrame:
+    return fl.frequent_locations(_zoned(spark, sf_dir), night_only=night)
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs (DuckDB side) — snippets identical to the Spark plan.
+
+_CDR_CTE = prepare.cdr_oracle_cte()
+_TOWERS_CTE = f"towers AS ({synthetic.TOWERS_ORACLE_SQL})"
+_D2 = geo.planar_d2_sql("c.lat", "c.lon", "t.tlat", "t.tlon")
+_ZONED_CTE = (
+    "zoned AS (SELECT * FROM ("
+    "SELECT c.*, t.zone_id, row_number() OVER ("
+    f"PARTITION BY c.event_id ORDER BY {_D2}, t.zone_id) AS __rn "
+    "FROM cdr c CROSS JOIN towers t) WHERE __rn = 1)"
+)
+_FREQ_CTE = (
+    "freq AS (SELECT uid, zone_id, tcount, "
+    "row_number() OVER (PARTITION BY uid ORDER BY tcount DESC, zone_id) AS trank, "
+    f"round(tcount / sum(tcount) OVER (PARTITION BY uid) * {geo.dlit(100.0)}, 6)"
+    " AS ppercent FROM ("
+    "SELECT uid, zone_id, count(*) AS tcount FROM zoned GROUP BY uid, zone_id))"
+)
+_FREQ_NIGHT_CTE = _FREQ_CTE.replace(
+    "FROM zoned GROUP BY",
+    "FROM zoned WHERE hour(call_time) IN (0,1,2,3,4,5,6,7,20,21,22,23) GROUP BY",
+)
+_WSUM_CTE = (
+    "wsum AS (SELECT freq.*, round(sum(ppercent) OVER ("
+    "PARTITION BY uid ORDER BY trank), 6) AS acc_wsum FROM freq)"
+)
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ", ".join(ctes)
+
+
+_SITE_SQL = geo.cell_id_sql("z.lat", "z.lon", trajectory.RES_SITE)
+_OD_CTES = _with(
+    _CDR_CTE,
+    _TOWERS_CTE,
+    _ZONED_CTE,
+    f"sited AS (SELECT z.*, {_SITE_SQL} AS site, CAST(call_time AS DATE) AS pdt FROM zoned z)",
+    "homecnt AS (SELECT uid, site, zone_id, count(*) AS cnt FROM sited GROUP BY uid, site, zone_id)",
+    "home AS (SELECT uid, site AS home_site, zone_id AS home_zone FROM ("
+    "SELECT uid, site, zone_id, row_number() OVER (PARTITION BY uid ORDER BY cnt DESC, site, zone_id) AS rn"
+    " FROM homecnt) WHERE rn = 1)",
+    "seq AS (SELECT s.*, lag(site) OVER w AS prev_site, lag(zone_id) OVER w AS prev_zone, "
+    "lead(call_time) OVER w AS next_time, count(*) OVER (PARTITION BY uid, pdt) AS n_points "
+    "FROM sited s WINDOW w AS (PARTITION BY uid, pdt ORDER BY call_time, event_id))",
+    "guarded AS (SELECT q.*, h.home_site, h.home_zone FROM seq q JOIN home h USING (uid) "
+    f"WHERE n_points <= {trajectory.MAX_TRAJECTORY})",
+    "edges AS ("
+    "SELECT uid, pdt, prev_site AS origin_site, site AS dest_site, prev_zone AS origin_zone, "
+    "zone_id AS dest_zone, call_time AS ts FROM guarded WHERE prev_site IS NOT NULL AND site != prev_site"
+    " UNION ALL "
+    "SELECT uid, pdt, home_site, site, home_zone, zone_id, call_time FROM guarded "
+    "WHERE prev_site IS NULL AND site != home_site"
+    " UNION ALL "
+    "SELECT uid, pdt, site, home_site, zone_id, home_zone, call_time FROM guarded "
+    "WHERE next_time IS NULL AND prev_site IS NOT NULL AND site != home_site)",
+)
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: zone population (scan -> spatial join -> 2-level agg)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return zones.zone_population(
+        _zoned(spark, sf_dir), _towers(spark, sf_dir)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- statistics suite (SURVEY.md §2.4 A1-A10) ---
+    q["total_records"] = lambda s, d: statistics.total_records(_cdr(s, d))
+    q["total_unique_uids"] = lambda s, d: statistics.total_unique_uids(_cdr(s, d))
+    q["data_statistics"] = lambda s, d: statistics.data_statistics(_cdr(s, d))
+    q["daily_cdrs"] = lambda s, d: statistics.daily_cdrs(_cdr(s, d))
+    q["daily_unique_uids"] = lambda s, d: statistics.daily_unique_uids(_cdr(s, d))
+    q["daily_unique_locations"] = lambda s, d: statistics.daily_unique_locations(_cdr(s, d))
+    q["daily_average_cdrs"] = lambda s, d: statistics.daily_average_cdrs(_cdr(s, d))
+    q["daily_statistics"] = lambda s, d: statistics.daily_statistics(_cdr(s, d))
+    q["monthly_statistics"] = lambda s, d: statistics.monthly_statistics(_cdr(s, d))
+    q["summary_stats"] = lambda s, d: statistics.summary_stats(_cdr(s, d))
+    q["average_daily_by_type"] = lambda s, d: statistics.average_daily_by_type(_cdr(s, d))
+    q["user_activity_histogram"] = lambda s, d: statistics.user_activity_histogram(_cdr(s, d))
+
+    # --- spatial: zones / cells / tiles / knn (SURVEY.md §2.3, §7.0) ---
+    q["zone_population"] = lambda s, d: zones.zone_population(_zoned(s, d), _towers(s, d))
+    q["zone_assignment"] = lambda s, d: (
+        _zoned(s, d).groupBy("zone_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q["cell_counts_res8"] = lambda s, d: (
+        _cdr(s, d)
+        .select(F.expr(geo.cell_id_sql("lat", "lon", 8)).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q["tile_counts_z12"] = lambda s, d: (
+        _cdr(s, d)
+        .select(
+            F.expr(geo.tile_x_sql("lon", 12)).alias("tile_x"),
+            F.expr(geo.tile_y_sql("lat", 12)).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q["knn_nearest_tower"] = lambda s, d: (
+        _cdr(s, d)
+        .withColumn(
+            "nearest",
+            zones.nearest_site_struct(
+                "lat",
+                "lon",
+                [
+                    (r["zone_id"], r["tlat"], r["tlon"])
+                    for r in _towers(s, d).collect()
+                ],
+            ),
+        )
+        .select(
+            "event_id",
+            F.col("nearest.zone_id").alias("zone_id"),
+            F.round(
+                F.sqrt(F.col("nearest.d2")) * F.expr(geo.dlit(111320.0)), 6
+            ).alias("dist_m"),
+        )
+    )
+
+    # --- frequent locations chain (W1-W5, J6, P7) ---
+    q["frequent_locations"] = lambda s, d: _freq(s, d)
+    q["frequent_locations_night"] = lambda s, d: _freq(s, d, night=True)
+    q["frequent_locations_wsum"] = lambda s, d: fl.frequent_locations_wsum(_freq(s, d))
+    q["frequent_locations_thresholded"] = lambda s, d: fl.frequent_locations_thresholded(
+        _freq(s, d), 80.0
+    )
+    q["user_home"] = lambda s, d: fl.user_home(_freq(s, d))
+
+    # --- trajectory / OD (A11, TripOD, A13) ---
+    def _od(s, d):
+        sited = trajectory.with_site(_zoned(s, d))
+        home = trajectory.user_home_site(sited)
+        return trajectory.od_sum(trajectory.od_edges(sited, home))
+
+    q["od_matrix"] = _od
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    base = _with(_CDR_CTE)
+    zone_base = _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE)
+    freq_base = _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_CTE)
+    o: dict[str, str] = {}
+
+    o["total_records"] = f"{base} SELECT count(*) AS total_records FROM cdr"
+    o["total_unique_uids"] = (
+        f"{base} SELECT count(DISTINCT uid) AS total_unique_uids FROM cdr"
+    )
+    o["data_statistics"] = (
+        f"{base} SELECT count(*) AS total_records, "
+        "count(DISTINCT CAST(call_time AS DATE)) AS total_days, "
+        "count(DISTINCT uid) AS total_uids, "
+        "min(CAST(call_time AS DATE)) AS start_date, "
+        "max(CAST(call_time AS DATE)) AS end_date FROM cdr"
+    )
+    o["daily_cdrs"] = (
+        f"{base} SELECT CAST(call_time AS DATE) AS day, count(*) AS total_records "
+        "FROM cdr GROUP BY day"
+    )
+    o["daily_unique_uids"] = (
+        f"{base} SELECT CAST(call_time AS DATE) AS day, "
+        "count(DISTINCT uid) AS total_uids FROM cdr GROUP BY day"
+    )
+    o["daily_unique_locations"] = (
+        f"{base} SELECT CAST(call_time AS DATE) AS day, "
+        "count(DISTINCT (lat, lon)) AS unique_locations FROM cdr GROUP BY day"
+    )
+    o["daily_average_cdrs"] = (
+        f"{base} SELECT CAST(call_time AS DATE) AS day, "
+        "round(count(*) / count(DISTINCT uid), 6) AS avg_cdrs_per_uid "
+        "FROM cdr GROUP BY day"
+    )
+    grain = (
+        "SELECT CAST(call_time AS DATE) AS day, {ct} AS call_type, "
+        "{nt} AS network_type, count(*) AS total_records, "
+        "count(DISTINCT uid) AS total_uids FROM cdr GROUP BY 1{extra}"
+    )
+    o["daily_statistics"] = (
+        f"{base} "
+        + grain.format(ct="'ALL'", nt="'ALL'", extra="")
+        + " UNION "
+        + grain.format(ct="call_type", nt="'ALL'", extra=",2")
+        + " UNION "
+        + grain.format(ct="'ALL'", nt="network_type", extra=",3")
+        + " UNION "
+        + grain.format(ct="call_type", nt="network_type", extra=",2,3")
+    )
+    mgrain = (
+        "SELECT CAST(year(call_time) AS INTEGER) AS year, "
+        "CAST(month(call_time) AS INTEGER) AS month, {ct} AS call_type, "
+        "{nt} AS network_type, count(*) AS total_records, "
+        "count(DISTINCT uid) AS total_uids FROM cdr "
+        "GROUP BY year(call_time), month(call_time){extra}"
+    )
+    o["monthly_statistics"] = (
+        f"{base} "
+        + mgrain.format(ct="'ALL'", nt="'ALL'", extra="")
+        + " UNION "
+        + mgrain.format(ct="call_type", nt="'ALL'", extra=",call_type")
+        + " UNION "
+        + mgrain.format(ct="'ALL'", nt="network_type", extra=",network_type")
+        + " UNION "
+        + mgrain.format(ct="call_type", nt="network_type", extra=",call_type,network_type")
+    )
+    o["summary_stats"] = (
+        f"{base} SELECT min(total_records) AS min_daily, "
+        "max(total_records) AS max_daily, round(avg(total_records), 6) AS avg_daily "
+        "FROM (SELECT CAST(call_time AS DATE) AS day, count(*) AS total_records "
+        "FROM cdr GROUP BY day)"
+    )
+    o["average_daily_by_type"] = (
+        f"{base} SELECT call_type, round(avg(cnt), 6) AS avg_daily_records FROM ("
+        "SELECT call_type, CAST(call_time AS DATE) AS day, count(*) AS cnt "
+        "FROM cdr GROUP BY call_type, day) GROUP BY call_type"
+    )
+    o["user_activity_histogram"] = (
+        f"{base} SELECT least(9, CAST(floor((active_days - 1) / {geo.dlit(3.1)}) AS INTEGER)) AS bucket, "
+        "count(*) AS num_users FROM ("
+        "SELECT uid, count(DISTINCT CAST(call_time AS DATE)) AS active_days "
+        "FROM cdr GROUP BY uid) GROUP BY bucket"
+    )
+
+    o["zone_population"] = (
+        f"{zone_base} SELECT z.zone_id, t.admin1, count(*) AS total_events, "
+        "count(DISTINCT z.uid) AS unique_uids FROM zoned z "
+        "JOIN towers t ON z.zone_id = t.zone_id GROUP BY z.zone_id, t.admin1"
+    )
+    o["zone_assignment"] = (
+        f"{zone_base} SELECT zone_id, count(*) AS n_events FROM zoned GROUP BY zone_id"
+    )
+    o["cell_counts_res8"] = (
+        f"{base} SELECT {geo.cell_id_sql('lat', 'lon', 8)} AS cell_id, "
+        "count(*) AS n_events FROM cdr GROUP BY cell_id"
+    )
+    o["tile_counts_z12"] = (
+        f"{base} SELECT {geo.tile_x_sql('lon', 12)} AS tile_x, "
+        f"{geo.tile_y_sql('lat', 12)} AS tile_y, count(*) AS n_events "
+        "FROM cdr GROUP BY tile_x, tile_y"
+    )
+    o["knn_nearest_tower"] = (
+        f"{zone_base.replace('c.*, t.zone_id,', f'c.event_id, t.zone_id, {_D2} AS d2,')} "
+        f"SELECT event_id, zone_id, round(sqrt(d2) * {geo.dlit(111320.0)}, 6) AS dist_m FROM zoned"
+    )
+
+    o["frequent_locations"] = f"{freq_base} SELECT * FROM freq"
+    o["frequent_locations_night"] = (
+        _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_NIGHT_CTE)
+        + " SELECT * FROM freq"
+    )
+    o["frequent_locations_wsum"] = (
+        _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_CTE, _WSUM_CTE)
+        + " SELECT * FROM wsum"
+    )
+    o["frequent_locations_thresholded"] = (
+        _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_CTE, _WSUM_CTE)
+        + " SELECT uid, zone_id, tcount, trank, ppercent, acc_wsum FROM ("
+        "SELECT wsum.*, min(CASE WHEN acc_wsum >= "
+        f"{geo.dlit(80.0)} THEN acc_wsum END) OVER (PARTITION BY uid) AS cut "
+        "FROM wsum) WHERE cut IS NULL OR acc_wsum <= cut"
+    )
+    o["user_home"] = (
+        f"{freq_base} SELECT uid, zone_id AS home_zone FROM freq WHERE trank = 1"
+    )
+
+    o["od_matrix"] = (
+        f"{_OD_CTES} SELECT pdt, origin_zone, dest_zone, count(*) AS tcount, "
+        "count(DISTINCT uid) AS tusercount FROM edges "
+        "WHERE origin_zone IS NOT NULL AND dest_zone IS NOT NULL "
+        "GROUP BY pdt, origin_zone, dest_zone"
+    )
+    return o

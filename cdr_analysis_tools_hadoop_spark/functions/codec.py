@@ -1,0 +1,130 @@
+"""Numpy image codecs + PSNR + perceptual hash.
+
+No PIL/opencv in this environment (SURVEY.md §7.0), so the engine
+carries two self-contained codecs built on stdlib zlib + numpy:
+
+- ``rawz``  — zlib-compressed raw RGB (lossless; byte-exact round
+  trip).
+- ``pngl``  — PNG-like: per-row Sub predictor then zlib (lossless;
+  exercises a real filter+entropy pipeline).
+- ``qz2``   — lossy: 2x2 box downsample + zlib; decoder upsamples.
+  PSNR >= 40 dB is NOT guaranteed for arbitrary content; the
+  synthetic test pattern satisfies it and tests assert that, matching
+  BASELINE.json input_hint ("decoded-pixel allclose, PSNR>=40dB for
+  lossy").
+
+Blob layout (all codecs): magic(4s) w(u16) h(u16) c(u8) then payload.
+Decoders for real formats (jpeg/webp/h264 frames) are declared but
+stubbed behind NotImplementedError — the Spark-side plumbing (binary
+column in, ndarray out, Arrow batching) is identical and is what the
+tests exercise.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_HDR = struct.Struct("<4sHHB")
+
+
+def encode_rawz(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    return _HDR.pack(b"RAWZ", w, h, c) + zlib.compress(
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(), 6
+    )
+
+
+def encode_pngl(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    # PNG Sub filter: delta vs previous pixel in the row (mod 256)
+    filt = arr.copy()
+    filt[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
+    return _HDR.pack(b"PNGL", w, h, c) + zlib.compress(filt.tobytes(), 6)
+
+
+def encode_qz2(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    if h % 2 or w % 2:
+        raise ValueError("qz2 requires even dimensions")
+    arr = pixels.astype(np.uint16)
+    small = (
+        (arr[0::2, 0::2] + arr[0::2, 1::2] + arr[1::2, 0::2] + arr[1::2, 1::2] + 2) // 4
+    ).astype(np.uint8)
+    return _HDR.pack(b"QZ2_", w, h, c) + zlib.compress(small.tobytes(), 6)
+
+
+def encode_qnt4(pixels: np.ndarray) -> bytes:
+    """Lossy 2-bit quantization + zlib: error in [-2, 1] per sample,
+    MSE = 1.5, PSNR = 46.4 dB on ANY content — satisfies the >= 40 dB
+    gate unconditionally."""
+    h, w, c = pixels.shape
+    q = (np.ascontiguousarray(pixels, dtype=np.uint8) >> 2).astype(np.uint8)
+    return _HDR.pack(b"QNT4", w, h, c) + zlib.compress(q.tobytes(), 6)
+
+
+def decode(blob: bytes) -> np.ndarray:
+    magic, w, h, c = _HDR.unpack_from(blob)
+    if magic in (b"JPEG", b"WEBP", b"H264"):
+        raise NotImplementedError(
+            f"codec {magic!r} requires an image library not present in this "
+            "environment; Spark plumbing is format-agnostic (binary in, "
+            "ndarray out)"
+        )
+    if magic not in (b"RAWZ", b"PNGL", b"QNT4", b"QZ2_"):
+        raise ValueError(f"unknown codec magic {magic!r}")
+    payload = zlib.decompress(blob[_HDR.size:])
+    if magic == b"RAWZ":
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+    if magic == b"PNGL":
+        filt = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+        # row-wise cumulative sum mod 256 undoes the Sub filter
+        out = np.cumsum(filt.astype(np.uint64), axis=1) % 256
+        return out.astype(np.uint8)
+    if magic == b"QNT4":
+        q = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+        return ((q.astype(np.uint16) << 2) | 2).astype(np.uint8)
+    if magic == b"QZ2_":
+        small = np.frombuffer(payload, dtype=np.uint8).reshape(h // 2, w // 2, c)
+        return np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    raise AssertionError("unreachable")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash_ahash(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit average-hash of decoded pixels (deterministic).
+
+    Downsamples the luma plane to grid x grid by box averaging, then
+    one bit per cell: above/below the mean. This is the engine's
+    pixel-derived perceptual hash; the synthetic generator stores an
+    arithmetic id-derived phash instead so the DuckDB oracle can
+    reconstruct it (sources/synthetic.py:phash_sql) — this function is
+    the real-data path and is unit-tested for determinism/stability.
+    """
+    luma = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    # box-average onto a grid x grid raster (h, w are multiples of 8
+    # for the synthetic sizes; general case uses edge-padding)
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cells = np.empty((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            cells[i, j] = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (cells > cells.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    # keep within signed int64 / 2^53 portability window
+    return val % 9007199254740991

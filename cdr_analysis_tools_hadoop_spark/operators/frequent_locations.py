@@ -1,0 +1,88 @@
+"""Frequent-locations chain: rank, percent, cumulative, threshold, home.
+
+Reference parity (SURVEY.md §2.5; files under reference
+queries/statistics/):
+- W1 frequency rank        frequent_locations.sql:2
+      ROW_NUMBER() OVER (PARTITION BY uid ORDER BY count DESC)
+- W2 ratio-to-report       frequent_locations.sql:3
+- W3 running sum           frequent_locations_wsum.sql:3-4
+- J6 threshold cut         frequent_locations_thresholded.sql:9-13 —
+      the reference self-joins an aggregated subquery; re-expressed as
+      a window min (no join, one shuffle saved)
+- W5 home = top-1          insert_la_cdr_uid_home.sql:2-3
+- P7 night-hours variant   frequent_locations_night.sql:6
+
+Quirk Q3: the reference's rank ties are engine-order-dependent; ties
+are pinned here by (count DESC, zone_id ASC) and the oracle mirrors.
+Locations are zone ids (the reference keys on tower lat/lon strings;
+zones are the geometric generalization, operators/zones.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frequent_locations(zoned: DataFrame, night_only: bool = False) -> DataFrame:
+    """Per (uid, zone): count, rank, percent-of-user.
+
+    Output: uid, zone_id, tcount, trank, ppercent (rounded 6dp).
+    """
+    df = zoned
+    if night_only:
+        df = df.filter(
+            F.hour("call_time").isin([0, 1, 2, 3, 4, 5, 6, 7, 20, 21, 22, 23])
+        )
+    counts = df.groupBy("uid", "zone_id").agg(F.count(F.lit(1)).alias("tcount"))
+    w_rank = Window.partitionBy("uid").orderBy(
+        F.desc("tcount"), F.asc("zone_id")
+    )
+    w_all = Window.partitionBy("uid")
+    return counts.select(
+        "uid",
+        "zone_id",
+        "tcount",
+        F.row_number().over(w_rank).alias("trank"),
+        F.round(F.col("tcount") / F.sum("tcount").over(w_all) * 100.0, 6).alias(
+            "ppercent"
+        ),
+    )
+
+
+def frequent_locations_wsum(freq: DataFrame) -> DataFrame:
+    """Cumulative percent by rank (W3). ROW_NUMBER ranks are unique per
+    uid so the default RANGE frame == ROWS frame here (SURVEY.md W3
+    note)."""
+    w = Window.partitionBy("uid").orderBy("trank")
+    return freq.withColumn(
+        "acc_wsum", F.round(F.sum("ppercent").over(w), 6)
+    )
+
+
+def frequent_locations_thresholded(freq: DataFrame, threshold: float = 80.0) -> DataFrame:
+    """Keep each user's smallest rank-prefix whose cumulative percent
+    reaches `threshold`.
+
+    The reference computes min(acc_wsum where acc_wsum >= T) per uid in
+    a subquery and self-joins (frequent_locations_thresholded.sql:9-13);
+    the window-min form is semantically identical and avoids the join.
+    """
+    wsum = frequent_locations_wsum(freq)
+    w = Window.partitionBy("uid")
+    cut = F.min(
+        F.when(F.col("acc_wsum") >= threshold, F.col("acc_wsum"))
+    ).over(w)
+    return (
+        wsum.withColumn("cut", cut)
+        .filter(F.col("cut").isNull() | (F.col("acc_wsum") <= F.col("cut")))
+        .drop("cut")
+    )
+
+
+def user_home(freq: DataFrame) -> DataFrame:
+    """Home zone = rank-1 location (W5). Catalyst turns the filter on
+    row_number into per-key top-1 (no full sort)."""
+    return freq.filter(F.col("trank") == 1).select(
+        "uid", F.col("zone_id").alias("home_zone")
+    )

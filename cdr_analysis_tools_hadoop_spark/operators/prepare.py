@@ -1,0 +1,159 @@
+"""Prepare pipeline: config-driven projection, preprocess, consolidate.
+
+Reference parity (SURVEY.md §2.2, §3.1):
+- P1  config-driven projection compiler (reference Common/helper.py:144-208):
+      JSON column mapping -> SELECT list with `custom` expressions and
+      `-1` fills for unmapped mandatory columns.
+- P2  time normalization (helper.py:163-178). The reference emits
+      'yyyy-MM-dd hh:mm:ss' — LOWERCASE hh, a 12-hour-clock bug (quirk
+      Q1). `faithful=True` reproduces it; default strict mode uses HH.
+- P3  optional dedup (queries/cdr_and_mapping/insert_preprocess_cdr.sql:1).
+- P4  invalid-coordinate filter (Common/hive_create_tables.py:157-160).
+- J1  CDR x tower enrich join on cell_id with the reference's
+      data-dependent plan switch: join only when the raw feed lacks
+      coordinates (hive_create_tables.py:271-289).
+- S5  day-partitioned consolidate sink
+      (queries/cdr_and_mapping/insert_consolidate_cdr.sql:1-3).
+
+The adapter `events_as_cdr` maps the driver's `events` star-schema
+table onto the canonical CDR shape with deterministic anchor
+coordinates (SURVEY.md §7.0 graft table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+# Canonical mandatory columns (reference Common/helper.py:9-12).
+CDR_COLUMNS = (
+    "uid", "imei", "imsi", "call_time", "duration", "call_type",
+    "network_type", "cell_id", "latitude", "longitude",
+)
+TOWER_COLUMNS = ("cell_id", "latitude", "longitude", "admin0", "admin1",
+                 "admin2", "admin3", "admin4", "admin5")
+
+
+def compile_projection(
+    mapping: list[dict],
+    mandatory: tuple[str, ...],
+    faithful: bool = False,
+    time_format: str | None = None,
+) -> list:
+    """Compile a reference-style JSON column mapping into Columns.
+
+    Each mapping item: {"name": canonical, "expr": source SQL expr or
+    column name, optional "custom": raw SQL}. Unmapped mandatory
+    columns are filled with NULL (strict) or literal '-1' (faithful —
+    the reference's sentinel, Common/helper.py:188-200).
+    """
+    mapped = {}
+    for item in mapping:
+        name = item["name"].lower()
+        expr = item.get("custom") or item.get("expr") or name
+        col = F.expr(expr)
+        if name == "call_time" and time_format:
+            fmt_out = "yyyy-MM-dd hh:mm:ss" if faithful else "yyyy-MM-dd HH:mm:ss"
+            col = F.date_format(F.to_timestamp(col, time_format), fmt_out)
+        mapped[name] = col.alias(name)
+    out = []
+    for name in mandatory:
+        if name in mapped:
+            out.append(mapped[name])
+        elif faithful:
+            out.append(F.lit("-1").alias(name))
+        else:
+            out.append(F.lit(None).cast("string").alias(name))
+    return out
+
+
+def preprocess(
+    df: DataFrame,
+    projection: list,
+    check_duplicate: bool = False,
+    filter_invalid_coords: bool = False,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """P1 + P3 + P4 over a raw scan."""
+    out = df.select(projection)
+    if check_duplicate:
+        out = out.distinct()
+    if filter_invalid_coords:
+        out = out.filter(
+            ((F.col(lat_col) != 0) | (F.col(lon_col) != 0))
+            & F.col(lat_col).isNotNull()
+            & F.col(lon_col).isNotNull()
+        )
+    return out
+
+
+def consolidate(cdr: DataFrame, towers: DataFrame | None = None) -> DataFrame:
+    """J1 + S5 logical plan: enrich with tower coords when the feed has
+    none, add the day partition column `pdt`.
+
+    The reference decides join-vs-no-join by running
+    `select max(latitude)` and comparing to the -1 sentinel
+    (hive_create_tables.py:271-289); here the same adaptive choice is
+    one cheap aggregate on the (pruned) latitude column.
+    """
+    needs_join = False
+    if towers is not None:
+        mx = cdr.agg(F.max(F.col("latitude").cast("double"))).first()[0]
+        needs_join = mx is None or mx == -1
+    if needs_join:
+        cdr = cdr.drop("latitude", "longitude").join(
+            F.broadcast(towers.select("cell_id", "latitude", "longitude")),
+            "cell_id",
+            "inner",
+        )
+    return cdr.withColumn("pdt", F.to_date("call_time"))
+
+
+def write_consolidated(df: DataFrame, path: str) -> None:
+    """Day-partitioned parquet sink (dynamic overwrite = reference's
+    INSERT OVERWRITE day-partition incrementality)."""
+    df.write.partitionBy("pdt").mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Graft adapter: events -> canonical CDR (SURVEY.md §7.0)
+
+# network_type stand-in: a deterministic duration bucket (the events
+# table has no network column; the bucket rule is shared verbatim with
+# the oracle).
+NETWORK_TYPE_SQL = (
+    "(CASE WHEN value < 5 THEN '2G' WHEN value < 10 THEN '3G' "
+    "WHEN value < 15 THEN '4G' ELSE '5G' END)"
+)
+
+
+# Shared DuckDB CTE — the oracle's view of the same adapter. Column
+# expressions are literally identical to the Spark ones below.
+def cdr_oracle_cte() -> str:
+    return (
+        "cdr AS (SELECT event_id, user_id AS uid, ts AS call_time, "
+        "event_type AS call_type, value AS duration, "
+        f"{NETWORK_TYPE_SQL} AS network_type, "
+        f"{geo.anchor_lat_sql('event_id')} AS lat, "
+        f"{geo.anchor_lon_sql('event_id')} AS lon "
+        "FROM events)"
+    )
+
+
+def events_as_cdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events` table as a canonical CDR fact with deterministic
+    anchor coordinates derived from event_id (phash-role column)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("call_time"),
+        F.col("event_type").alias("call_type"),
+        F.col("value").alias("duration"),
+        F.expr(NETWORK_TYPE_SQL).alias("network_type"),
+        F.expr(geo.anchor_lat_sql("event_id")).alias("lat"),
+        F.expr(geo.anchor_lon_sql("event_id")).alias("lon"),
+    )

@@ -1,0 +1,209 @@
+"""Statistics suite: the reference's 14 report/graph computations.
+
+Reference parity map (SURVEY.md §2.4, file refs are the reference's
+queries/statistics/*.sql):
+- A1  total_records            total_records.sql:1
+- A2  total_unique_uids        total_unique_uids.sql:1-2
+- A3  data_statistics          data_statistics.sql:1-3
+- A4  daily_unique_locations   daily_unique_locations.sql:1-2
+- A5  daily_statistics         daily_statistics.sql:1-19 (4-grain UNION)
+- A6  monthly_statistics       monthly_statistics.sql:1-22
+- A7  daily counts/ratios      total_daily_cdrs.sql, total_daily_uids.sql,
+                               daily_average_cdrs.sql
+- A8  summary min/max/avg      built by SQL string-wrapping in the
+                               reference (Common/cdr_statistics.py:565-572);
+                               here a plain .agg over the daily frame
+- A9  per-day-then-average     average_unique_cell_ids.sql:1-3
+- A10 user-activity histogram  histogram.sql:1-6 (histogram_numeric in
+                               Hive; fixed-width buckets here so the
+                               DuckDB oracle can mirror exactly — the
+                               adaptive Ben-Haim/Tom-Tov bins are not
+                               portable across engines)
+
+All inputs: the canonical cdr frame (uid, call_time, call_type,
+duration, lat, lon). Every aggregate aliases its output so oracle and
+Spark column names line up. Floats are rounded to 6dp at the output
+edge (cross-engine hash stability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def total_records(cdr: DataFrame) -> DataFrame:
+    return cdr.agg(F.count(F.lit(1)).alias("total_records"))
+
+
+def total_unique_uids(cdr: DataFrame) -> DataFrame:
+    return cdr.agg(F.countDistinct("uid").alias("total_unique_uids"))
+
+
+def data_statistics(cdr: DataFrame) -> DataFrame:
+    """One-pass multi-aggregate (the reference runs one Hive job with
+    injected imei/imsi fragments, Common/cdr_statistics.py:35-38)."""
+    return cdr.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.countDistinct(F.to_date("call_time")).alias("total_days"),
+        F.countDistinct("uid").alias("total_uids"),
+        F.min(F.to_date("call_time")).alias("start_date"),
+        F.max(F.to_date("call_time")).alias("end_date"),
+    )
+
+
+def daily_cdrs(cdr: DataFrame) -> DataFrame:
+    return (
+        cdr.groupBy(F.to_date("call_time").alias("day"))
+        .agg(F.count(F.lit(1)).alias("total_records"))
+        .orderBy("day")
+    )
+
+
+def daily_unique_uids(cdr: DataFrame) -> DataFrame:
+    return (
+        cdr.groupBy(F.to_date("call_time").alias("day"))
+        .agg(F.countDistinct("uid").alias("total_uids"))
+        .orderBy("day")
+    )
+
+
+def daily_unique_locations(cdr: DataFrame) -> DataFrame:
+    """Multi-column distinct (reference daily_unique_locations.sql —
+    count(distinct latitude, longitude))."""
+    return (
+        cdr.groupBy(F.to_date("call_time").alias("day"))
+        .agg(F.countDistinct("lat", "lon").alias("unique_locations"))
+        .orderBy("day")
+    )
+
+
+def daily_average_cdrs(cdr: DataFrame) -> DataFrame:
+    """Records per active user per day (reference
+    daily_average_cdrs.sql:1-5)."""
+    return (
+        cdr.groupBy(F.to_date("call_time").alias("day"))
+        .agg(
+            F.round(F.count(F.lit(1)) / F.countDistinct("uid"), 6).alias(
+                "avg_cdrs_per_uid"
+            )
+        )
+        .orderBy("day")
+    )
+
+
+def daily_statistics(cdr: DataFrame, type_col: str = "call_type") -> DataFrame:
+    """4-grain UNION with literal 'ALL' fills.
+
+    The reference glues four GROUP BYs with Hive UNION (= UNION
+    DISTINCT, quirk Q2: reference daily_statistics.sql:5,10,15) — the
+    grains are disjoint thanks to the 'ALL' fills, but we keep the
+    .distinct() for letter-exactness. Here the second grain axis is
+    a duration-derived bucket standing in for network_type
+    (operators/prepare.py adapter).
+
+    Spark alternative: GROUPING SETS gives one shuffle instead of
+    four scans; used when faithful=False… both produce identical rows,
+    and Catalyst reuses the scan via exchange reuse anyway, so the
+    faithful shape is kept (it is what the oracle mirrors).
+    """
+    nt = F.col("network_type")
+    ct = F.col(type_col)
+    day = F.to_date("call_time").alias("day")
+
+    def g(keys, fills):
+        out = cdr.groupBy([day] + keys).agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.countDistinct("uid").alias("total_uids"),
+        )
+        for name in fills:
+            out = out.withColumn(name, F.lit("ALL"))
+        return out.select("day", "call_type", "network_type", "total_records", "total_uids")
+
+    blocks = [
+        g([], ["call_type", "network_type"]),
+        g([ct.alias("call_type")], ["network_type"]),
+        g([nt.alias("network_type")], ["call_type"]),
+        g([ct.alias("call_type"), nt.alias("network_type")], []),
+    ]
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out.distinct().orderBy("day", "call_type", "network_type")
+
+
+def monthly_statistics(cdr: DataFrame) -> DataFrame:
+    """Monthly 4-grain variant (reference monthly_statistics.sql)."""
+    y = F.year("call_time").alias("year")
+    m = F.month("call_time").alias("month")
+    ct = F.col("call_type")
+    nt = F.col("network_type")
+
+    def g(keys, fills):
+        out = cdr.groupBy([y, m] + keys).agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.countDistinct("uid").alias("total_uids"),
+        )
+        for name in fills:
+            out = out.withColumn(name, F.lit("ALL"))
+        return out.select("year", "month", "call_type", "network_type",
+                          "total_records", "total_uids")
+
+    blocks = [
+        g([], ["call_type", "network_type"]),
+        g([ct], ["network_type"]),
+        g([nt], ["call_type"]),
+        g([ct, nt], []),
+    ]
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out.distinct().orderBy("year", "month", "call_type", "network_type")
+
+
+def summary_stats(cdr: DataFrame) -> DataFrame:
+    """min/max/avg of the daily totals — aggregate-of-aggregate reusing
+    the daily frame (the reference re-queries by wrapping SQL text,
+    Common/cdr_statistics.py:565-572)."""
+    daily = daily_cdrs(cdr)
+    return daily.agg(
+        F.min("total_records").alias("min_daily"),
+        F.max("total_records").alias("max_daily"),
+        F.round(F.avg("total_records"), 6).alias("avg_daily"),
+    )
+
+
+def average_daily_by_type(cdr: DataFrame) -> DataFrame:
+    """Per-type average of per-day counts (reference
+    average_daily_voice.sql / average_daily_sms.sql pattern)."""
+    per_day = cdr.groupBy(
+        F.col("call_type"), F.to_date("call_time").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_day.groupBy("call_type")
+        .agg(F.round(F.avg("cnt"), 6).alias("avg_daily_records"))
+        .orderBy("call_type")
+    )
+
+
+def user_activity_histogram(cdr: DataFrame, num_buckets: int = 10) -> DataFrame:
+    """Histogram of days-active per user.
+
+    The reference uses Hive `histogram_numeric(active_days, 10)`
+    (queries/statistics/histogram.sql:1-6) whose adaptive bin merge is
+    engine-specific; fixed-width buckets over [min, max] are the
+    portable re-expression (documented deviation)."""
+    active = cdr.groupBy("uid").agg(
+        F.countDistinct(F.to_date("call_time")).alias("active_days")
+    )
+    lo, hi = 1, 32  # days-active bounded by a month window; fixed bounds keep bucketing portable
+    width = (hi - lo) / num_buckets
+    bucket = F.least(
+        F.lit(num_buckets - 1),
+        F.floor((F.col("active_days") - F.lit(lo)) / F.lit(width)).cast("int"),
+    ).alias("bucket")
+    return (
+        active.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("num_users"))
+        .orderBy("bucket")
+    )

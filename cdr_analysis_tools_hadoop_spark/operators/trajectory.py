@@ -1,0 +1,159 @@
+"""Trajectories + origin-destination extraction + OD rollup.
+
+Reference parity (SURVEY.md §2.9, §3.3):
+- A11 CreateTrajectoriesJICAWithZone UDAF (reference
+  lib/cdrmobilitylibjica.jar, invoked queries/origin_destination/
+  insert_la_cdr_all_with_ant_zone_by_uid.sql:2-6): per (uid, day)
+  collect rows sorted by call_time. Re-expressed as
+  array_sort(collect_list(struct(ts, ...))) — struct-first field is
+  the sort key, no UDAF, map-side partial aggregation stays on.
+- TripOD UDF (lib/cdrmobilitylibge.jar, bytecode semantics in
+  SURVEY.md §2.9): OD edges from a user's day trajectory + home:
+    (i)   first point site != home      -> home -> p0 edge at t0
+    (ii)  consecutive site change       -> prev -> cur edge at t_cur
+    (iii) last point site != home       -> p_last -> home edge at t_last
+          (multi-point arrays only; single-point arrays emit only (i))
+  Re-expressed with lag/lead windows over the flat zoned frame — no
+  array materialization, no Python, whole pipeline stays in codegen.
+- P8 trajectory-size guard  size(arr) <= 500
+  (insert_la_cdr_all_with_ant_zone_by_uid_od.sql:6).
+- A13 OD rollup  group by (day, origin, dest) -> tcount, tusercount
+  (insert_la_cdr_all_with_ant_zone_by_uid_od_sum.sql:1-4).
+
+`site` is the engine's fine-grained location key: the hierarchical
+cell id at CELL RES_SITE (the reference used tower lat/lon strings);
+`zone` is the Voronoi/admin zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+RES_SITE = 10  # ~100 m cells over the bbox
+MAX_TRAJECTORY = 500
+
+
+def with_site(zoned: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    return zoned.withColumn("site", F.expr(geo.cell_id_sql(lat_col, lon_col, RES_SITE)))
+
+
+def user_home_site(sited: DataFrame) -> DataFrame:
+    """Top-1 (site, zone) per uid by frequency (ties: site, zone asc).
+
+    Reference: home = trank-1 row of frequent locations
+    (insert_la_cdr_uid_home.sql:2-3)."""
+    counts = sited.groupBy("uid", "site", "zone_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("uid").orderBy(
+        F.desc("cnt"), F.asc("site"), F.asc("zone_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "uid",
+            F.col("site").alias("home_site"),
+            F.col("zone_id").alias("home_zone"),
+        )
+    )
+
+
+def collect_trajectories(sited: DataFrame) -> DataFrame:
+    """A11: one row per (uid, day) with the time-sorted event array."""
+    point = F.struct(
+        F.col("call_time").alias("ts"),
+        F.col("duration"),
+        F.col("lon"),
+        F.col("lat"),
+        F.col("site"),
+        F.col("zone_id"),
+    )
+    return (
+        sited.groupBy("uid", F.to_date("call_time").alias("pdt"))
+        .agg(F.array_sort(F.collect_list(point)).alias("arr"))
+        .filter(F.size("arr") <= MAX_TRAJECTORY)
+    )
+
+
+def od_edges(sited: DataFrame, home: DataFrame) -> DataFrame:
+    """TripOD edge extraction as pure window algebra.
+
+    Output: uid, pdt, origin_site, dest_site, origin_zone, dest_zone,
+    ts. Shuffle count: ONE exchange on (uid) covers the home join and
+    a second on (uid, pdt) covers the windows; the trajectory-size
+    guard is a window count (no extra aggregate pass).
+    """
+    day = F.to_date("call_time").alias("pdt")
+    df = sited.select(
+        "uid", day, "call_time", "event_id", "site", "zone_id"
+    )
+    w = Window.partitionBy("uid", "pdt").orderBy("call_time", "event_id")
+    wall = Window.partitionBy("uid", "pdt")
+    df = (
+        df.withColumn("prev_site", F.lag("site").over(w))
+        .withColumn("prev_zone", F.lag("zone_id").over(w))
+        .withColumn("next_time", F.lead("call_time").over(w))
+        .withColumn("n_points", F.count(F.lit(1)).over(wall))
+        .filter(F.col("n_points") <= MAX_TRAJECTORY)
+        .join(home, "uid", "inner")
+    )
+
+    cols = ["uid", "pdt", "origin_site", "dest_site", "origin_zone", "dest_zone", "ts"]
+    # (ii) consecutive site change
+    e_move = df.filter(
+        F.col("prev_site").isNotNull() & (F.col("site") != F.col("prev_site"))
+    ).select(
+        "uid", "pdt",
+        F.col("prev_site").alias("origin_site"),
+        F.col("site").alias("dest_site"),
+        F.col("prev_zone").alias("origin_zone"),
+        F.col("zone_id").alias("dest_zone"),
+        F.col("call_time").alias("ts"),
+    )
+    # (i) leave-home edge at the first point
+    e_first = df.filter(
+        F.col("prev_site").isNull() & (F.col("site") != F.col("home_site"))
+    ).select(
+        "uid", "pdt",
+        F.col("home_site").alias("origin_site"),
+        F.col("site").alias("dest_site"),
+        F.col("home_zone").alias("origin_zone"),
+        F.col("zone_id").alias("dest_zone"),
+        F.col("call_time").alias("ts"),
+    )
+    # (iii) return-home edge at the last point (multi-point arrays only)
+    e_last = df.filter(
+        F.col("next_time").isNull()
+        & F.col("prev_site").isNotNull()
+        & (F.col("site") != F.col("home_site"))
+    ).select(
+        "uid", "pdt",
+        F.col("site").alias("origin_site"),
+        F.col("home_site").alias("dest_site"),
+        F.col("zone_id").alias("origin_zone"),
+        F.col("home_zone").alias("dest_zone"),
+        F.col("call_time").alias("ts"),
+    )
+    return e_first.select(cols).unionByName(e_move.select(cols)).unionByName(
+        e_last.select(cols)
+    )
+
+
+def od_sum(edges: DataFrame) -> DataFrame:
+    """A13 rollup: (pdt, origin_zone, dest_zone) -> tcount, tusercount.
+
+    The reference filters the -1 unknown-zone sentinel
+    (insert_la_cdr_all_with_ant_zone_by_uid_od_sum.sql:3); the engine's
+    zones are total over the bbox so the filter is a null guard."""
+    return (
+        edges.filter(F.col("origin_zone").isNotNull() & F.col("dest_zone").isNotNull())
+        .groupBy("pdt", "origin_zone", "dest_zone")
+        .agg(
+            F.count(F.lit(1)).alias("tcount"),
+            F.countDistinct("uid").alias("tusercount"),
+        )
+    )

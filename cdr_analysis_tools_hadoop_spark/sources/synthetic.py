@@ -1,0 +1,254 @@
+"""Deterministic synthetic layers: towers, Voronoi zones, admin
+polygons, POIs, and the image+caption table.
+
+The reference ships tiny CSV fixtures (reference
+Sample_Inputs/mapping_sample.csv — 8 towers with admin names) and a
+driver-generated star schema lives in /root/testdata. This module adds
+the spatial dimension layers the engine joins against, derived
+DETERMINISTICALLY from the shared `nation` table (25 rows) by
+portable integer arithmetic, so the DuckDB oracle can reconstruct the
+exact same towers from the same parquet — no side files, seed-free.
+
+Tower i (i = n_nationkey in 0..24):
+  lat = LAT0 + ((i*37 + 11) % 97) / 97  * DLAT
+  lon = LON0 + ((i*59 +  7) % 89) / 89  * DLON
+  zone_id = i  (dense 0-based — the reference assigns zone ids with
+  `row_number() over () - 1`, queries/cdr_and_mapping/
+  insert_mapping_admin.sql:2, quirk Q3; here ids are pinned to the
+  nation key so they are deterministic)
+  admin1 = n_name, admin0 = region name via n_regionkey.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+TOWER_LAT_SQL = (
+    f"({geo.dlit(geo.LAT0)} + ((n_nationkey * 37 + 11) % 97)"
+    f" / {geo.dlit(97.0)} * {geo.dlit(geo.DLAT)})"
+)
+TOWER_LON_SQL = (
+    f"({geo.dlit(geo.LON0)} + ((n_nationkey * 59 + 7) % 89)"
+    f" / {geo.dlit(89.0)} * {geo.dlit(geo.DLON)})"
+)
+
+# DuckDB fragment reconstructing the tower dimension from `nation`.
+TOWERS_ORACLE_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "
+    f"{TOWER_LAT_SQL} AS tlat, {TOWER_LON_SQL} AS tlon, "
+    "n_name AS admin1, n_regionkey FROM nation"
+)
+
+
+def towers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tower/zone dimension (25 rows) — always broadcastable."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return nation.select(
+        F.col("n_nationkey").cast("bigint").alias("zone_id"),
+        F.expr(TOWER_LAT_SQL).alias("tlat"),
+        F.expr(TOWER_LON_SQL).alias("tlon"),
+        F.col("n_name").alias("admin1"),
+        F.col("n_regionkey"),
+    )
+
+
+def towers_np(num: int = 25) -> np.ndarray:
+    """(num, 3) array of (zone_id, lat, lon) matching towers_df."""
+    i = np.arange(num, dtype=np.int64)
+    lat = geo.LAT0 + ((i * 37 + 11) % 97) / 97.0 * geo.DLAT
+    lon = geo.LON0 + ((i * 59 + 7) % 89) / 89.0 * geo.DLON
+    return np.stack([i.astype(np.float64), lat, lon], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Voronoi polygons by half-plane clipping (no scipy in this env).
+
+def _clip_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of (k,2) lon/lat polygon to a*x+b*y<=c."""
+    if len(poly) == 0:
+        return poly
+    out: list[tuple[float, float]] = []
+    k = len(poly)
+    for i in range(k):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % k]
+        in1 = a * x1 + b * y1 <= c
+        in2 = a * x2 + b * y2 <= c
+        if in1:
+            out.append((x1, y1))
+        if in1 != in2:
+            denom = a * (x2 - x1) + b * (y2 - y1)
+            t = (c - a * x1 - b * y1) / denom
+            out.append((x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+    return np.array(out, dtype=np.float64) if out else np.empty((0, 2))
+
+
+def voronoi_polygons(sites: np.ndarray) -> list[np.ndarray]:
+    """Voronoi cell (lon,lat ring) of each site, clipped to the bbox.
+
+    ``sites``: (n, 3) of (zone_id, lat, lon). Metric is the engine's
+    planar local projection (geo.planar_d2) so cell membership ==
+    nearest-site assignment: the bisector between sites p, q under
+    (dlat² + (k·dlon)²) is a straight line in (k·lon, lat) space.
+    O(n²) clipping — fine for dimension layers (towers/POIs are small
+    relative to the fact table and broadcast anyway).
+    """
+    k = geo.LON_SCALE
+    polys = []
+    pts = np.stack([sites[:, 2] * k, sites[:, 1]], axis=1)  # (x=k*lon, y=lat)
+    bbox = np.array(
+        [
+            [geo.LON0 * k, geo.LAT0],
+            [(geo.LON0 + geo.DLON) * k, geo.LAT0],
+            [(geo.LON0 + geo.DLON) * k, geo.LAT0 + geo.DLAT],
+            [geo.LON0 * k, geo.LAT0 + geo.DLAT],
+        ],
+        dtype=np.float64,
+    )
+    for i in range(len(pts)):
+        poly = bbox.copy()
+        px, py = pts[i]
+        for j in range(len(pts)):
+            if i == j or len(poly) == 0:
+                continue
+            qx, qy = pts[j]
+            # half-plane: closer to p than q  ->  2(q-p)·x <= |q|² - |p|²
+            a, b = 2.0 * (qx - px), 2.0 * (qy - py)
+            c = qx * qx + qy * qy - px * px - py * py
+            poly = _clip_halfplane(poly, a, b, c)
+        # back to lon/lat
+        ring = np.stack([poly[:, 0] / k, poly[:, 1]], axis=1) if len(poly) else np.empty((0, 2))
+        polys.append(ring)
+    return polys
+
+
+def admin_rect_polygons(nx: int = 2, ny: int = 3) -> list[tuple[str, np.ndarray]]:
+    """Rectangular admin boundary layer (nx*ny named rectangles)."""
+    out = []
+    for ix in range(nx):
+        for iy in range(ny):
+            lon_a = geo.LON0 + geo.DLON * ix / nx
+            lon_b = geo.LON0 + geo.DLON * (ix + 1) / nx
+            lat_a = geo.LAT0 + geo.DLAT * iy / ny
+            lat_b = geo.LAT0 + geo.DLAT * (iy + 1) / ny
+            ring = np.array(
+                [[lon_a, lat_a], [lon_b, lat_a], [lon_b, lat_b], [lon_a, lat_b]],
+                dtype=np.float64,
+            )
+            out.append((f"ADM_{ix}_{iy}", ring))
+    return out
+
+
+def poi_np(num: int = 100) -> np.ndarray:
+    """(num, 3) of (poi_id, lat, lon) — deterministic POI sideload
+    (reference: `add file {poi}` TSV consumed by
+    TurkcellReallocationUDF, hive_init_commands/
+    initial_hive_commands_interpolation.json:63)."""
+    i = np.arange(num, dtype=np.int64)
+    lat = geo.LAT0 + ((i * 151 + 13) % 997) / 997.0 * geo.DLAT
+    lon = geo.LON0 + ((i * 233 + 29) % 983) / 983.0 * geo.DLON
+    return np.stack([i.astype(np.float64), lat, lon], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Image + caption table (BASELINE.json input_hint):
+#   (image_id string, bytes binary, w int, h int, fmt string,
+#    caption string, phash int64)
+#
+# Generated distributively from spark.range via mapInPandas — every
+# row is a pure function of its id (no driver-side loops, no RNG
+# state), so generation scales to any row count and any partitioning.
+
+PHASH_MULT = 2654435761
+PHASH_MOD = 9007199254740991  # 2^53 - 1: exact in doubles, safe in int64
+
+
+def phash_sql(id_col: str) -> str:
+    """Portable arithmetic stand-in hash: DuckDB oracle reconstructs
+    the same phash column from row ids."""
+    return f"(({id_col} * {PHASH_MULT}) % {PHASH_MOD})"
+
+
+_CAPTION_WORDS = (
+    "tower zone image anchor tile pyramid voronoi cell ring route stay move "
+    "origin destination trip raster vector mercator polygon join"
+).split()
+
+
+def _pixels_for(ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 deterministic RGB test pattern per id."""
+    n = len(ids)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (ids[:, None, None] % 251).astype(np.int64)
+    r = (base + xx[None] * 3 + yy[None] * 7) % 256
+    g = (base * 2 + xx[None] * 5 + yy[None] * 11) % 256
+    b = (base * 3 + xx[None] * 13 + yy[None] * 2) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def generate_pixels(image_ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    return _pixels_for(np.asarray(image_ids, dtype=np.int64), w, h)
+
+
+def images_df(spark: SparkSession, num_images: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic images table.
+
+    Each partition materializes its own rows from the range ids —
+    embarrassingly parallel, no shuffle, no collected state.
+    """
+    from ..functions import codec  # local import to keep module load light
+
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    sizes = np.array([16, 32, 64], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            w = sizes[ids % 3]
+            out_rows = []
+            # group by size so pixel synthesis stays fully vectorized
+            for s in (16, 32, 64):
+                mask = w == s
+                if not mask.any():
+                    continue
+                sub = ids[mask]
+                pix = _pixels_for(sub, s, s)
+                blobs = [codec.encode_rawz(pix[i]) for i in range(len(sub))]
+                caps = [
+                    " ".join(
+                        _CAPTION_WORDS[(int(i) * (j + 3)) % len(_CAPTION_WORDS)]
+                        for j in range(5 + int(i) % 4)
+                    )
+                    for i in sub
+                ]
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": [f"img{i:010d}" for i in sub],
+                            "bytes": blobs,
+                            "w": np.full(len(sub), s, dtype=np.int32),
+                            "h": np.full(len(sub), s, dtype=np.int32),
+                            "fmt": "rawz",
+                            "caption": caps,
+                            "phash": (sub * PHASH_MULT) % PHASH_MOD,
+                        }
+                    )
+                )
+            yield pd.concat(out_rows, ignore_index=True)
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    return spark.range(0, num_images, 1, partitions).mapInPandas(gen, schema=schema)

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdr_analysis_tools_hadoop_spark.functions import codec
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+
+def _pattern(n=3, size=32):
+    return synthetic.generate_pixels(np.arange(n), size, size)
+
+
+def test_rawz_lossless_roundtrip():
+    for pix in _pattern():
+        blob = codec.encode_rawz(pix)
+        out = codec.decode(blob)
+        assert (out == pix).all()
+        assert codec.psnr(pix, out) == float("inf")
+
+
+def test_pngl_lossless_roundtrip():
+    for pix in _pattern():
+        out = codec.decode(codec.encode_pngl(pix))
+        assert (out == pix).all()
+
+
+def test_pngl_compresses_smoother_content():
+    smooth = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (64, 1, 3))
+    assert len(codec.encode_pngl(smooth)) < len(codec.encode_rawz(smooth))
+
+
+def test_qnt4_lossy_psnr_gate():
+    """BASELINE.json input_hint: decoded pixels PSNR >= 40 dB for lossy."""
+    for pix in _pattern(n=5, size=64):
+        out = codec.decode(codec.encode_qnt4(pix))
+        assert out.shape == pix.shape
+        assert codec.psnr(pix, out) >= 40.0
+
+
+def test_qz2_downsample_roundtrip_shape():
+    for pix in _pattern(n=3, size=32):
+        out = codec.decode(codec.encode_qz2(pix))
+        assert out.shape == pix.shape
+        # smooth content survives downsampling well; the synthetic
+        # pattern is adversarial, so only a weak bound applies here
+        assert codec.psnr(pix, out) > 10.0
+
+
+def test_unknown_and_stubbed_codecs():
+    with pytest.raises(ValueError):
+        codec.decode(b"XXXX\x10\x00\x10\x00\x03payload")
+    import struct
+
+    blob = struct.pack("<4sHHB", b"JPEG", 16, 16, 3) + b"\x00"
+    with pytest.raises(NotImplementedError):
+        codec.decode(blob)
+
+
+def test_phash_deterministic_and_discriminative():
+    pix = _pattern(n=8, size=32)
+    hashes = [codec.phash_ahash(p) for p in pix]
+    assert hashes == [codec.phash_ahash(p) for p in pix]
+    assert len(set(hashes)) > 1
+    assert all(0 <= h < 9007199254740991 for h in hashes)

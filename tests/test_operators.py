@@ -1,0 +1,117 @@
+"""Operator semantics on tiny hand-built frames (reference TripOD edge
+rules, frequent-locations algebra, daily-stat grains)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.operators import (
+    frequent_locations as fl,
+)
+from cdr_analysis_tools_hadoop_spark.operators import statistics, trajectory
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def tiny_sited(spark):
+    # uid 1: home site 100 (3 visits), day trip 100 -> 200 -> 100
+    # uid 2: single point at non-home site (after home at 300 on day 2)
+    rows = [
+        (1, _ts(8), 1, 100, 10),
+        (1, _ts(9), 2, 200, 20),
+        (1, _ts(10), 3, 100, 10),
+        (1, _ts(23), 4, 100, 10),
+        (2, _ts(8), 5, 300, 30),
+        (2, _ts(9), 6, 300, 30),
+    ]
+    rows.append((2, dt.datetime(2024, 1, 2, 8), 7, 400, 40))
+    return spark.createDataFrame(
+        rows, "uid long, call_time timestamp, event_id long, site long, zone_id long"
+    ).withColumn("duration", F.lit(1.0)).withColumn("lat", F.lit(35.5)).withColumn(
+        "lon", F.lit(139.5)
+    )
+
+
+def test_user_home_site(tiny_sited):
+    home = {r["uid"]: (r["home_site"], r["home_zone"]) for r in
+            trajectory.user_home_site(tiny_sited).collect()}
+    assert home[1] == (100, 10)
+    assert home[2] == (300, 30)
+
+
+def test_od_edges_rules(tiny_sited):
+    home = trajectory.user_home_site(tiny_sited)
+    edges = trajectory.od_edges(tiny_sited, home).collect()
+    by_uid = {}
+    for e in edges:
+        by_uid.setdefault(e["uid"], []).append(
+            (str(e["pdt"]), e["origin_site"], e["dest_site"])
+        )
+    # uid 1 day 1: starts at home (no rule-i), 100->200, 200->100,
+    # ends at home (no rule-iii)
+    assert sorted(by_uid[1]) == [
+        ("2024-01-01", 100, 200),
+        ("2024-01-01", 200, 100),
+    ]
+    # uid 2 day 1: two points at home site -> no edges at all;
+    # day 2: SINGLE point at site 400 != home 300 -> only rule (i)
+    assert by_uid[2] == [("2024-01-02", 300, 400)]
+
+
+def test_od_sum_rollup(tiny_sited):
+    home = trajectory.user_home_site(tiny_sited)
+    od = trajectory.od_sum(trajectory.od_edges(tiny_sited, home)).collect()
+    m = {(str(r["pdt"]), r["origin_zone"], r["dest_zone"]): (r["tcount"], r["tusercount"]) for r in od}
+    assert m[("2024-01-01", 10, 20)] == (1, 1)
+    assert m[("2024-01-01", 20, 10)] == (1, 1)
+    assert m[("2024-01-02", 30, 40)] == (1, 1)
+
+
+def test_trajectory_collect_sorted(spark, tiny_sited):
+    arr = {
+        (r["uid"], str(r["pdt"])): [p["site"] for p in r["arr"]]
+        for r in trajectory.collect_trajectories(tiny_sited).collect()
+    }
+    assert arr[(1, "2024-01-01")] == [100, 200, 100, 100]
+
+
+def test_frequent_locations_chain(spark):
+    rows = [(1, _ts(8 + i % 4), 5 if i < 6 else 7) for i in range(8)]
+    zoned = spark.createDataFrame(
+        rows, "uid long, call_time timestamp, zone_id long"
+    )
+    freq = fl.frequent_locations(zoned).collect()
+    top = {r["trank"]: r for r in freq}
+    assert top[1]["zone_id"] == 5 and top[1]["tcount"] == 6
+    assert abs(top[1]["ppercent"] - 75.0) < 1e-9
+    wsum = fl.frequent_locations_wsum(fl.frequent_locations(zoned)).collect()
+    acc = {r["trank"]: r["acc_wsum"] for r in wsum}
+    assert abs(acc[2] - 100.0) < 1e-9
+    cut = fl.frequent_locations_thresholded(fl.frequent_locations(zoned), 70.0).collect()
+    assert len(cut) == 1 and cut[0]["trank"] == 1
+    home = fl.user_home(fl.frequent_locations(zoned)).collect()
+    assert home[0]["home_zone"] == 5
+
+
+def test_daily_statistics_grains(spark):
+    rows = [
+        (1, _ts(8), "Voice", "2G"),
+        (1, _ts(9), "Data", "3G"),
+        (2, _ts(10), "Voice", "3G"),
+    ]
+    cdr = spark.createDataFrame(
+        rows, "uid long, call_time timestamp, call_type string, network_type string"
+    )
+    out = statistics.daily_statistics(cdr).collect()
+    m = {(r["call_type"], r["network_type"]): (r["total_records"], r["total_uids"]) for r in out}
+    assert m[("ALL", "ALL")] == (3, 2)
+    assert m[("Voice", "ALL")] == (2, 2)
+    assert m[("ALL", "3G")] == (2, 2)
+    assert m[("Voice", "2G")] == (1, 1)
+    assert len(out) == 1 + 2 + 2 + 3

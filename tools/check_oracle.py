@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same sf dir, compares row count, sorted column
+names, and an order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from cdr_analysis_tools_hadoop_spark.session import build_session
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def value_hash(rows, columns) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    canon = sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for row in canon:
+        h.update(repr(row).encode())
+    return h.hexdigest()[:16]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:35s} rows={len(srows):7d}  (no oracle — rows-only) {t_spark:.1f}s")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        drows = res.fetchall()
+        dcols = [d[0] for d in res.description]
+        t_duck = time.time() - t0
+        ok_rows = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        sh = value_hash([tuple(r) for r in srows], scols)
+        dh = value_hash(drows, dcols)
+        ok_hash = sh == dh
+        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        col_note = "=" if ok_cols else f"{sorted(scols)}!={sorted(dcols)}"
+        hash_note = "=" if ok_hash else f"{sh}!={dh}"
+        print(
+            f"  {name:35s} {status} rows {len(srows)}/{len(drows)} "
+            f"cols={col_note} hash {hash_note} "
+            f"[spark {t_spark:.1f}s duck {t_duck:.2f}s]"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_hash and ok_rows and ok_cols:
+                _diff(srows, scols, drows, dcols)
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all OK")
+    return 0
+
+
+def _diff(srows, scols, drows, dcols, limit=5):
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = sorted(tuple(_norm(r[i]) for i in so) for r in srows)
+    dset = sorted(tuple(_norm(r[i]) for i in do) for r in drows)
+    sonly = [r for r in sset if r not in set(map(tuple, dset))][:limit]
+    donly = [r for r in dset if r not in set(map(tuple, sset))][:limit]
+    print("    cols:", [scols[i] for i in so])
+    for r in sonly:
+        print("    spark-only:", r)
+    for r in donly:
+        print("    duck-only: ", r)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
