@@ -1,0 +1,103 @@
+"""Benchmark runner (driver contract + BASELINE.md protocol).
+
+Runs (a) the flagship image pipeline — decode-validate -> phash anchor
+-> cell encode -> broadcast PIP join vs tower-Voronoi -> tile pyramid
+-> zone/tile aggregate — over a deterministic parquet images table,
+and (b) the headline analytics queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "images_per_sec": <pipeline throughput>, "cpus": N, ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_IMAGES (default
+60000), SPARK_GRAFT_BENCH_REPEATS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdr_analysis_tools_hadoop_spark import pipeline
+from cdr_analysis_tools_hadoop_spark.session import build_session
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+HEADLINE = [
+    "zone_population",
+    "daily_statistics",
+    "frequent_locations_thresholded",
+    "od_matrix",
+    "tile_counts_z12",
+    "knn_nearest_tower",
+]
+
+
+def ensure_images(spark, n: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    parts = max(32, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    synthetic.images_df(spark, n, partitions=parts).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "60000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    img_path = f"/tmp/spark_graft_bench/images_{n_images}"
+    ensure_images(spark, n_images, img_path)
+
+    # --- flagship image pipeline (BASELINE metric: images/sec) ---
+    images = spark.read.parquet(img_path)
+    pipeline.run_pipeline(spark, images.limit(2000)).count()  # warm-up
+    runs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        pipeline.run_pipeline(spark, images).count()
+        runs.append(time.time() - t0)
+    pipe_sec = statistics.median(runs)
+
+    # --- headline analytics queries ---
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    q_times: dict[str, float] = {}
+    q_times["image_pipeline"] = round(pipe_sec, 3)
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        q_times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(q_times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "images_per_sec": round(n_images / pipe_sec, 1),
+                "n_images": n_images,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Raster <-> vector tile pyramid operators (HMesh analogue).
+
+Reference parity: `f_hmesh`/`f_hmesharray` register a hierarchical
+mesh tiler (HMesh$Level in reference lib/pflow-hiveUDF.jar, registered
+by hive_init_commands/initial_hive_commands_interpolation.json:55-56
+but unused in shipped SQL — SURVEY.md §2.9). The engine's version is
+the standard web-mercator z/x/y pyramid:
+
+- `assign_tiles`: one row per (row x zoom) via posexplode over a
+  JVM-computed array of (z, x, y) structs — no Python, no shuffle.
+- `tile_stats`: raster aggregation per tile (counts + any measures).
+- `pyramid_rollup`: builds level z-1 FROM level z by integer halving
+  (x>>1, y>>1) — each coarser level aggregates the previous one
+  instead of rescanning the fact table: log-depth pyramid build, the
+  only scan of the fact is at the base zoom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+
+def tile_struct_expr(lat_col: str, lon_col: str, zoom: int):
+    return F.struct(
+        F.lit(zoom).alias("z"),
+        F.expr(geo.tile_x_sql(lon_col, zoom)).alias("x"),
+        F.expr(geo.tile_y_sql(lat_col, zoom)).alias("y"),
+    )
+
+
+def assign_tiles(
+    df: DataFrame,
+    zooms: list[int],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """One output row per input row per zoom level, columns z/x/y."""
+    tiles = F.array(*[tile_struct_expr(lat_col, lon_col, z) for z in zooms])
+    return df.withColumn("__tiles", tiles).select(
+        "*", F.explode("__tiles").alias("__t")
+    ).select(
+        *[c for c in df.columns],
+        F.col("__t.z").alias("z"),
+        F.col("__t.x").alias("x"),
+        F.col("__t.y").alias("y"),
+    )
+
+
+def tile_stats(
+    df: DataFrame,
+    zoom: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    measures: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Raster aggregation at one zoom: per-tile count (+ measures)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, expr in (measures or {}).items():
+        aggs.append(expr.alias(name))
+    return (
+        df.select(
+            F.expr(geo.tile_x_sql(lon_col, zoom)).alias("x"),
+            F.expr(geo.tile_y_sql(lat_col, zoom)).alias("y"),
+            *[c for c in df.columns],
+        )
+        .groupBy("x", "y")
+        .agg(*aggs)
+        .withColumn("z", F.lit(zoom))
+    )
+
+
+def pyramid_rollup(base: DataFrame, min_zoom: int) -> list[DataFrame]:
+    """From a base-zoom tile_stats frame, derive every level down to
+    `min_zoom` by halving coordinates and summing counts.
+
+    Only additive measures survive the rollup (counts/sums) — exactly
+    the raster semantics of a tile pyramid. Returns [base, z-1, ...].
+    """
+    out = [base]
+    cur = base
+    base_zoom = cur.agg(F.max("z")).first()[0]
+    for z in range(int(base_zoom) - 1, min_zoom - 1, -1):
+        sum_cols = [
+            F.sum(c).alias(c)
+            for c in cur.columns
+            if c not in ("x", "y", "z")
+        ]
+        cur = (
+            cur.groupBy(
+                (F.col("x") / 2).cast("bigint").alias("x"),
+                (F.col("y") / 2).cast("bigint").alias("y"),
+            )
+            .agg(*sum_cols)
+            .withColumn("z", F.lit(z))
+        )
+        out.append(cur)
+    return out
+
+
+def vector_to_tiles(
+    polys_df: DataFrame, zoom: int, lat_col: str = "clat", lon_col: str = "clon"
+) -> DataFrame:
+    """Vector->raster direction: assign polygon centroids (or any
+    vector feature points) to tiles at `zoom`."""
+    return polys_df.select(
+        "*",
+        F.expr(geo.tile_x_sql(lon_col, zoom)).alias("x"),
+        F.expr(geo.tile_y_sql(lat_col, zoom)).alias("y"),
+        F.lit(zoom).alias("z"),
+    )

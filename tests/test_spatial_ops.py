@@ -1,0 +1,135 @@
+"""PIP join, cell-ring kNN, tiling, multimodal plumbing, pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.functions import geo
+from cdr_analysis_tools_hadoop_spark.operators import knn, multimodal, spatial_join, tiling
+from cdr_analysis_tools_hadoop_spark import pipeline
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    ids = list(range(4000))
+    df = spark.createDataFrame([(i,) for i in ids], "pid long")
+    return df.select(
+        "pid",
+        F.expr(geo.anchor_lat_sql("pid")).alias("lat"),
+        F.expr(geo.anchor_lon_sql("pid")).alias("lon"),
+    )
+
+
+def test_pip_join_matches_nearest_site(spark, points):
+    """Voronoi PIP join must reproduce nearest-site assignment — the
+    engine's J2/J7 equivalence, end to end through Spark."""
+    towers = synthetic.towers_np(25)
+    polys = list(zip(towers[:, 0].astype(np.int64), synthetic.voronoi_polygons(towers)))
+    got = {
+        r["pid"]: r["zone"]
+        for r in spatial_join.pip_join(
+            points, polys, out_col="zone", res=7
+        ).collect()
+    }
+    rows = points.collect()
+    lat = np.array([r["lat"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    d2 = geo.planar_d2_np(
+        lat[:, None], lon[:, None], towers[None, :, 1], towers[None, :, 2]
+    )
+    nearest = np.argmin(d2, axis=1)
+    mismatch = sum(
+        1 for r, nz in zip(rows, nearest) if got[r["pid"]] != str(int(nz))
+    )
+    # Voronoi edges are shared boundaries; ray-casting assigns edge
+    # points to exactly one side — tiny disagreement allowed
+    assert mismatch <= len(rows) * 0.005, mismatch
+
+
+def test_pip_join_null_outside(spark):
+    ring = np.array([[139.4, 35.4], [139.6, 35.4], [139.6, 35.6], [139.4, 35.6]])
+    df = spark.createDataFrame(
+        [(1, 35.5, 139.5), (2, 35.9, 139.9)], "pid long, lat double, lon double"
+    )
+    got = {r["pid"]: r["poly_id"] for r in
+           spatial_join.pip_join(df, [("Z", ring)], res=6).collect()}
+    assert got[1] == "Z"
+    assert got[2] is None
+
+
+def test_polygon_index_interior_cells_dominate():
+    towers = synthetic.towers_np(25)
+    polys = list(zip(towers[:, 0].astype(np.int64), synthetic.voronoi_polygons(towers)))
+    idx = spatial_join.PolygonIndex(polys, res=8)
+    st = idx.stats()
+    # at res 8 over 25 Voronoi cells the interior must dominate the
+    # boundary (this is what makes the join cheap at scale)
+    assert st["interior_cells"] > st["boundary_cells"]
+
+
+def test_knn_within_radius_matches_bruteforce(spark, points):
+    pois = synthetic.poi_np(100)
+    got = knn.nearest_site_within(points, pois, radius_m=300.0).collect()
+    lat = np.array([r["lat"] for r in got])
+    lon = np.array([r["lon"] for r in got])
+    d = geo.haversine_np(
+        lat[:, None], lon[:, None], pois[None, :, 1], pois[None, :, 2]
+    )
+    bf_j = np.argmin(d, axis=1)
+    bf_d = d[np.arange(len(got)), bf_j]
+    for i, r in enumerate(got):
+        if bf_d[i] <= 300.0:
+            assert r["site_id"] == int(pois[bf_j[i], 0])
+            assert r["site_dist_m"] == pytest.approx(bf_d[i], rel=1e-9)
+        else:
+            assert r["site_id"] is None
+
+
+def test_assign_tiles_and_rollup(spark, points):
+    tiled = tiling.assign_tiles(points, [10, 12])
+    assert tiled.count() == points.count() * 2
+    base = tiling.tile_stats(points, zoom=12)
+    levels = tiling.pyramid_rollup(base, min_zoom=10)
+    totals = [lv.agg(F.sum("n")).first()[0] for lv in levels]
+    assert len(set(totals)) == 1  # rollup preserves mass
+    zs = [lv.select(F.max("z")).first()[0] for lv in levels]
+    assert zs == [12, 11, 10]
+    # parent tiles are the halved children
+    b = {(r["x"], r["y"]): r["n"] for r in levels[0].collect()}
+    p = {(r["x"], r["y"]): r["n"] for r in levels[1].collect()}
+    for (x, y), n in p.items():
+        kids = sum(
+            b.get((2 * x + dx, 2 * y + dy), 0) for dx in (0, 1) for dy in (0, 1)
+        )
+        assert kids == n
+
+
+def test_multimodal_decode_features(spark):
+    images = synthetic.images_df(spark, 50, partitions=2)
+    feats = multimodal.decode_features(images).collect()
+    assert len(feats) == 50
+    assert all(r["psnr_ok"] for r in feats)
+    assert all(r["qnt4_psnr"] >= 40.0 for r in feats)
+    assert len({r["pixel_phash"] for r in feats}) > 1
+
+
+def test_multimodal_transcode(spark):
+    images = synthetic.images_df(spark, 20, partitions=2)
+    out = multimodal.transcode(images, "qnt4").collect()
+    assert all(r["fmt"] == "qnt4" for r in out)
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    pix = codec.decode(bytes(out[0]["bytes"]))
+    assert pix.ndim == 3
+
+
+def test_pipeline_end_to_end(spark):
+    images = synthetic.images_df(spark, 400, partitions=4)
+    agg = pipeline.run_pipeline(spark, images).collect()
+    assert sum(r["n_images"] for r in agg) == 400
+    assert sum(r["n_psnr_ok"] for r in agg) == 400
+    zones = {r["zone_id"] for r in agg}
+    assert len(zones) > 5  # anchors spread across many Voronoi zones
