@@ -23,8 +23,18 @@ from cdr_analysis_tools_hadoop_spark.functions import geo
 from cdr_analysis_tools_hadoop_spark.operators import (
     frequent_locations as fl,
 )
-from cdr_analysis_tools_hadoop_spark.operators import prepare, statistics, trajectory, zones
+from cdr_analysis_tools_hadoop_spark.operators import (
+    dedup,
+    prepare,
+    statistics,
+    trajectory,
+    zones,
+)
 from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 # ---------------------------------------------------------------------------
 # Shared frame builders (Spark side)
@@ -193,6 +203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return trajectory.od_sum(trajectory.od_edges(sited, home))
 
     q["od_matrix"] = _od
+
+    # --- dedup suite (training-data pipeline; SURVEY.md §2.2 P3 scale path) ---
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     return q
 
 
@@ -328,4 +344,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE origin_zone IS NOT NULL AND dest_zone IS NOT NULL "
         "GROUP BY pdt, origin_zone, dest_zone"
     )
+
+    o["dedup_exact"] = dedup.exact_dedup_oracle()
+    o["dedup_simhash"] = dedup.simhash_oracle()
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
+    o["dedup_minhash_lsh"] = dedup.minhash_lsh_oracle()
     return o

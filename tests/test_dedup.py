@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.functions import texthash as th
+from cdr_analysis_tools_hadoop_spark.operators import dedup
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_shingle_snippet_matches_python(spark):
+    text = "a b c d"
+    row = spark.sql(
+        f"SELECT {th.shingles_sql(th.tokens_sql(repr(text), 'spark'), 2, 'spark')} AS sh"
+    ).collect()[0]
+    assert row.sh == ["a b", "b c", "c d"]
+    one_tok = th.tokens_sql("'a'", "spark")
+    short = spark.sql(
+        f"SELECT {th.shingles_sql(one_tok, 2, 'spark')} AS sh"
+    ).collect()[0]
+    assert short.sh == []
+
+
+def test_exact_dedup_counts_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.text_hash: r for r in dedup.exact_dedup(df).collect()}
+    assert len(out) == 2
+    dup = [r for r in out.values() if r.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keeper_doc_id == 1
+
+
+def test_simhash_is_deterministic_int(docs):
+    rows = dedup.simhash_signatures(docs.limit(20)).collect()
+    assert all(0 <= r.simhash < (1 << th.SIMHASH_BITS) for r in rows)
+    rows2 = dedup.simhash_signatures(docs.limit(20)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_lsh_pairs_have_valid_jaccard(docs):
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert dedup.LSH_VERIFY_THRESHOLD <= p.jaccard <= 1.0
+
+
+def test_lsh_candidates_subset_of_true_pairs(docs):
+    """Every LSH-verified pair must also appear in the exact n-gram
+    jaccard join at the same threshold (LSH only prunes candidates)."""
+    lsh = {
+        (p.doc_a, p.doc_b)
+        for p in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    exact = {
+        (p.doc_a, p.doc_b)
+        for p in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert lsh <= exact
