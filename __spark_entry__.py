@@ -26,6 +26,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
 from cdr_analysis_tools_hadoop_spark.operators import (
     dedup,
     prepare,
+    similarity,
     statistics,
     trajectory,
     zones,
@@ -35,6 +36,10 @@ from cdr_analysis_tools_hadoop_spark.sources import synthetic
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 # ---------------------------------------------------------------------------
 # Shared frame builders (Spark side)
@@ -209,6 +214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
+
+    # --- similarity search (embeddings; ANN baseline + LSH scale path) ---
+    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d))
+    q["ann_cosine_topk_lsh"] = lambda s, d: similarity.cosine_topk_lsh(_emb(s, d))
+    q["embedding_near_dup"] = lambda s, d: similarity.near_dup_pairs(_emb(s, d))
+    q["knn_label_vote"] = lambda s, d: similarity.knn_label_vote(_emb(s, d))
     return q
 
 
@@ -349,4 +360,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_simhash"] = dedup.simhash_oracle()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_oracle()
+
+    o["ann_cosine_topk"] = similarity.cosine_topk_oracle()
+    o["ann_cosine_topk_lsh"] = similarity.cosine_topk_lsh_oracle()
+    o["embedding_near_dup"] = similarity.near_dup_oracle()
+    o["knn_label_vote"] = similarity.knn_label_vote_oracle()
     return o

@@ -1,0 +1,195 @@
+"""Similarity search over the ``embeddings`` table.
+
+Operators (each with a DuckDB oracle twin; functions/vec.py guarantees
+bit-identical cosine values across engines):
+
+- brute-force cosine top-k (the correctness baseline),
+- LSH-bucketed top-k (sign-hyperplane buckets — the scale path: the
+  crossJoin is replaced by an equi-join on the 8-bit bucket id),
+- cosine near-duplicate pair join,
+- kNN label vote (majority label of the top-k — similarity search as
+  a classifier, the typical training-data-curation use).
+
+Scale notes (100 TB): brute-force is O(Q·N) with the query side
+broadcast — right for small Q, any N (one scan, no shuffle of the
+corpus). The LSH variant buckets BOTH sides, turning search into a
+shuffle-on-bucket equi-join: linear scan + local joins, the shape
+that survives 1000 executors; recall is tunable via NUM_PLANES.
+All arithmetic is JVM-side whole-stage-codegen (unrolled expressions,
+no Python, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.functions import vec
+
+TOP_K = 5
+N_QUERIES = 10
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the corpus side of a cartesian/broadcast join has at
+    least one partition per core — a small parquet file reads as a
+    single partition, which would serialize the whole scoring loop."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _with_norm(emb: DataFrame, prefix: str = "") -> DataFrame:
+    cols = [
+        F.col("vec_id").alias(f"{prefix}vec_id"),
+        F.col("embedding").alias(f"{prefix}embedding"),
+        F.expr(vec.norm2_sql("embedding", "spark")).alias(f"{prefix}norm2"),
+    ]
+    if prefix == "":
+        cols.append(F.col("label"))
+    return emb.select(*cols)
+
+
+def _cosine_col(qcol: str, ccol: str, qn: str, cn: str) -> F.Column:
+    return F.round(
+        F.expr(vec.cosine_sql(qcol, ccol, qn, cn, "spark")), 6
+    ).alias("cosine")
+
+
+def _topk_pairs(emb: DataFrame, k: int, n_queries: int, bucketed: bool) -> DataFrame:
+    """Shared top-k skeleton; candidate generation is either a
+    broadcast crossJoin (exact) or a bucket equi-join (LSH)."""
+    cand = _with_norm(_spread(emb))
+    queries = _with_norm(emb.filter(F.col("vec_id") < n_queries), "q_")
+    if bucketed:
+        sig = vec.lsh_sig_sql("embedding", "spark")
+        qsig = vec.lsh_sig_sql("q_embedding", "spark")
+        joined = queries.withColumn("bucket", F.expr(qsig)).join(
+            cand.withColumn("bucket", F.expr(sig)), "bucket"
+        )
+    else:
+        joined = F.broadcast(queries).crossJoin(cand)
+    scored = joined.filter(F.col("vec_id") != F.col("q_vec_id")).select(
+        F.col("q_vec_id").alias("query_id"),
+        "vec_id",
+        "label",
+        _cosine_col("q_embedding", "embedding", "q_norm2", "norm2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """Brute-force cosine top-k for the first ``n_queries`` vectors."""
+    return _topk_pairs(emb, k, n_queries, bucketed=False)
+
+
+def cosine_topk_lsh(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """LSH-bucketed top-k: candidates share the 8-bit sign-hyperplane
+    bucket. Lossy by design; both engines apply the identical filter."""
+    return _topk_pairs(emb, k, n_queries, bucketed=True)
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """All vector pairs with cosine >= threshold (embedding near-dup)."""
+    a = _with_norm(_spread(emb), "q_")
+    b = _with_norm(emb).drop("label")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("q_vec_id") < F.col("vec_id"))
+        .select(
+            F.col("q_vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            _cosine_col("q_embedding", "embedding", "q_norm2", "norm2"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def knn_label_vote(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """Majority label among the top-k neighbours of each query
+    (ties broken by smaller label)."""
+    topk = _topk_pairs(emb, k, n_queries, bucketed=False)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _oracle_ctes(view: str, n_queries: int, bucketed: bool) -> str:
+    n2 = vec.norm2_sql("embedding", "duckdb")
+    sig = f", {vec.lsh_sig_sql('embedding', 'duckdb')} AS bucket" if bucketed else ""
+    base = (
+        f"v AS (SELECT vec_id, embedding, label, {n2} AS norm2{sig} FROM {view}), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+        f"norm2 AS q_norm2{', bucket' if bucketed else ''} "
+        f"FROM v WHERE vec_id < {n_queries})"
+    )
+    join = "q JOIN v ON q.bucket = v.bucket" if bucketed else "q CROSS JOIN v"
+    cos = vec.cosine_sql("q_embedding", "embedding", "q_norm2", "norm2", "duckdb")
+    scored = (
+        f"scored AS (SELECT query_id, vec_id, label, round({cos}, 6) AS cosine "
+        f"FROM {join} WHERE vec_id != query_id)"
+    )
+    return f"WITH {base}, {scored}"
+
+
+def _topk_oracle(view: str, k: int, n_queries: int, bucketed: bool) -> str:
+    return (
+        _oracle_ctes(view, n_queries, bucketed)
+        + ", ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM scored) "
+        f"SELECT * FROM ranked WHERE rank <= {k}"
+    )
+
+
+def cosine_topk_oracle(view: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return _topk_oracle(view, k, n_queries, bucketed=False)
+
+
+def cosine_topk_lsh_oracle(view: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return _topk_oracle(view, k, n_queries, bucketed=True)
+
+
+def near_dup_oracle(view: str = "embeddings", threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    n2 = vec.norm2_sql("embedding", "duckdb")
+    cos = vec.cosine_sql("a.embedding", "b.embedding", "a.norm2", "b.norm2", "duckdb")
+    return (
+        f"WITH v AS (SELECT vec_id, embedding, {n2} AS norm2 FROM {view}) "
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        f"WHERE round({cos}, 6) >= {threshold}"
+    )
+
+
+def knn_label_vote_oracle(view: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return (
+        _oracle_ctes(view, n_queries, bucketed=False)
+        + ", ranked AS (SELECT query_id, vec_id, label, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM scored), "
+        f"votes AS (SELECT query_id, label, count(*) AS votes FROM ranked "
+        f"WHERE rank <= {k} GROUP BY 1, 2) "
+        "SELECT query_id, label AS predicted_label, votes FROM ("
+        "SELECT votes.*, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY votes DESC, label) AS rn FROM votes) WHERE rn = 1"
+    )

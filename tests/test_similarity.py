@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdr_analysis_tools_hadoop_spark.functions import vec
+from cdr_analysis_tools_hadoop_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def np_vectors(emb):
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def test_topk_matches_numpy_bruteforce(emb, np_vectors):
+    ids, V = np_vectors
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    got = similarity.cosine_topk(emb, k=5, n_queries=5).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for q, neigh in by_query.items():
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-C[qi])
+        expected = [int(ids[j]) for j in order if ids[j] != q][:5]
+        assert [v for _, v, _ in sorted(neigh)] == expected
+        for _, v, cos in neigh:
+            vi = int(np.where(ids == v)[0][0])
+            assert abs(cos - C[qi, vi]) < 1e-5
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(emb):
+    """LSH only PRUNES: every (query, neighbour) it returns must have a
+    cosine equal to the brute-force cosine for that pair."""
+    brute = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.cosine_topk(emb, k=500, n_queries=5).collect()
+    }
+    for r in similarity.cosine_topk_lsh(emb, k=5, n_queries=5).collect():
+        assert brute[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_same_bucket_for_identical_vectors(spark):
+    sig = vec.lsh_sig_sql("embedding", "spark", dim=4)
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 3.0]), (2, [1.0, -2.0, 0.5, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.selectExpr(f"{sig} AS bucket").collect()
+    assert out[0].bucket == out[1].bucket
+
+
+def test_knn_label_vote_one_row_per_query(emb):
+    rows = similarity.knn_label_vote(emb, k=5, n_queries=8).collect()
+    assert len(rows) == 8
+    assert all(1 <= r.votes <= 5 for r in rows)
