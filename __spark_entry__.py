@@ -28,6 +28,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     prepare,
     similarity,
     statistics,
+    textops,
     trajectory,
     zones,
 )
@@ -220,6 +221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk_lsh"] = lambda s, d: similarity.cosine_topk_lsh(_emb(s, d))
     q["embedding_near_dup"] = lambda s, d: similarity.near_dup_pairs(_emb(s, d))
     q["knn_label_vote"] = lambda s, d: similarity.knn_label_vote(_emb(s, d))
+
+    # --- text analysis (documents; axes-B training-data ops) ---
+    q["text_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d))
+    q["text_quality"] = lambda s, d: textops.quality_scores(_docs(s, d))
+    q["text_language_id"] = lambda s, d: textops.language_id(_docs(s, d))
+    q["text_fingerprints"] = lambda s, d: textops.fingerprints(_docs(s, d))
     return q
 
 
@@ -365,4 +372,9 @@ def oracle_sql() -> dict[str, str]:
     o["ann_cosine_topk_lsh"] = similarity.cosine_topk_lsh_oracle()
     o["embedding_near_dup"] = similarity.near_dup_oracle()
     o["knn_label_vote"] = similarity.knn_label_vote_oracle()
+
+    o["text_token_stats"] = textops.token_stats_oracle()
+    o["text_quality"] = textops.quality_scores_oracle()
+    o["text_language_id"] = textops.language_id_oracle()
+    o["text_fingerprints"] = textops.fingerprints_oracle()
     return o

@@ -1,0 +1,215 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline text ops, each with a DuckDB oracle twin:
+
+- token / char statistics (whitespace + regex token counting),
+- quality scoring (length, type-token ratio, stopword ratio),
+- language ID by additive hash-profile scoring (a word-unigram model
+  whose per-(lang, token) weight is a deterministic hash — the same
+  argmax-over-profiles shape as a real n-gram language identifier,
+  with a profile both engines can derive without shipping data),
+- k-min fingerprint sketch (the winnowing-style document signature:
+  the k smallest shingle hashes identify near-identical documents).
+
+All string work is JVM-side built-ins (split, regexp, md5) — no
+Python in the hot path. GroupBys key on doc_id (unique), so the only
+shuffles are the per-doc aggregations; at 100 TB these are map-side
+partial aggregates with no skew (doc_id is unique by construction).
+
+Reference parity: the reference has no text operators at all — its
+payload columns are opaque strings (SURVEY.md §1.2). These are the
+axes-B additions the graft requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.functions import texthash as th
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+LANGS = ("en", "es", "zh", "fr", "de")
+WORD_RE = "[a-z]+|[0-9]+"
+FINGERPRINT_K = 4
+
+
+# ---------------------------------------------------------------------------
+# 1. token stats
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts: whitespace tokens, regex word
+    tokens (BPE-ish pre-tokenizer), char length, mean token length."""
+    tok = th.tokens_sql("text", "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({tok})").alias("n_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{WORD_RE}', 0))").alias(
+            "n_words"
+        ),
+        F.length("text").alias("len_chars"),
+        F.round(
+            F.length(F.expr("replace(text, ' ', '')"))
+            / F.expr(f"size({tok})"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def token_stats_oracle(view: str = "documents") -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    return (
+        f"SELECT doc_id, len({tok}) AS n_tokens, "
+        f"len(regexp_extract_all(text, '{WORD_RE}')) AS n_words, "
+        "length(text) AS len_chars, "
+        f"round(length(replace(text, ' ', '')) / len({tok}), 6) AS avg_token_len "
+        f"FROM {view}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. quality scoring
+
+
+def _quality_exprs(dialect: str) -> dict[str, str]:
+    tok = th.tokens_sql("text", dialect)
+    size = "size" if dialect == "spark" else "len"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    if dialect == "spark":
+        stop_cnt = (
+            f"size(filter({tok}, t -> t IN ({stop_list})))"
+        )
+        distinct_cnt = f"size(array_distinct({tok}))"
+    else:
+        stop_cnt = (
+            f"len(list_filter({tok}, t -> t IN ({stop_list})))"
+        )
+        distinct_cnt = f"len(list_distinct({tok}))"
+    n = f"{size}({tok})"
+    return {
+        "n_tokens": n,
+        "stopword_ratio": f"round(({stop_cnt}) / ({n}), 6)",
+        "type_token_ratio": f"round(({distinct_cnt}) / ({n}), 6)",
+    }
+
+
+# Integer milli-score: floor() of IEEE-deterministic inputs is
+# bit-safe across engines, whereas round() of a product can land on a
+# decimal tie that Spark (string-based HALF_UP) and DuckDB (binary
+# half-away) resolve differently.
+_QUALITY_SCORE = (
+    "cast((case when n_tokens >= 20 and n_tokens <= 1000 then 400 else 0 end)"
+    " + (case when stopword_ratio >= 0.05 then 300 else 0 end)"
+    " + floor(type_token_ratio * 300) as bigint)"
+)
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality milli-score in [0, 1000]: length band +
+    stopword presence + lexical diversity (the Gopher-rules shape)."""
+    e = _quality_exprs("spark")
+    base = docs.select(
+        "doc_id",
+        F.expr(e["n_tokens"]).alias("n_tokens"),
+        F.expr(e["stopword_ratio"]).alias("stopword_ratio"),
+        F.expr(e["type_token_ratio"]).alias("type_token_ratio"),
+    )
+    return base.withColumn("quality_millis", F.expr(_QUALITY_SCORE))
+
+
+def quality_scores_oracle(view: str = "documents") -> str:
+    e = _quality_exprs("duckdb")
+    return (
+        f"SELECT *, {_QUALITY_SCORE} AS quality_millis FROM ("
+        f"SELECT doc_id, {e['n_tokens']} AS n_tokens, "
+        f"{e['stopword_ratio']} AS stopword_ratio, "
+        f"{e['type_token_ratio']} AS type_token_ratio FROM {view})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. language ID
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """argmax over language profiles of the summed per-token weight.
+
+    The per-(lang, token) weight is ``md5int(lang || '|' || token) %
+    1000`` — a frozen pseudo-profile that exercises the exact
+    score-and-argmax plan of a real unigram language identifier
+    without shipping model data. Tokens vote with multiplicity."""
+    langs = docs.sparkSession.createDataFrame(
+        [(lang,) for lang in LANGS], "lang_cand string"
+    )
+    tok = th.tokens_sql("text", "spark")
+    toks = docs.select("doc_id", F.explode(F.expr(tok)).alias("token"))
+    w = th.md5_int_sql("concat(lang_cand, '|', token)", "spark")
+    scored = (
+        toks.crossJoin(F.broadcast(langs))
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.sum(F.expr(f"({w}) % 1000")).alias("score"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("lang_cand")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_cand").alias("predicted_lang"), "score")
+    )
+
+
+def language_id_oracle(view: str = "documents") -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    w = th.md5_int_sql("concat(lang_cand, '|', token)", "duckdb")
+    lang_values = ", ".join(f"('{lang}')" for lang in LANGS)
+    return (
+        f"WITH langs(lang_cand) AS (VALUES {lang_values}), "
+        f"toks AS (SELECT doc_id, unnest({tok}) AS token FROM {view}), "
+        f"scored AS (SELECT doc_id, lang_cand, sum(({w}) % 1000) AS score "
+        "FROM toks CROSS JOIN langs GROUP BY 1, 2) "
+        "SELECT doc_id, lang_cand AS predicted_lang, score FROM ("
+        "SELECT scored.*, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, lang_cand) AS rn FROM scored) WHERE rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. k-min fingerprint sketch
+
+
+def fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
+    """k smallest distinct shingle hashes per document — a compact
+    winnowing-style signature; sharing any fingerprint row flags two
+    documents as near-identical candidates."""
+    tok = th.tokens_sql("text", "spark")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(th.shingles_sql(tok, 2, "spark"))
+            ).alias("s"),
+        )
+        .select("doc_id", F.expr(th.md5_int_sql("s", "spark")).alias("h"))
+        .distinct()
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.asc("h"))
+    return (
+        sh.withColumn("fp_rank", F.row_number().over(win))
+        .filter(F.col("fp_rank") <= k)
+        .select("doc_id", "fp_rank", F.col("h").alias("fp_hash"))
+    )
+
+
+def fingerprints_oracle(view: str = "documents", k: int = FINGERPRINT_K) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    h = th.md5_int_sql("s", "duckdb")
+    return (
+        f"WITH sh AS (SELECT DISTINCT doc_id, {h} AS h FROM ("
+        f"SELECT doc_id, unnest({th.shingles_sql(tok, 2, 'duckdb')}) AS s "
+        f"FROM {view})) "
+        "SELECT doc_id, fp_rank, h AS fp_hash FROM ("
+        "SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) "
+        f"AS fp_rank FROM sh) WHERE fp_rank <= {k}"
+    )
