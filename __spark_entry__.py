@@ -25,6 +25,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
 )
 from cdr_analysis_tools_hadoop_spark.operators import (
     dedup,
+    interpolation,
     prepare,
     similarity,
     statistics,
@@ -41,6 +42,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI layer for reallocation: the tower sites (poi_id, plat, plon)."""
+    return synthetic.towers_df(spark, sf_dir).select(
+        F.col("zone_id").alias("poi_id"),
+        F.col("tlat").alias("plat"),
+        F.col("tlon").alias("plon"),
+    )
 
 # ---------------------------------------------------------------------------
 # Shared frame builders (Spark side)
@@ -227,6 +237,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: textops.quality_scores(_docs(s, d))
     q["text_language_id"] = lambda s, d: textops.language_id(_docs(s, d))
     q["text_fingerprints"] = lambda s, d: textops.fingerprints(_docs(s, d))
+
+    # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
+    q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
+    q["poi_reallocation"] = lambda s, d: interpolation.poi_reallocation(
+        interpolation.stay_points(_cdr(s, d)), _pois(s, d)
+    )
+    q["route_interpolation"] = lambda s, d: interpolation.route_interpolation(_cdr(s, d))
+    q["trip_segments"] = lambda s, d: interpolation.trip_segments_format(_cdr(s, d))
+    q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
+        interpolation.trip_segments_format(_cdr(s, d))
+    )
     return q
 
 
@@ -377,4 +398,18 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality"] = textops.quality_scores_oracle()
     o["text_language_id"] = textops.language_id_oracle()
     o["text_fingerprints"] = textops.fingerprints_oracle()
+
+    sited_cte = _with(
+        _CDR_CTE,
+        "sited AS (SELECT uid, call_time, event_id, lat, lon FROM cdr)",
+    )
+    o["stay_points"] = interpolation.stay_points_oracle(sited_cte)
+    o["poi_reallocation"] = interpolation.poi_reallocation_oracle(
+        o["stay_points"],
+        f"pois AS (SELECT zone_id AS poi_id, tlat AS plat, tlon AS plon "
+        f"FROM ({synthetic.TOWERS_ORACLE_SQL}))",
+    )
+    o["route_interpolation"] = interpolation.route_interpolation_oracle(sited_cte)
+    # trip_segments / trip_24h_padding: string-codec trip format —
+    # rows-only check by design (no oracle entry).
     return o
