@@ -1,0 +1,143 @@
+"""Per-partition checkpoint manifest: resumable partitioned writes
+with lineage + throughput metrics.
+
+North-rule requirement (BASELINE.json): "resumable from checkpoint
+with per-partition lineage + metrics" — a killed job must resume
+without recomputing completed partitions. The reference's analogue is
+manual day-partition incrementality via INSERT OVERWRITE on `pdt`
+(reference queries/cdr_and_mapping/insert_consolidate_cdr.sql:1-3 +
+Common/hive_create_tables.py:261-289, rerun per day by the operator).
+
+Design (Iceberg-commit-style, file-based):
+
+- The manifest is a JSON-lines file next to the output
+  (``<path>/_manifest.jsonl``); one record per committed partition:
+  partition value, row count, wall seconds, rows/sec, input lineage
+  fingerprint, Spark application id.
+- ``write_partitioned`` diffs requested partitions against committed
+  ones and writes ONLY the missing set — as one dynamic-overwrite job
+  (not a job per partition), so a resume of a 5000-partition run with
+  4990 committed does one scan filtered to 10 partitions. Partition
+  pruning pushes the IN-filter to the reader when the input is
+  already partitioned on the key.
+- Dynamic partition overwrite (spark.sql.sources.partitionOverwriteMode
+  = dynamic, set in session.py) makes the per-partition write atomic
+  at the directory level: a partition directory is replaced only when
+  its task set commits, so a kill mid-job leaves committed partitions
+  intact and the manifest is appended only after the write action
+  returns.
+- Lineage: the fingerprint is a hash of the input's file listing
+  (``df.inputFiles()``); a resume against CHANGED inputs is refused
+  unless ``allow_lineage_change=True`` — silently mixing old and new
+  source data is the failure mode this catches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest.jsonl"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST_NAME)
+
+
+def read_manifest(path: str) -> list[dict]:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return []
+    with open(mp) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def committed_partitions(path: str) -> set[str]:
+    return {m["partition"] for m in read_manifest(path) if m.get("status") == "committed"}
+
+
+def lineage_fingerprint(df: DataFrame) -> str:
+    files = sorted(df.inputFiles())
+    h = hashlib.sha256()
+    for fpath in files:
+        h.update(fpath.encode())
+    return h.hexdigest()[:16]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    allow_lineage_change: bool = False,
+) -> dict:
+    """Resumable partitioned parquet write.
+
+    Returns a summary dict: partitions written/skipped, rows, seconds.
+    Call again after a failure — committed partitions are skipped.
+    """
+    lineage = lineage_fingerprint(df)
+    manifest = read_manifest(path)
+    done = {m["partition"] for m in manifest if m.get("status") == "committed"}
+    prior_lineages = {m["lineage"] for m in manifest if "lineage" in m}
+    if done and prior_lineages and lineage not in prior_lineages:
+        if not allow_lineage_change:
+            raise ValueError(
+                f"input lineage changed ({lineage} not in {prior_lineages}); "
+                "pass allow_lineage_change=True to mix, or clear the manifest"
+            )
+
+    part_str = F.col(partition_col).cast("string")
+    all_parts = {
+        r["p"] for r in df.select(part_str.alias("p")).distinct().collect()
+    }
+    todo = sorted(all_parts - done)
+    summary = {
+        "written": 0,
+        "skipped": len(all_parts) - len(todo),
+        "rows": 0,
+        "seconds": 0.0,
+        "partitions": todo,
+    }
+    if not todo:
+        return summary
+
+    subset = df.filter(part_str.isin(todo))
+    t0 = time.time()
+    subset.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    elapsed = time.time() - t0
+
+    counts = {
+        r["p"]: r["n"]
+        for r in subset.groupBy(part_str.alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    app_id = df.sparkSession.sparkContext.applicationId
+    total_rows = sum(counts.values())
+    os.makedirs(path, exist_ok=True)
+    with open(_manifest_path(path), "a") as f:
+        for p in todo:
+            rows = counts.get(p, 0)
+            share = elapsed * (rows / total_rows) if total_rows else 0.0
+            f.write(
+                json.dumps(
+                    {
+                        "partition": p,
+                        "status": "committed",
+                        "rows": rows,
+                        "seconds": round(share, 3),
+                        "rows_per_sec": round(rows / share, 1) if share > 0 else 0.0,
+                        "lineage": lineage,
+                        "app_id": app_id,
+                        "committed_at": time.time(),
+                    }
+                )
+                + "\n"
+            )
+    summary.update(written=len(todo), rows=total_rows, seconds=round(elapsed, 3))
+    return summary

@@ -1,0 +1,164 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.operators import prepare, salting
+from cdr_analysis_tools_hadoop_spark.plans import checkpoint
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
+from cdr_analysis_tools_hadoop_spark.streaming import zone_stream
+
+
+@pytest.fixture(scope="module")
+def cdr(spark, sf_dir):
+    return prepare.events_as_cdr(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint manifest
+
+
+def test_checkpoint_write_then_resume_skips(cdr, tmp_path):
+    out = str(tmp_path / "fact")
+    df = cdr.withColumn("pdt", F.to_date("call_time").cast("string"))
+    s1 = checkpoint.write_partitioned(df, out, "pdt")
+    assert s1["written"] > 0 and s1["skipped"] == 0
+    total = sum(m["rows"] for m in checkpoint.read_manifest(out))
+    assert total == df.count()
+
+    s2 = checkpoint.write_partitioned(df, out, "pdt")
+    assert s2["written"] == 0 and s2["skipped"] == s1["written"]
+
+
+def test_checkpoint_resumes_only_missing(cdr, tmp_path, spark):
+    out = str(tmp_path / "fact2")
+    df = cdr.withColumn("pdt", F.to_date("call_time").cast("string"))
+    checkpoint.write_partitioned(df, out, "pdt")
+    # simulate a kill: drop the last manifest line and its partition dir
+    mp = os.path.join(out, checkpoint.MANIFEST_NAME)
+    lines = open(mp).read().strip().split("\n")
+    victim = json.loads(lines[-1])["partition"]
+    open(mp, "w").write("\n".join(lines[:-1]) + "\n")
+    s = checkpoint.write_partitioned(df, out, "pdt")
+    assert s["written"] == 1 and s["partitions"] == [victim]
+    # all partitions readable, full row count intact
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_checkpoint_lineage_guard(cdr, tmp_path):
+    out = str(tmp_path / "fact3")
+    df = cdr.withColumn("pdt", F.to_date("call_time").cast("string"))
+    checkpoint.write_partitioned(df, out, "pdt")
+    mp = os.path.join(out, checkpoint.MANIFEST_NAME)
+    lines = open(mp).read().strip().split("\n")
+    doctored = [
+        json.dumps({**json.loads(ln), "lineage": "deadbeef"}) for ln in lines
+    ]
+    # drop one partition so a resume would actually write
+    victim = json.loads(lines[-1])["partition"]
+    open(mp, "w").write("\n".join(doctored[:-1]) + "\n")
+    with pytest.raises(ValueError, match="lineage"):
+        checkpoint.write_partitioned(df, out, "pdt")
+    s = checkpoint.write_partitioned(df, out, "pdt", allow_lineage_change=True)
+    assert s["written"] == 1 and s["partitions"] == [victim]
+
+
+# ---------------------------------------------------------------------------
+# salting
+
+
+def test_salted_count_matches_plain(cdr):
+    plain = {
+        (r.uid,): r.n
+        for r in cdr.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r.uid,): r["count"]
+        for r in salting.salted_count(cdr, ["uid"], "event_id").collect()
+    }
+    assert plain == salted
+
+
+def test_salted_count_distinct_matches_plain(cdr):
+    day = F.to_date("call_time").alias("pdt")
+    df = cdr.select("uid", day, "event_id")
+    plain = {
+        r.pdt: r.n
+        for r in df.groupBy("pdt").agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    salted = {
+        r.pdt: r.distinct_uid
+        for r in salting.salted_count_distinct(df, ["pdt"], "uid").collect()
+    }
+    assert plain == salted
+
+
+def test_salted_collect_sorted_matches_plain(cdr):
+    small = cdr.filter(F.col("uid") < 5)
+    plain = {
+        r.uid: [tuple(p) for p in r.arr]
+        for r in small.groupBy("uid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("call_time", "event_id"))
+            ).alias("arr")
+        )
+        .collect()
+    }
+    salted = {
+        r.uid: [tuple(p) for p in r.arr]
+        for r in salting.salted_collect_sorted(
+            small, ["uid"], ["call_time", "event_id"], "event_id", buckets=4
+        ).collect()
+    }
+    assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# streaming
+
+
+def test_stream_zone_counts_match_batch(spark, sf_dir, tmp_path):
+    towers = synthetic.towers_df(spark, sf_dir)
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    import shutil
+
+    shutil.copy(src, stream_dir / "part-0.parquet")
+    events_path = str(stream_dir)
+    cdr_like = lambda df: df.select(
+        "event_id",
+        F.col("ts"),
+        F.expr(
+            __import__(
+                "cdr_analysis_tools_hadoop_spark.functions.geo", fromlist=["geo"]
+            ).anchor_lat_sql("event_id")
+        ).alias("lat"),
+        F.expr(
+            __import__(
+                "cdr_analysis_tools_hadoop_spark.functions.geo", fromlist=["geo"]
+            ).anchor_lon_sql("event_id")
+        ).alias("lon"),
+    )
+
+    stream = zone_stream.read_events_stream(spark, events_path, events_path)
+    result = zone_stream.zone_window_counts(
+        cdr_like(stream), towers, ts_col="ts", window="1 day"
+    )
+    zone_stream.run_available_now(result, "zwc", str(tmp_path / "ckpt"))
+    got = {
+        (str(r.window_start), r.zone_id): r.n_events
+        for r in spark.sql("SELECT * FROM zwc").collect()
+    }
+
+    batch = zone_stream.zone_window_counts(
+        cdr_like(spark.read.parquet(events_path)), towers, ts_col="ts", window="1 day"
+    )
+    want = {
+        (str(r.window_start), r.zone_id): r.n_events for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
