@@ -26,6 +26,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
 from cdr_analysis_tools_hadoop_spark.operators import (
     dedup,
     interpolation,
+    multimodal,
     prepare,
     similarity,
     statistics,
@@ -172,6 +173,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    def _tile_pyramid(s, d, zooms=(10, 12, 14)):
+        cdr = _cdr(s, d)
+        parts = []
+        for z in zooms:
+            parts.append(
+                cdr.select(
+                    F.lit(z).alias("zoom"),
+                    F.expr(geo.tile_x_sql("lon", z)).alias("tile_x"),
+                    F.expr(geo.tile_y_sql("lat", z)).alias("tile_y"),
+                )
+                .groupBy("zoom", "tile_x", "tile_y")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out
+
+    q["tile_pyramid_counts"] = _tile_pyramid
+    q["average_daily_unique_sites"] = lambda s, d: (
+        _cdr(s, d)
+        .groupBy(F.to_date("call_time").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.expr(geo.cell_id_sql("lat", "lon", 10))
+            ).alias("n_sites")
+        )
+        .agg(F.round(F.avg("n_sites"), 6).alias("avg_daily_unique_sites"))
+    )
     q["tile_counts_z12"] = lambda s, d: (
         _cdr(s, d)
         .select(
@@ -247,6 +277,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trip_segments"] = lambda s, d: interpolation.trip_segments_format(_cdr(s, d))
     q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
         interpolation.trip_segments_format(_cdr(s, d))
+    )
+
+    # --- multimodal plumbing (binary image columns; rows-only checks:
+    # pixel codecs are not SQL-expressible) ---
+    def _images(s, d="unused", n=500):
+        return synthetic.images_df(s, n, partitions=8)
+
+    q["image_decode_features"] = lambda s, d: multimodal.decode_features(_images(s))
+    q["image_transcode_qnt4"] = lambda s, d: (
+        multimodal.transcode(_images(s), "qnt4").select(
+            "image_id", "fmt", F.length("bytes").alias("blob_bytes")
+        )
     )
     return q
 
@@ -346,6 +388,19 @@ def oracle_sql() -> dict[str, str]:
     o["cell_counts_res8"] = (
         f"{base} SELECT {geo.cell_id_sql('lat', 'lon', 8)} AS cell_id, "
         "count(*) AS n_events FROM cdr GROUP BY cell_id"
+    )
+    pyramid_parts = " UNION ALL ".join(
+        f"SELECT {z} AS zoom, {geo.tile_x_sql('lon', z)} AS tile_x, "
+        f"{geo.tile_y_sql('lat', z)} AS tile_y, count(*) AS n_events "
+        "FROM cdr GROUP BY 1, 2, 3"
+        for z in (10, 12, 14)
+    )
+    o["tile_pyramid_counts"] = f"{base} {pyramid_parts}"
+    o["average_daily_unique_sites"] = (
+        f"{base} SELECT round(avg(n_sites), 6) AS avg_daily_unique_sites FROM ("
+        "SELECT CAST(call_time AS DATE) AS day, "
+        f"count(DISTINCT {geo.cell_id_sql('lat', 'lon', 10)}) AS n_sites "
+        "FROM cdr GROUP BY day)"
     )
     o["tile_counts_z12"] = (
         f"{base} SELECT {geo.tile_x_sql('lon', 12)} AS tile_x, "

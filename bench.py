@@ -61,7 +61,12 @@ def main() -> None:
 
     # --- flagship image pipeline (BASELINE metric: images/sec) ---
     images = spark.read.parquet(img_path)
-    pipeline.run_pipeline(spark, images.limit(2000)).count()  # warm-up
+    # FULL warm-up run: every Python worker must exist and have numpy
+    # imported before timing starts (a limit() warm-up touches only a
+    # few partitions and leaves most workers to spawn mid-measurement,
+    # which shows up as a fixed ~25 s overhead that wrecks the N vs 4N
+    # efficiency comparison).
+    pipeline.run_pipeline(spark, images).count()
     runs = []
     for _ in range(repeats):
         t0 = time.time()

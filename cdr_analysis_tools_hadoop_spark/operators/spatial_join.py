@@ -128,6 +128,48 @@ class PolygonIndex:
                 cell = geo.xy_to_cell(res, ix0 + int(ix_rel), iy0 + int(iy_rel))
                 boundary.setdefault(cell, []).append(idx)
         self.boundary = {c: np.array(v, dtype=np.int64) for c, v in boundary.items()}
+        # Vectorized lookup tables (sorted keys + searchsorted) — the
+        # kernel must not do per-unique-cell Python dict lookups.
+        self.int_keys = np.fromiter(self.interior.keys(), dtype=np.int64)
+        order = np.argsort(self.int_keys)
+        self.int_keys = self.int_keys[order]
+        self.int_vals = np.fromiter(self.interior.values(), dtype=np.int64)[order]
+        # <=64 polygons: candidate sets as one uint64 bitmask per cell,
+        # enabling a per-POLYGON (not per-cell) refinement loop in the
+        # kernel — 25 vectorized ray-casts per batch instead of one
+        # Python iteration per boundary cell present.
+        self.bnd_keys: np.ndarray | None = None
+        self.bnd_masks: np.ndarray | None = None
+        if len(self.rings) <= 64 and self.boundary:
+            self.bnd_keys = np.fromiter(self.boundary.keys(), dtype=np.int64)
+            order = np.argsort(self.bnd_keys)
+            self.bnd_keys = self.bnd_keys[order]
+            self.bnd_masks = np.array(
+                [
+                    int(np.bitwise_or.reduce(1 << v.astype(np.uint64)))
+                    for v in self.boundary.values()
+                ],
+                dtype=np.uint64,
+            )[order]
+
+    def lookup_interior(self, cells: np.ndarray) -> np.ndarray:
+        """Vectorized cell -> interior polygon idx (-1 if not interior)."""
+        if len(self.int_keys) == 0:
+            return np.full(len(cells), -1, dtype=np.int64)
+        pos = np.clip(
+            np.searchsorted(self.int_keys, cells), 0, len(self.int_keys) - 1
+        )
+        return np.where(
+            self.int_keys[pos] == cells, self.int_vals[pos], -1
+        ).astype(np.int64)
+
+    def lookup_boundary_mask(self, cells: np.ndarray) -> np.ndarray:
+        """Vectorized cell -> candidate bitmask (0 if not boundary)."""
+        pos = np.searchsorted(self.bnd_keys, cells)
+        pos = np.clip(pos, 0, len(self.bnd_keys) - 1)
+        return np.where(
+            self.bnd_keys[pos] == cells, self.bnd_masks[pos], np.uint64(0)
+        )
 
     def stats(self) -> dict:
         return {
@@ -166,32 +208,44 @@ def pip_join(
             cells = pdf["__cell"].to_numpy(dtype=np.int64)
             lat = pdf[lat_col].to_numpy(dtype=np.float64)
             lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            # interior fast path: dict lookups on unique cells only
+            # interior fast path: one searchsorted over unique cells
             uniq, inv = np.unique(cells, return_inverse=True)
-            interior_of = np.array(
-                [idx.interior.get(int(c), -1) for c in uniq], dtype=np.int64
-            )
-            out = interior_of[inv]
-            # boundary refinement: rows grouped per unique cell by a
-            # single argsort (NOT an O(n) scan per cell)
-            bound_ci = [
-                ci for ci, c in enumerate(uniq) if int(c) in idx.boundary
-            ]
-            if bound_ci:
-                order = np.argsort(inv, kind="stable")
-                starts = np.searchsorted(inv[order], np.arange(len(uniq)))
-                ends = np.append(starts[1:], len(inv))
-                for ci in bound_ci:
-                    rows = order[starts[ci]:ends[ci]]
-                    undecided = rows[out[rows] == -1]
-                    for pidx in idx.boundary[int(uniq[ci])]:
-                        if len(undecided) == 0:
-                            break
-                        hit = geo.point_in_polygon_np(
-                            lat[undecided], lon[undecided], idx.rings[pidx]
-                        )
-                        out[undecided[hit]] = pidx
-                        undecided = undecided[~hit]
+            out = idx.lookup_interior(uniq)[inv]
+            if idx.bnd_keys is not None:
+                # per-POLYGON loop: one vectorized ray cast per polygon
+                # over all rows whose cell lists it as a candidate
+                cand = idx.lookup_boundary_mask(uniq)[inv]
+                for pidx in range(len(idx.rings)):
+                    sel = np.flatnonzero(
+                        (out == -1) & ((cand >> np.uint64(pidx)) & np.uint64(1) == 1)
+                    )
+                    if len(sel) == 0:
+                        continue
+                    hit = geo.point_in_polygon_np(
+                        lat[sel], lon[sel], idx.rings[pidx]
+                    )
+                    out[sel[hit]] = pidx
+            else:
+                # many-polygon path: rows grouped per unique cell by a
+                # single argsort (NOT an O(n) scan per cell)
+                bound_ci = [
+                    ci for ci, c in enumerate(uniq) if int(c) in idx.boundary
+                ]
+                if bound_ci:
+                    order = np.argsort(inv, kind="stable")
+                    starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+                    ends = np.append(starts[1:], len(inv))
+                    for ci in bound_ci:
+                        rows = order[starts[ci]:ends[ci]]
+                        undecided = rows[out[rows] == -1]
+                        for pidx in idx.boundary[int(uniq[ci])]:
+                            if len(undecided) == 0:
+                                break
+                            hit = geo.point_in_polygon_np(
+                                lat[undecided], lon[undecided], idx.rings[pidx]
+                            )
+                            out[undecided[hit]] = pidx
+                            undecided = undecided[~hit]
             res_pdf = pdf.copy()
             res_pdf["__pidx"] = out
             yield res_pdf

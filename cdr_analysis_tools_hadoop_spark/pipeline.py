@@ -48,9 +48,15 @@ def decode_validate(images: DataFrame) -> DataFrame:
     )
 
     def kernel(batches):
-        lw = np.array([0.299, 0.587, 0.114])
+        lw32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
         # PSNR >= 40 dB  <=>  MSE <= 255^2 * 10^-4
         mse_gate = 255.0**2 * 1e-4
+        # qnt4 round-trip error is (pix & 3) - 2 per sample, so the
+        # squared error is a 4-entry lookup — no wide-dtype temporary.
+        # (This sandbox's kernel makes first-touch page faults on large
+        # fresh allocations ~100x normal cost; float64 stacks per batch
+        # were the whole pipeline bottleneck.)
+        sqerr_lut = np.array([4, 1, 0, 1], dtype=np.uint8)
         for pdf in batches:
             n = len(pdf)
             ml = np.empty(n)
@@ -62,12 +68,10 @@ def decode_validate(images: DataFrame) -> DataFrame:
             for s in np.unique(shapes):
                 idxs = np.nonzero(shapes == s)[0]
                 stack = np.stack([pix_list[i] for i in idxs])
-                fstack = stack.astype(np.float64)
-                ml[idxs] = (fstack @ lw).mean(axis=(1, 2))
-                # qnt4 round-trip == direct 2-bit quantization (the
-                # zlib leg is lossless and skipped here)
-                quant = ((stack >> 2) << 2) | 2
-                mse = ((fstack - quant) ** 2).mean(axis=(1, 2, 3))
+                # luma in f32, mean accumulated in f64 (no f64 array)
+                luma = np.tensordot(stack.astype(np.float32), lw32, axes=([3], [0]))
+                ml[idxs] = luma.mean(axis=(1, 2), dtype=np.float64)
+                mse = sqerr_lut[stack & 3].mean(axis=(1, 2, 3), dtype=np.float64)
                 ok[idxs] = mse <= mse_gate
             yield pd.DataFrame(
                 {
