@@ -42,31 +42,39 @@ HEADLINE = [
 def ensure_images(spark, n: int, path: str) -> None:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    parts = max(32, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    synthetic.images_df(spark, n, partitions=parts).write.mode("overwrite").parquet(path)
+    # 256 files regardless of level: both levels read identical input,
+    # and 8 task-waves at 32 cores keeps stragglers from dominating
+    # the N vs 4N efficiency comparison. Uncompressed parquet: the
+    # blobs are already zlib streams, so a parquet codec would burn
+    # scan CPU for ~0 ratio.
+    synthetic.images_df(spark, n, partitions=256).write.mode("overwrite").option(
+        "compression", "none"
+    ).parquet(path)
+
+
+IMAGES_LAYOUT = "v2"  # bump when file count / codec / content changes
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "60000"))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "480000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = build_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    img_path = f"/tmp/spark_graft_bench/images_{n_images}"
+    img_path = f"/tmp/spark_graft_bench/images_{IMAGES_LAYOUT}_{n_images}"
     ensure_images(spark, n_images, img_path)
 
     # --- flagship image pipeline (BASELINE metric: images/sec) ---
     images = spark.read.parquet(img_path)
-    # FULL warm-up run: every Python worker must exist and have numpy
-    # imported before timing starts (a limit() warm-up touches only a
-    # few partitions and leaves most workers to spawn mid-measurement,
-    # which shows up as a fixed ~25 s overhead that wrecks the N vs 4N
-    # efficiency comparison).
-    pipeline.run_pipeline(spark, images).count()
+    # TWO full warm-up runs: worker spawn + JIT + first-touch pages
+    # take ~2 runs to reach steady state on this sandbox; a cold or
+    # half-warm level wrecks the N vs 4N efficiency comparison.
+    for _ in range(2):
+        pipeline.run_pipeline(spark, images).count()
     runs = []
     for _ in range(repeats):
         t0 = time.time()

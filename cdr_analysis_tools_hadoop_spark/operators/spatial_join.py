@@ -180,6 +180,42 @@ class PolygonIndex:
         }
 
 
+def assign_zone_np(idx: PolygonIndex, cells: np.ndarray, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """Vectorized polygon assignment (-1 = none) shared by the
+    pip_join UDF and the fused benchmark kernel: interior cells via
+    one searchsorted, boundary rows via one ray cast per polygon."""
+    uniq, inv = np.unique(cells, return_inverse=True)
+    out = idx.lookup_interior(uniq)[inv]
+    if idx.bnd_keys is not None:
+        cand = idx.lookup_boundary_mask(uniq)[inv]
+        for pidx in range(len(idx.rings)):
+            sel = np.flatnonzero(
+                (out == -1) & ((cand >> np.uint64(pidx)) & np.uint64(1) == 1)
+            )
+            if len(sel) == 0:
+                continue
+            hit = geo.point_in_polygon_np(lat[sel], lon[sel], idx.rings[pidx])
+            out[sel[hit]] = pidx
+    else:
+        bound_ci = [ci for ci, c in enumerate(uniq) if int(c) in idx.boundary]
+        if bound_ci:
+            order = np.argsort(inv, kind="stable")
+            starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+            ends = np.append(starts[1:], len(inv))
+            for ci in bound_ci:
+                rows = order[starts[ci]:ends[ci]]
+                undecided = rows[out[rows] == -1]
+                for pidx in idx.boundary[int(uniq[ci])]:
+                    if len(undecided) == 0:
+                        break
+                    hit = geo.point_in_polygon_np(
+                        lat[undecided], lon[undecided], idx.rings[pidx]
+                    )
+                    out[undecided[hit]] = pidx
+                    undecided = undecided[~hit]
+    return out
+
+
 def pip_join(
     df: DataFrame,
     polys: list[tuple[object, np.ndarray]],
@@ -196,71 +232,41 @@ def pip_join(
     spark = df.sparkSession
     index = PolygonIndex(polys, res)
     bc = spark.sparkContext.broadcast(index)
-    # poly ids travel as their string form and are restored by a join
-    # against the id list to keep the kernel schema simple
     id_strs = [str(p) for p in index.ids]
 
     work = df.withColumn("__cell", F.expr(geo.cell_id_sql(lat_col, lon_col, res)))
 
-    def kernel(batches):
+    # Scalar pandas UDF over ONLY (cell, lat, lon): Spark's
+    # ArrowEvalPython ships just the 3 argument columns (24 B/row) to
+    # the worker and stitches the result back positionally — every
+    # passthrough column (ids, captions, decode stats, ...) stays
+    # JVM-side. The previous mapInPandas variant round-tripped the
+    # WHOLE row through pandas (with a per-batch DataFrame copy) and
+    # was 3x the Python CPU of the decode stage itself.
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def refine(cells_s: pd.Series, lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
         idx: PolygonIndex = bc.value
-        for pdf in batches:
-            cells = pdf["__cell"].to_numpy(dtype=np.int64)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            # interior fast path: one searchsorted over unique cells
-            uniq, inv = np.unique(cells, return_inverse=True)
-            out = idx.lookup_interior(uniq)[inv]
-            if idx.bnd_keys is not None:
-                # per-POLYGON loop: one vectorized ray cast per polygon
-                # over all rows whose cell lists it as a candidate
-                cand = idx.lookup_boundary_mask(uniq)[inv]
-                for pidx in range(len(idx.rings)):
-                    sel = np.flatnonzero(
-                        (out == -1) & ((cand >> np.uint64(pidx)) & np.uint64(1) == 1)
-                    )
-                    if len(sel) == 0:
-                        continue
-                    hit = geo.point_in_polygon_np(
-                        lat[sel], lon[sel], idx.rings[pidx]
-                    )
-                    out[sel[hit]] = pidx
-            else:
-                # many-polygon path: rows grouped per unique cell by a
-                # single argsort (NOT an O(n) scan per cell)
-                bound_ci = [
-                    ci for ci, c in enumerate(uniq) if int(c) in idx.boundary
-                ]
-                if bound_ci:
-                    order = np.argsort(inv, kind="stable")
-                    starts = np.searchsorted(inv[order], np.arange(len(uniq)))
-                    ends = np.append(starts[1:], len(inv))
-                    for ci in bound_ci:
-                        rows = order[starts[ci]:ends[ci]]
-                        undecided = rows[out[rows] == -1]
-                        for pidx in idx.boundary[int(uniq[ci])]:
-                            if len(undecided) == 0:
-                                break
-                            hit = geo.point_in_polygon_np(
-                                lat[undecided], lon[undecided], idx.rings[pidx]
-                            )
-                            out[undecided[hit]] = pidx
-                            undecided = undecided[~hit]
-            res_pdf = pdf.copy()
-            res_pdf["__pidx"] = out
-            yield res_pdf
+        out = assign_zone_np(
+            idx,
+            cells_s.to_numpy(dtype=np.int64),
+            lat_s.to_numpy(dtype=np.float64),
+            lon_s.to_numpy(dtype=np.float64),
+        )
+        return pd.Series(out)
 
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        list(work.schema.fields) + [StructField("__pidx", LongType())]
+    # __pidx -> id string via an array literal (element_at is 1-based;
+    # __pidx = -1 i.e. "no polygon" indexes nothing -> NULL). Pure JVM
+    # expression — no broadcast-join stage for the id restore.
+    ids_arr = F.array(*[F.lit(s) for s in id_strs])
+    refined = work.withColumn(
+        "__pidx", refine(F.col("__cell"), F.col(lat_col), F.col(lon_col))
     )
-    refined = work.mapInPandas(kernel, schema=schema)
-    id_map = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(id_strs)], "__pidx long, __pid string"
-    )
-    return (
-        refined.join(F.broadcast(id_map), "__pidx", "left")
-        .withColumn(out_col, F.col("__pid"))
-        .drop("__pidx", "__pid", "__cell")
-    )
+    return refined.withColumn(
+        out_col,
+        F.when(
+            F.col("__pidx") >= 0,
+            F.element_at(ids_arr, (F.col("__pidx") + F.lit(1)).cast("int")),
+        ),
+    ).drop("__pidx", "__cell")
