@@ -102,62 +102,68 @@ def daily_statistics(cdr: DataFrame, type_col: str = "call_type") -> DataFrame:
     a duration-derived bucket standing in for network_type
     (operators/prepare.py adapter).
 
-    Spark alternative: GROUPING SETS gives one shuffle instead of
-    four scans; used when faithful=False… both produce identical rows,
-    and Catalyst reuses the scan via exchange reuse anyway, so the
-    faithful shape is kept (it is what the oracle mirrors).
+    Spark side: GROUPING SETS — ONE scan and one shuffle instead of
+    four scans (Spark has no DataFrame-level common-subplan reuse, so
+    the literal 4-way union re-scans the fact table four times). The
+    'ALL' fills come from grouping() flags; rows are identical to the
+    union shape, and the trailing .distinct() keeps Q2's UNION
+    DISTINCT letter-exactness (a no-op on disjoint grains).
     """
-    nt = F.col("network_type")
-    ct = F.col(type_col)
-    day = F.to_date("call_time").alias("day")
-
-    def g(keys, fills):
-        out = cdr.groupBy([day] + keys).agg(
+    base = cdr.select(
+        F.to_date("call_time").alias("day"),
+        F.col(type_col).alias("call_type"),
+        F.col("network_type"),
+        "uid",
+    )
+    d, ct, nt = F.col("day"), F.col("call_type"), F.col("network_type")
+    out = (
+        base.groupingSets([[d], [d, ct], [d, nt], [d, ct, nt]], d, ct, nt)
+        .agg(
             F.count(F.lit(1)).alias("total_records"),
             F.countDistinct("uid").alias("total_uids"),
+            F.grouping(ct).alias("__gct"),
+            F.grouping(nt).alias("__gnt"),
         )
-        for name in fills:
-            out = out.withColumn(name, F.lit("ALL"))
-        return out.select("day", "call_type", "network_type", "total_records", "total_uids")
-
-    blocks = [
-        g([], ["call_type", "network_type"]),
-        g([ct.alias("call_type")], ["network_type"]),
-        g([nt.alias("network_type")], ["call_type"]),
-        g([ct.alias("call_type"), nt.alias("network_type")], []),
-    ]
-    out = blocks[0]
-    for b in blocks[1:]:
-        out = out.unionByName(b)
+        .select(
+            "day",
+            F.when(F.col("__gct") == 1, "ALL").otherwise(ct).alias("call_type"),
+            F.when(F.col("__gnt") == 1, "ALL").otherwise(nt).alias("network_type"),
+            "total_records",
+            "total_uids",
+        )
+    )
     return out.distinct().orderBy("day", "call_type", "network_type")
 
 
 def monthly_statistics(cdr: DataFrame) -> DataFrame:
-    """Monthly 4-grain variant (reference monthly_statistics.sql)."""
-    y = F.year("call_time").alias("year")
-    m = F.month("call_time").alias("month")
-    ct = F.col("call_type")
-    nt = F.col("network_type")
-
-    def g(keys, fills):
-        out = cdr.groupBy([y, m] + keys).agg(
+    """Monthly 4-grain variant (reference monthly_statistics.sql);
+    same single-scan GROUPING SETS shape as daily_statistics."""
+    base = cdr.select(
+        F.year("call_time").alias("year"),
+        F.month("call_time").alias("month"),
+        "call_type",
+        "network_type",
+        "uid",
+    )
+    y, m = F.col("year"), F.col("month")
+    ct, nt = F.col("call_type"), F.col("network_type")
+    out = (
+        base.groupingSets([[y, m], [y, m, ct], [y, m, nt], [y, m, ct, nt]], y, m, ct, nt)
+        .agg(
             F.count(F.lit(1)).alias("total_records"),
             F.countDistinct("uid").alias("total_uids"),
+            F.grouping(ct).alias("__gct"),
+            F.grouping(nt).alias("__gnt"),
         )
-        for name in fills:
-            out = out.withColumn(name, F.lit("ALL"))
-        return out.select("year", "month", "call_type", "network_type",
-                          "total_records", "total_uids")
-
-    blocks = [
-        g([], ["call_type", "network_type"]),
-        g([ct], ["network_type"]),
-        g([nt], ["call_type"]),
-        g([ct, nt], []),
-    ]
-    out = blocks[0]
-    for b in blocks[1:]:
-        out = out.unionByName(b)
+        .select(
+            "year",
+            "month",
+            F.when(F.col("__gct") == 1, "ALL").otherwise(ct).alias("call_type"),
+            F.when(F.col("__gnt") == 1, "ALL").otherwise(nt).alias("network_type"),
+            "total_records",
+            "total_uids",
+        )
+    )
     return out.distinct().orderBy("year", "month", "call_type", "network_type")
 
 

@@ -102,45 +102,47 @@ def od_edges(sited: DataFrame, home: DataFrame) -> DataFrame:
         .join(home, "uid", "inner")
     )
 
-    cols = ["uid", "pdt", "origin_site", "dest_site", "origin_zone", "dest_zone", "ts"]
-    # (ii) consecutive site change
-    e_move = df.filter(
-        F.col("prev_site").isNotNull() & (F.col("site") != F.col("prev_site"))
-    ).select(
-        "uid", "pdt",
-        F.col("prev_site").alias("origin_site"),
-        F.col("site").alias("dest_site"),
-        F.col("prev_zone").alias("origin_zone"),
-        F.col("zone_id").alias("dest_zone"),
-        F.col("call_time").alias("ts"),
+    # All three edge rules in ONE pass: per row build an array of the
+    # edges it emits (a last point with a site change emits (ii) AND
+    # (iii)), drop the non-firing nulls, explode. A previous version
+    # unioned three filters of this frame — Spark has no DataFrame-
+    # level common-subplan reuse, so that plan scanned the fact table
+    # and re-ran the windows three times (six scans counting the home
+    # branch); this one scans once per branch.
+    def edge(origin_site, dest_site, origin_zone, dest_zone):
+        return F.struct(
+            origin_site.alias("origin_site"),
+            dest_site.alias("dest_site"),
+            origin_zone.alias("origin_zone"),
+            dest_zone.alias("dest_zone"),
+            F.col("call_time").alias("ts"),
+        )
+
+    c = F.col
+    edges_arr = F.array_compact(
+        F.array(
+            # (i) leave-home edge at the first point
+            F.when(
+                c("prev_site").isNull() & (c("site") != c("home_site")),
+                edge(c("home_site"), c("site"), c("home_zone"), c("zone_id")),
+            ),
+            # (ii) consecutive site change
+            F.when(
+                c("prev_site").isNotNull() & (c("site") != c("prev_site")),
+                edge(c("prev_site"), c("site"), c("prev_zone"), c("zone_id")),
+            ),
+            # (iii) return-home edge at the last point (multi-point only)
+            F.when(
+                c("next_time").isNull()
+                & c("prev_site").isNotNull()
+                & (c("site") != c("home_site")),
+                edge(c("site"), c("home_site"), c("zone_id"), c("home_zone")),
+            ),
+        )
     )
-    # (i) leave-home edge at the first point
-    e_first = df.filter(
-        F.col("prev_site").isNull() & (F.col("site") != F.col("home_site"))
-    ).select(
-        "uid", "pdt",
-        F.col("home_site").alias("origin_site"),
-        F.col("site").alias("dest_site"),
-        F.col("home_zone").alias("origin_zone"),
-        F.col("zone_id").alias("dest_zone"),
-        F.col("call_time").alias("ts"),
-    )
-    # (iii) return-home edge at the last point (multi-point arrays only)
-    e_last = df.filter(
-        F.col("next_time").isNull()
-        & F.col("prev_site").isNotNull()
-        & (F.col("site") != F.col("home_site"))
-    ).select(
-        "uid", "pdt",
-        F.col("site").alias("origin_site"),
-        F.col("home_site").alias("dest_site"),
-        F.col("zone_id").alias("origin_zone"),
-        F.col("home_zone").alias("dest_zone"),
-        F.col("call_time").alias("ts"),
-    )
-    return e_first.select(cols).unionByName(e_move.select(cols)).unionByName(
-        e_last.select(cols)
-    )
+    return df.select(
+        "uid", "pdt", F.explode(edges_arr).alias("e")
+    ).select("uid", "pdt", "e.*")
 
 
 def od_sum(edges: DataFrame) -> DataFrame:
