@@ -465,6 +465,6 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({synthetic.TOWERS_ORACLE_SQL}))",
     )
     o["route_interpolation"] = interpolation.route_interpolation_oracle(sited_cte)
-    # trip_segments / trip_24h_padding: string-codec trip format —
-    # rows-only check by design (no oracle entry).
+    o["trip_segments"] = interpolation.trip_segments_oracle(sited_cte)
+    o["trip_24h_padding"] = interpolation.trip_24h_padding_oracle(o["trip_segments"])
     return o

@@ -24,17 +24,18 @@ Reference parity (SURVEY.md §2.9, run_interpolation.py chain):
 - P8 array-size guards: max 50 interpolation steps per leg
   (sample_configs/config.json:38 ``max_size_interpolation``).
 
-Segmentation / reallocation / routing are pure window + explode
-algebra (SQL-expressible, DuckDB-oracle-checked bit-for-bit); the
-reference's string-encoded trip format ("i|time|lat|lon;...",
-TripSegmentationCDR bytecode) is reproduced by a vectorized
-applyInPandas formatter (rows-only check — the nested string codec
-is not reasonably SQL-expressible).
+Every operator in this chain — including the reference's
+string-encoded trip format ("i|time|lat|lon;...", TripSegmentationCDR
+bytecode) and the 24-h padding — is pure window + aggregate + explode
+algebra, fully codegen'd JVM-side and DuckDB-oracle-checked
+bit-for-bit (the point-list string is
+array_join(transform(array_sort(collect_list(struct)))) mirrored by
+string_agg(... ORDER BY) in the oracle).
 
 Scale notes: every operator partitions by (uid, pdt) — the natural
-shard key; windows and applyInPandas both shuffle once on that key.
-The MAX_TRAJECTORY guard (reference P8) bounds per-key state, so no
-skew salting is needed beyond it.
+shard key — and shuffles once on that key; no Python anywhere in the
+chain. The MAX_TRAJECTORY guard (reference P8) bounds per-key state,
+so no skew salting is needed beyond it.
 """
 
 from __future__ import annotations
@@ -498,3 +499,69 @@ def trip_24h_padding(trips: DataFrame) -> DataFrame:
     return merged.withColumn(
         "trip_seq", (F.row_number().over(wseq) - 1).cast("int")
     ).select([f.name for f in trips.schema.fields])
+
+
+def trip_segments_oracle(sited_cte: str) -> str:
+    """DuckDB twin of trip_segments_format (same window algebra, same
+    formatting snippets); enables a full value-hash check where the
+    old applyInPandas version allowed only a rows-only check."""
+    d2 = _d2_sql("plat", "plon", "lat", "lon")
+    hav = geo.haversine_sql("plat", "plon", "lat", "lon")
+    fmt = (
+        "CASE WHEN regexp_replace(printf('%.4f', sum(step_m)), '0+$', '') LIKE '%.' "
+        "THEN regexp_replace(printf('%.4f', sum(step_m)), '0+$', '') || '0' "
+        "ELSE regexp_replace(printf('%.4f', sum(step_m)), '0+$', '') END"
+    )
+    return (
+        f"{sited_cte}, "
+        "lagged AS (SELECT uid, CAST(CAST(call_time AS DATE) AS VARCHAR) AS pdt, "
+        "call_time, event_id, lat, lon, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon "
+        "FROM sited WINDOW w AS (PARTITION BY uid, CAST(call_time AS DATE) "
+        "ORDER BY call_time, event_id)), "
+        f"brk AS (SELECT *, CASE WHEN plat IS NULL OR {d2} > {geo.dlit(D2_300M)} "
+        "THEN 1 ELSE 0 END AS brk FROM lagged), "
+        "seg AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY uid, pdt "
+        "ORDER BY call_time, event_id) - 1 AS INTEGER) AS trip_seq, "
+        f"CASE WHEN brk = 1 THEN {geo.dlit(0.0)} ELSE {hav} END AS step_m FROM brk), "
+        "idxd AS (SELECT *, CAST(row_number() OVER (PARTITION BY uid, pdt, trip_seq "
+        "ORDER BY call_time, event_id) AS INTEGER) AS idx, "
+        "CAST(floor(epoch(call_time)) AS BIGINT) AS ep FROM seg) "
+        "SELECT uid, pdt, trip_seq, "
+        f"CASE WHEN max(ep) - min(ep) >= {STAY_MIN_S} THEN 'STAY' ELSE 'MOVE' END AS kind, "
+        f"CASE WHEN max(ep) - min(ep) >= {STAY_MIN_S} THEN 'STAY' ELSE 'UNKNOWN' END AS mode, "
+        f"{fmt} AS distance_m, "
+        "max(ep) - min(ep) AS total_time_s, "
+        "strftime(min(call_time), '%H:%M:%S') AS start_hms, "
+        "strftime(max(call_time), '%H:%M:%S') AS end_hms, "
+        "CAST(count(*) AS INTEGER) AS n_points, "
+        "string_agg(printf('%d|%s|%.6f|%.6f', idx, strftime(call_time, '%H:%M:%S'), "
+        "lat, lon), ';' ORDER BY idx) AS points "
+        "FROM idxd GROUP BY uid, pdt, trip_seq"
+    )
+
+
+def trip_24h_padding_oracle(trips_sql: str) -> str:
+    """DuckDB twin of trip_24h_padding over a trips SELECT."""
+    filler_cols = (
+        "'STAY' AS kind, 'PAD' AS mode, '0.0' AS distance_m, "
+        "CAST(0 AS BIGINT) AS total_time_s"
+    )
+    return (
+        f"WITH trips AS ({trips_sql}), "
+        "gapped AS (SELECT *, coalesce(lag(end_hms) OVER (PARTITION BY uid, pdt "
+        "ORDER BY trip_seq), '00:00:00') AS prev_end, "
+        "row_number() OVER (PARTITION BY uid, pdt ORDER BY trip_seq DESC) AS rn_last "
+        "FROM trips), "
+        "merged AS ("
+        "SELECT uid, pdt, trip_seq AS oseq, 1 AS sub, kind, mode, distance_m, "
+        "total_time_s, start_hms, end_hms, n_points, points FROM trips "
+        "UNION ALL "
+        f"SELECT uid, pdt, trip_seq, 0, {filler_cols}, prev_end, start_hms, "
+        "CAST(0 AS INTEGER), '' FROM gapped WHERE start_hms > prev_end "
+        "UNION ALL "
+        f"SELECT uid, pdt, trip_seq + 1, 0, {filler_cols}, end_hms, '23:59:59', "
+        "CAST(0 AS INTEGER), '' FROM gapped WHERE rn_last = 1 AND end_hms < '23:59:59') "
+        "SELECT uid, pdt, CAST(row_number() OVER (PARTITION BY uid, pdt "
+        "ORDER BY oseq, sub) - 1 AS INTEGER) AS trip_seq, kind, mode, distance_m, "
+        "total_time_s, start_hms, end_hms, n_points, points FROM merged"
+    )
