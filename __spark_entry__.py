@@ -174,22 +174,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     def _tile_pyramid(s, d, zooms=(10, 12, 14)):
-        cdr = _cdr(s, d)
-        parts = []
-        for z in zooms:
-            parts.append(
-                cdr.select(
+        # ONE scan for the whole pyramid: explode an array of
+        # (zoom, x, y) structs instead of a per-zoom union (Spark has
+        # no common-subplan reuse — a union would scan once per level)
+        levels = F.array(
+            *[
+                F.struct(
                     F.lit(z).alias("zoom"),
                     F.expr(geo.tile_x_sql("lon", z)).alias("tile_x"),
                     F.expr(geo.tile_y_sql("lat", z)).alias("tile_y"),
                 )
-                .groupBy("zoom", "tile_x", "tile_y")
-                .agg(F.count(F.lit(1)).alias("n_events"))
-            )
-        out = parts[0]
-        for p_ in parts[1:]:
-            out = out.unionByName(p_)
-        return out
+                for z in zooms
+            ]
+        )
+        return (
+            _cdr(s, d)
+            .select(F.explode(levels).alias("t"))
+            .select("t.*")
+            .groupBy("zoom", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
 
     q["tile_pyramid_counts"] = _tile_pyramid
     q["average_daily_unique_sites"] = lambda s, d: (

@@ -158,36 +158,37 @@ def poi_reallocation(stays: DataFrame, pois: DataFrame) -> DataFrame:
     smaller poi_id); MOVE segments and out-of-radius stays keep their
     coordinates.
 
-    ``pois``: (poi_id, plat, plon) — broadcast (small dimension, like
-    the reference's ``add file`` sideloaded TSV).
+    ``pois``: (poi_id, plat, plon) — a broadcast-sized dimension (like
+    the reference's ``add file`` sideloaded TSV), collected and
+    compiled into a codegen argmin expression: struct comparison is
+    lexicographic, so array_min over (d2, poi_id, plat, plon) structs
+    IS "ORDER BY d2, poi_id LIMIT 1". Single pass, zero joins — the
+    previous cross-join + window + join-back shape re-derived the
+    stays lineage twice. For POI sets too large to inline, use
+    knn.cell_ring_knn (the scale path).
     """
-    d2 = _d2_sql("lat", "lon", "plat", "plon")
     radius2 = REALLOC_RADIUS_M * _DEG_PER_M
     radius2 = radius2 * radius2
-    w = Window.partitionBy("uid", "pdt", "seg_id").orderBy(
-        F.asc("__d2"), F.asc("poi_id")
-    )
-    snapped = (
-        stays.filter(F.col("is_stay"))
-        .join(F.broadcast(pois))
-        .withColumn("__d2", F.expr(d2))
-        .filter(F.col("__d2") <= F.lit(radius2))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "uid", "pdt", "seg_id",
-            F.col("poi_id").alias("snap_poi"),
-            F.col("plat").alias("snap_lat"),
-            F.col("plon").alias("snap_lon"),
+    entries = [
+        F.struct(
+            F.expr(
+                _d2_sql("lat", "lon", geo.dlit(r["plat"]), geo.dlit(r["plon"]))
+            ).alias("d2"),
+            F.lit(int(r["poi_id"])).cast("bigint").alias("poi_id"),
+            F.lit(float(r["plat"])).alias("plat"),
+            F.lit(float(r["plon"])).alias("plon"),
         )
-    )
+        for r in pois.collect()
+    ]
+    n = F.array_min(F.array(*entries))
+    hit = F.col("is_stay") & (n["d2"] <= F.lit(radius2))
     return (
-        stays.join(snapped, ["uid", "pdt", "seg_id"], "left")
+        stays.withColumn("__n", n)
         .select(
             "uid", "pdt", "seg_id", "start_s", "end_s", "n_points", "is_stay",
-            F.coalesce("snap_poi", F.lit(-1)).alias("poi_id"),
-            F.coalesce("snap_lat", "lat").alias("lat"),
-            F.coalesce("snap_lon", "lon").alias("lon"),
+            F.when(hit, F.col("__n.poi_id")).otherwise(F.lit(-1)).alias("poi_id"),
+            F.when(hit, F.col("__n.plat")).otherwise(F.col("lat")).alias("lat"),
+            F.when(hit, F.col("__n.plon")).otherwise(F.col("lon")).alias("lon"),
         )
     )
 
