@@ -1,0 +1,49 @@
+"""spark-submit entry point for the flagship pipeline (north-rule
+deployment shape: ``spark-submit --py-files dist/engine.zip``).
+
+Runs images -> decode-validate -> anchor -> PIP zone -> tile ->
+zone/tile rollup and lands the result as a zone-partitioned parquet
+table through the resumable checkpoint manifest
+(plans/checkpoint.write_partitioned): a killed run resumes and writes
+only the missing zone partitions, with per-partition rows/sec and
+lineage recorded in ``<out>/_manifest.jsonl``.
+
+Usage:
+  tools/make_pyfiles.sh
+  spark-submit --master <cluster-or-local[N]> \
+      --py-files dist/engine.zip tools/submit_pipeline.py \
+      <images_parquet> <out_path>
+
+No master / cores are set here — they come from spark-submit, exactly
+as they would on a multi-executor cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from cdr_analysis_tools_hadoop_spark import pipeline
+from cdr_analysis_tools_hadoop_spark.plans import checkpoint
+
+
+def main(images_path: str, out_path: str) -> None:
+    spark = (
+        SparkSession.builder.appName("spatial-image-rollup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    images = spark.read.parquet(images_path)
+    rollup = pipeline.run_pipeline(spark, images)
+    summary = checkpoint.write_partitioned(rollup, out_path, "zone_id")
+    print("SUBMIT_SUMMARY " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    main(sys.argv[1], sys.argv[2])
