@@ -160,6 +160,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["monthly_statistics"] = lambda s, d: statistics.monthly_statistics(_cdr(s, d))
     q["summary_stats"] = lambda s, d: statistics.summary_stats(_cdr(s, d))
     q["average_daily_by_type"] = lambda s, d: statistics.average_daily_by_type(_cdr(s, d))
+    q["daily_cdrs_by_call_type"] = lambda s, d: statistics.daily_cdrs_by_call_type(_cdr(s, d))
+    q["total_unique_locations"] = lambda s, d: statistics.total_unique_locations(_cdr(s, d))
+    q["total_days"] = lambda s, d: statistics.total_days(_cdr(s, d))
+    q["daily_average_unique_locations"] = lambda s, d: (
+        statistics.daily_average_unique_locations(_cdr(s, d))
+    )
+    q["average_daily_admin1"] = lambda s, d: statistics.average_daily_admin_level(
+        _zoned(s, d), _towers(s, d), "admin1"
+    )
     q["user_activity_histogram"] = lambda s, d: statistics.user_activity_histogram(_cdr(s, d))
 
     # --- spatial: zones / cells / tiles / knn (SURVEY.md §2.3, §7.0) ---
@@ -245,6 +254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _freq(s, d), 80.0
     )
     q["user_home"] = lambda s, d: fl.user_home(_freq(s, d))
+    q["frequent_locations_wsum_night"] = lambda s, d: fl.frequent_locations_wsum(
+        _freq(s, d, night=True)
+    )
+    q["frequent_locations_thresholded_night"] = lambda s, d: (
+        fl.frequent_locations_thresholded(_freq(s, d, night=True), 80.0)
+    )
 
     # --- trajectory / OD (A11, TripOD, A13) ---
     def _od(s, d):
@@ -280,6 +295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["route_interpolation"] = lambda s, d: interpolation.route_interpolation(_cdr(s, d))
     q["trip_segments"] = lambda s, d: interpolation.trip_segments_format(_cdr(s, d))
     q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
+        interpolation.trip_segments_format(_cdr(s, d))
+    )
+    q["gps_export"] = lambda s, d: interpolation.export_gps_format(
         interpolation.trip_segments_format(_cdr(s, d))
     )
 
@@ -374,6 +392,41 @@ def oracle_sql() -> dict[str, str]:
         "SELECT call_type, CAST(call_time AS DATE) AS day, count(*) AS cnt "
         "FROM cdr GROUP BY call_type, day) GROUP BY call_type"
     )
+    ctgrain = (
+        "SELECT CAST(call_time AS DATE) AS date, {ct} AS call_type, "
+        "'ALL' AS network_type, count(*) AS total_records, "
+        "count(DISTINCT CAST(call_time AS DATE)) AS total_days, "
+        "count(DISTINCT uid) AS unique_id, "
+        f"count(DISTINCT {geo.cell_id_sql('lat', 'lon', 10)}) AS unique_location_name "
+        "FROM cdr GROUP BY 1{extra}"
+    )
+    o["daily_cdrs_by_call_type"] = (
+        f"{base} "
+        + ctgrain.format(ct="'ALL'", extra="")
+        + " UNION "
+        + ctgrain.format(ct="call_type", extra=",2")
+    )
+    o["total_unique_locations"] = (
+        f"{base} SELECT count(DISTINCT (lat, lon)) AS count_unique_locations FROM cdr"
+    )
+    o["total_days"] = (
+        f"{base} SELECT count(*) AS total_days, min(dates) AS start_date, "
+        "max(dates) AS end_date FROM ("
+        "SELECT DISTINCT CAST(call_time AS DATE) AS dates FROM cdr)"
+    )
+    o["daily_average_unique_locations"] = (
+        f"{base} SELECT date, round(ul / uu, 6) AS daily_avg_locations, "
+        "round(uc / uu, 6) AS daily_avg_cell_ids FROM ("
+        "SELECT CAST(call_time AS DATE) AS date, "
+        "count(DISTINCT (lat, lon)) AS ul, count(DISTINCT uid) AS uu, "
+        f"count(DISTINCT {geo.cell_id_sql('lat', 'lon', 10)}) AS uc "
+        "FROM cdr GROUP BY 1)"
+    )
+    o["average_daily_admin1"] = (
+        f"{zone_base} SELECT round(avg(c), 6) AS average_admin1_per_day FROM ("
+        "SELECT CAST(z.call_time AS DATE) AS day, count(DISTINCT t.admin1) AS c "
+        "FROM zoned z JOIN towers t ON z.zone_id = t.zone_id GROUP BY 1)"
+    )
     o["user_activity_histogram"] = (
         f"{base} SELECT least(9, CAST(floor((active_days - 1) / {geo.dlit(3.1)}) AS INTEGER)) AS bucket, "
         "count(*) AS num_users FROM ("
@@ -435,6 +488,14 @@ def oracle_sql() -> dict[str, str]:
     o["user_home"] = (
         f"{freq_base} SELECT uid, zone_id AS home_zone FROM freq WHERE trank = 1"
     )
+    night_wsum = _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_NIGHT_CTE, _WSUM_CTE)
+    o["frequent_locations_wsum_night"] = f"{night_wsum} SELECT * FROM wsum"
+    o["frequent_locations_thresholded_night"] = (
+        f"{night_wsum} SELECT uid, zone_id, tcount, trank, ppercent, acc_wsum FROM ("
+        "SELECT wsum.*, min(CASE WHEN acc_wsum >= "
+        f"{geo.dlit(80.0)} THEN acc_wsum END) OVER (PARTITION BY uid) AS cut "
+        "FROM wsum) WHERE cut IS NULL OR acc_wsum <= cut"
+    )
 
     o["od_matrix"] = (
         f"{_OD_CTES} SELECT pdt, origin_zone, dest_zone, count(*) AS tcount, "
@@ -471,4 +532,5 @@ def oracle_sql() -> dict[str, str]:
     o["route_interpolation"] = interpolation.route_interpolation_oracle(sited_cte)
     o["trip_segments"] = interpolation.trip_segments_oracle(sited_cte)
     o["trip_24h_padding"] = interpolation.trip_24h_padding_oracle(o["trip_segments"])
+    o["gps_export"] = interpolation.export_gps_format_oracle(o["trip_segments"])
     return o

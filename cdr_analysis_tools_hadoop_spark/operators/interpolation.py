@@ -566,3 +566,51 @@ def trip_24h_padding_oracle(trips_sql: str) -> str:
         "ORDER BY oseq, sub) - 1 AS INTEGER) AS trip_seq, kind, mode, distance_m, "
         "total_time_s, start_hms, end_hms, n_points, points FROM merged"
     )
+
+
+def export_gps_format(trips: DataFrame) -> DataFrame:
+    """Reference export_to_gps_format.sql (the interpolation chain's
+    final double-explode export): days with more than one trip row
+    (``size(route_arr) > 1`` guard) explode their trip list, then each
+    trip's "i|time|lat|lon;..." point string splits and explodes to
+    one output row per point with '|' rewritten to ',' — reproduced as
+    a window count + split + explode, all codegen."""
+    w = Window.partitionBy("uid", "pdt")
+    return (
+        trips.withColumn("__ntrips", F.count(F.lit(1)).over(w))
+        .filter(F.col("__ntrips") > 1)
+        .select(
+            "uid",
+            "pdt",
+            "trip_seq",
+            "kind",
+            "mode",
+            "distance_m",
+            "total_time_s",
+            "start_hms",
+            "end_hms",
+            "n_points",
+            F.explode(F.split("points", ";")).alias("__pt"),
+        )
+        .filter(F.col("__pt") != "")
+        .select(
+            "uid", "pdt", "trip_seq", "kind", "mode", "distance_m",
+            "total_time_s", "start_hms", "end_hms", "n_points",
+            F.regexp_replace("__pt", "\\|", ",").alias("point_csv"),
+        )
+    )
+
+
+def export_gps_format_oracle(trips_sql: str) -> str:
+    """DuckDB twin of export_gps_format."""
+    return (
+        f"WITH trips AS ({trips_sql}), "
+        "guarded AS (SELECT *, count(*) OVER (PARTITION BY uid, pdt) AS ntrips "
+        "FROM trips), "
+        "pts AS (SELECT uid, pdt, trip_seq, kind, mode, distance_m, "
+        "total_time_s, start_hms, end_hms, n_points, "
+        "unnest(string_split(points, ';')) AS pt FROM guarded WHERE ntrips > 1) "
+        "SELECT uid, pdt, trip_seq, kind, mode, distance_m, total_time_s, "
+        "start_hms, end_hms, n_points, replace(pt, '|', ',') AS point_csv "
+        "FROM pts WHERE pt != ''"
+    )

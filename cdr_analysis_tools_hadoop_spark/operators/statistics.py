@@ -213,3 +213,89 @@ def user_activity_histogram(cdr: DataFrame, num_buckets: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("num_users"))
         .orderBy("bucket")
     )
+
+
+def daily_cdrs_by_call_type(cdr: DataFrame) -> DataFrame:
+    """2-grain daily stat: (day) and (day, call_type), each with
+    multi-distinct aggregates, glued by Hive UNION in the reference
+    (queries/statistics/daily_cdrs_by_call_type.sql — note its
+    count(DISTINCT to_date(call_time)) is always 1 per day group;
+    reproduced faithfully). Single-scan GROUPING SETS shape; the
+    engine's cell analogue of `cell_id` is the res-10 grid cell."""
+    from ..functions import geo
+
+    base = cdr.select(
+        F.to_date("call_time").alias("date"),
+        "call_type",
+        "uid",
+        F.expr(geo.cell_id_sql("lat", "lon", 10)).alias("cell"),
+    )
+    d, ct = F.col("date"), F.col("call_type")
+    return (
+        base.groupingSets([[d], [d, ct]], d, ct)
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.countDistinct("date").alias("total_days"),
+            F.countDistinct("uid").alias("unique_id"),
+            F.countDistinct("cell").alias("unique_location_name"),
+            F.grouping(ct).alias("__gct"),
+        )
+        .select(
+            "date",
+            F.when(F.col("__gct") == 1, "ALL").otherwise(ct).alias("call_type"),
+            F.lit("ALL").alias("network_type"),
+            "total_records",
+            "total_days",
+            "unique_id",
+            "unique_location_name",
+        )
+        .distinct()
+        .orderBy(F.asc("call_type"), F.desc("network_type"), "date")
+    )
+
+
+def total_unique_locations(cdr: DataFrame) -> DataFrame:
+    """Reference graphs/daily_unique_locations/total_unique_locations.sql."""
+    return cdr.agg(
+        F.countDistinct("lat", "lon").alias("count_unique_locations")
+    )
+
+
+def total_days(cdr: DataFrame) -> DataFrame:
+    """Reference reports/summary/total_days.sql."""
+    days = cdr.select(F.to_date("call_time").alias("dates")).distinct()
+    return days.agg(
+        F.count(F.lit(1)).alias("total_days"),
+        F.min("dates").alias("start_date"),
+        F.max("dates").alias("end_date"),
+    )
+
+
+def daily_average_unique_locations(cdr: DataFrame) -> DataFrame:
+    """Reference graphs/daily_average_unique_locations.sql: per-day
+    unique locations / unique cells per active user (cell analogue:
+    res-10 grid cell)."""
+    from ..functions import geo
+
+    per = cdr.groupBy(F.to_date("call_time").alias("date")).agg(
+        F.countDistinct("lat", "lon").alias("ul"),
+        F.countDistinct("uid").alias("uu"),
+        F.countDistinct(F.expr(geo.cell_id_sql("lat", "lon", 10))).alias("uc"),
+    )
+    return per.select(
+        "date",
+        F.round(F.col("ul") / F.col("uu"), 6).alias("daily_avg_locations"),
+        F.round(F.col("uc") / F.col("uu"), 6).alias("daily_avg_cell_ids"),
+    ).orderBy("date")
+
+
+def average_daily_admin_level(zoned: DataFrame, towers: DataFrame, level: str = "admin1") -> DataFrame:
+    """Reference reports/summary/average_daily_admin1.sql:
+    sum over days of count(distinct admin) divided by the day count —
+    identical to avg over the per-day distinct counts (the reference
+    passes {total_days} in from an earlier query; same value)."""
+    j = zoned.join(F.broadcast(towers.select("zone_id", level)), "zone_id")
+    per = j.groupBy(F.to_date("call_time").alias("day")).agg(
+        F.countDistinct(level).alias("c")
+    )
+    return per.agg(F.round(F.avg("c"), 6).alias(f"average_{level}_per_day"))
