@@ -89,3 +89,116 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming: incremental stay-point detection
+# (applyInPandasWithState — the streaming analogue of
+# TripSegmentationCDR's 15-min/300-m rule, reference SURVEY.md §2.9)
+
+
+def streaming_stay_points(sited: DataFrame, ts_col: str = "call_time") -> DataFrame:
+    """Incremental stay/move segmentation over a stream.
+
+    State per (uid, pdt): the OPEN segment (start/last epoch, point
+    count, first point's lat/lon) plus the running segment counter.
+    Each micro-batch appends its points in event order; a >300 m jump
+    CLOSES the open segment (emitted downstream, "append" mode) and
+    opens a new one. The final open segment stays in state — exactly
+    the semantics of a resumable incremental pipeline: closed segments
+    are immutable facts, the open one is pending.
+
+    Parity contract (tested): on the same input split across any
+    number of in-order micro-batches, the emitted closed segments
+    equal batch ``interpolation.stay_points`` minus each group's last
+    (still-open) segment.
+
+    Scale: state is O(1) per (uid, day); no watermark needed for
+    bounded state, but upstream file pacing (maxFilesPerTrigger)
+    bounds per-batch work. Python is Arrow-batched per group — the
+    per-group math is the same numpy as the batch operator.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions import geo as _geo
+    from ..operators.interpolation import D2_300M, STAY_MIN_S
+
+    out_schema = StructType(
+        [
+            StructField("uid", LongType()),
+            StructField("pdt", StringType()),
+            StructField("seg_id", LongType()),
+            StructField("start_s", LongType()),
+            StructField("end_s", LongType()),
+            StructField("n_points", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("is_stay", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seg_id", LongType()),
+            StructField("start_s", LongType()),
+            StructField("last_s", LongType()),
+            StructField("n", LongType()),
+            StructField("first_lat", DoubleType()),
+            StructField("first_lon", DoubleType()),
+            StructField("last_lat", DoubleType()),
+            StructField("last_lon", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        uid, pdt = key
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["call_time", "event_id"])
+        ep = pdf["call_time"].astype("datetime64[s]").astype(np.int64).to_numpy()
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        lon = pdf["lon"].to_numpy(dtype=np.float64)
+        if state.exists:
+            seg_id, start_s, last_s, n, flat, flon, llat, llon = state.get
+        else:
+            # seg ids start at 1, matching batch stay_points (whose
+            # first break contributes 1 to the running sum)
+            seg_id, start_s, last_s, n = 1, int(ep[0]), int(ep[0]), 0
+            flat, flon, llat, llon = float(lat[0]), float(lon[0]), float(lat[0]), float(lon[0])
+        closed = []
+        for i in range(len(pdf)):
+            if n > 0:
+                d2 = (lat[i] - llat) ** 2 + ((lon[i] - llon) * _geo.LON_SCALE) ** 2
+                if d2 > D2_300M:
+                    closed.append(
+                        (int(uid), str(pdt), seg_id, start_s, last_s, n,
+                         flat, flon, last_s - start_s >= STAY_MIN_S)
+                    )
+                    seg_id += 1
+                    start_s, n = int(ep[i]), 0
+                    flat, flon = float(lat[i]), float(lon[i])
+            last_s, llat, llon = int(ep[i]), float(lat[i]), float(lon[i])
+            n += 1
+        state.update((seg_id, start_s, last_s, n, flat, flon, llat, llon))
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
+
+    keyed = sited.select(
+        "uid",
+        F.to_date(ts_col).cast("string").alias("pdt"),
+        F.col(ts_col).alias("call_time"),
+        "event_id",
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("uid", "pdt").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
