@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity search (embeddings; ANN baseline + LSH scale path) ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d))
     q["ann_cosine_topk_lsh"] = lambda s, d: similarity.cosine_topk_lsh(_emb(s, d))
+    q["ann_cosine_topk_ivf"] = lambda s, d: similarity.cosine_topk_ivf(_emb(s, d))
     q["embedding_near_dup"] = lambda s, d: similarity.near_dup_pairs(_emb(s, d))
     q["knn_label_vote"] = lambda s, d: similarity.knn_label_vote(_emb(s, d))
 
@@ -511,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle()
     o["ann_cosine_topk_lsh"] = similarity.cosine_topk_lsh_oracle()
+    o["ann_cosine_topk_ivf"] = similarity.cosine_topk_ivf_oracle()
     o["embedding_near_dup"] = similarity.near_dup_oracle()
     o["knn_label_vote"] = similarity.knn_label_vote_oracle()
 

@@ -93,3 +93,82 @@ def lsh_sig_sql(col: str, dialect: str, dim: int = DIM) -> str:
 def cosine_sql(a: str, b: str, na2: str, nb2: str, dialect: str) -> str:
     """cosine given precomputed squared norms (column refs)."""
     return f"({dot_sql(a, b, dialect)} / sqrt(({na2}) * ({nb2})))"
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer (frozen deterministic codebook)
+#
+# Like the LSH planes, the codebook is data-independent: centroid
+# coefficients come from a frozen LCG stream, so Spark and DuckDB
+# inline the IDENTICAL literals at any scale factor and the inverted
+# lists are reproducible without a training artifact. A production
+# deployment would train k-means on a sample and persist the codebook
+# — the query-side mechanics (assign + nprobe inverted-list join) are
+# exactly what is exercised here.
+
+NLIST = 8
+NPROBE = 2
+
+_IVF_SALT = 777_767
+
+
+def centroid_coeff(j: int, i: int) -> int:
+    """Deterministic integer coefficient in [-1000, 1000]."""
+    return (_LCG_A * (j * DIM + i + _IVF_SALT) + _LCG_C) % 2001 - 1000
+
+
+def _centroid_norm2(j: int, dim: int = DIM) -> int:
+    return sum(centroid_coeff(j, i) ** 2 for i in range(dim))
+
+
+def centroid_dot_sql(col: str, j: int, dialect: str, dim: int = DIM) -> str:
+    if dialect == "spark":
+        coeffs = "array(" + ",".join(
+            str(centroid_coeff(j, i)) for i in range(dim)
+        ) + ")"
+        return _fold_sql(
+            f"zip_with({col}, {coeffs}, "
+            f"(x, c) -> cast(c as double) * cast(x as double))"
+        )
+    terms = " + ".join(
+        f"({centroid_coeff(j, i)}) * {elem_sql(col, i, dialect)}"
+        for i in range(dim)
+    )
+    return f"({terms})"
+
+
+def _centroid_dist_struct(col: str, j: int, dialect: str, dim: int) -> str:
+    # ||x - c||^2 - ||x||^2  =  ||c||^2 - 2<x, c>  (monotone in the
+    # true distance for a fixed row; ||x||^2 dropped)
+    d = (
+        f"(cast({_centroid_norm2(j, dim)} as double) "
+        f"- cast(2 as double) * {centroid_dot_sql(col, j, dialect, dim)})"
+    )
+    if dialect == "spark":
+        return f"named_struct('d', {d}, 'c', {j})"
+    return f"{{'d': {d}, 'c': {j}}}"
+
+
+def ivf_assign_sql(col: str, dialect: str, dim: int = DIM, nlist: int = NLIST) -> str:
+    """Nearest-centroid cluster id (argmin via sorted struct array —
+    lexicographic struct ordering in both engines)."""
+    structs = ", ".join(
+        _centroid_dist_struct(col, j, dialect, dim) for j in range(nlist)
+    )
+    if dialect == "spark":
+        return f"(array_sort(array({structs}))[0].c)"
+    return f"((list_sort([{structs}])[1]).c)"
+
+
+def ivf_probe_sql(
+    col: str, dialect: str, dim: int = DIM, nlist: int = NLIST, nprobe: int = NPROBE
+) -> str:
+    """List of the nprobe nearest cluster ids (query-side probe set)."""
+    structs = ", ".join(
+        _centroid_dist_struct(col, j, dialect, dim) for j in range(nlist)
+    )
+    if dialect == "spark":
+        return (
+            f"slice(transform(array_sort(array({structs})), x -> x.c), 1, {nprobe})"
+        )
+    return f"(list_transform(list_sort([{structs}]), x -> x.c)[1:{nprobe}])"

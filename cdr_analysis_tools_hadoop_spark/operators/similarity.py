@@ -193,3 +193,53 @@ def knn_label_vote_oracle(view: str = "embeddings", k: int = TOP_K, n_queries: i
         "SELECT votes.*, row_number() OVER (PARTITION BY query_id "
         "ORDER BY votes DESC, label) AS rn FROM votes) WHERE rn = 1"
     )
+
+
+def cosine_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF-style ANN: corpus vectors land in inverted lists keyed by
+    their nearest codebook centroid (vec.ivf_assign_sql); each query
+    probes its NPROBE nearest lists, turning search into an equi-join
+    on cluster id. Same shuffle-on-small-key shape as the LSH variant
+    but with a distance-ordered probe set (the FAISS IVF mechanic).
+    Lossy by design; Spark and DuckDB inline identical codebook
+    literals, so results are bit-comparable."""
+    cand = _with_norm(_spread(emb)).withColumn(
+        "cluster", F.expr(vec.ivf_assign_sql("embedding", "spark"))
+    )
+    queries = _with_norm(emb.filter(F.col("vec_id") < n_queries), "q_").withColumn(
+        "cluster",
+        F.explode(F.expr(vec.ivf_probe_sql("q_embedding", "spark"))),
+    )
+    joined = queries.join(cand, "cluster")
+    scored = joined.filter(F.col("vec_id") != F.col("q_vec_id")).select(
+        F.col("q_vec_id").alias("query_id"),
+        "vec_id",
+        _cosine_col("q_embedding", "embedding", "q_norm2", "norm2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_ivf_oracle(
+    view: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    n2 = norm2 = vec.norm2_sql("embedding", "duckdb")
+    assign = vec.ivf_assign_sql("embedding", "duckdb")
+    probe = vec.ivf_probe_sql("q_embedding", "duckdb")
+    cos = vec.cosine_sql("q_embedding", "embedding", "q_norm2", "norm2", "duckdb")
+    return (
+        f"WITH v AS (SELECT vec_id, embedding, {n2} AS norm2, "
+        f"{assign} AS cluster FROM {view}), "
+        f"q0 AS (SELECT vec_id AS query_id, embedding AS q_embedding, "
+        f"norm2 AS q_norm2 FROM v WHERE vec_id < {n_queries}), "
+        f"q AS (SELECT q0.*, unnest({probe}) AS cluster FROM q0), "
+        f"scored AS (SELECT query_id, vec_id, round({cos}, 6) AS cosine "
+        "FROM q JOIN v USING (cluster) WHERE vec_id != query_id), "
+        "ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM scored) "
+        f"SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"
+    )
