@@ -313,6 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_id", "fmt", F.length("bytes").alias("blob_bytes")
         )
     )
+    q["image_thumbnail"] = lambda s, d: (
+        multimodal.resize_box(_images(s), 2).select(
+            "image_id", "w", "h", F.length("bytes").alias("blob_bytes")
+        )
+    )
     return q
 
 

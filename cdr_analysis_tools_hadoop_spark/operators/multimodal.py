@@ -22,7 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, DoubleType, LongType, StructField, StructType,
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StructField,
+    StructType,
 )
 
 from ..functions import codec
@@ -115,3 +116,41 @@ def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pdf
 
     return videos.mapInPandas(kernel, schema=videos.schema)
+
+
+def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Thumbnail generation: decode, box-average downsample by
+    ``factor``, re-encode (rawz). Real pixel math end-to-end — the
+    standard pre-training resize step expressed as the same Arrow
+    batch shape as decode/transcode."""
+    schema = StructType(
+        [
+            StructField("image_id", images.schema["image_id"].dataType),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, blobs = [], [], [], []
+            for i, b in zip(pdf["image_id"], pdf["bytes"]):
+                pix = codec.decode(bytes(b))
+                h, w, c = pix.shape
+                h2, w2 = (h // factor) * factor, (w // factor) * factor
+                small = (
+                    pix[:h2, :w2]
+                    .reshape(h2 // factor, factor, w2 // factor, factor, c)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                ids.append(i)
+                hs.append(small.shape[0])
+                ws.append(small.shape[1])
+                blobs.append(codec.encode_rawz(small))
+            yield pd.DataFrame({"image_id": ids, "w": ws, "h": hs, "bytes": blobs})
+
+    return images.select("image_id", "bytes").mapInPandas(kernel, schema=schema)

@@ -133,3 +133,23 @@ def test_pipeline_end_to_end(spark):
     assert sum(r["n_psnr_ok"] for r in agg) == 400
     zones = {r["zone_id"] for r in agg}
     assert len(zones) > 5  # anchors spread across many Voronoi zones
+
+
+def test_multimodal_resize_box(spark):
+    from cdr_analysis_tools_hadoop_spark.operators import multimodal
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+    import numpy as np
+
+    images = synthetic.images_df(spark, 20, partitions=2)
+    rows = multimodal.resize_box(images, 2).collect()
+    assert len(rows) == 20
+    origs = {r.image_id: bytes(r.bytes) for r in images.select("image_id", "bytes").collect()}
+    for r in rows[:5]:
+        pix = codec.decode(bytes(r.bytes))
+        assert pix.shape[:2] == (r.h, r.w)
+        big = codec.decode(origs[r.image_id])
+        assert (r.h, r.w) == (big.shape[0] // 2, big.shape[1] // 2)
+        # box mean of the first 2x2 block
+        want = big[:2, :2].reshape(4, -1).mean(axis=0).astype(np.uint8)
+        assert (pix[0, 0] == want).all()
