@@ -153,3 +153,12 @@ def test_multimodal_resize_box(spark):
         # box mean of the first 2x2 block
         want = big[:2, :2].reshape(4, -1).mean(axis=0).astype(np.uint8)
         assert (pix[0, 0] == want).all()
+
+
+def test_pipeline_handles_empty_partitions(spark):
+    from cdr_analysis_tools_hadoop_spark import pipeline
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+    images = synthetic.images_df(spark, 5, partitions=8)  # empty partitions
+    out = pipeline.run_pipeline(spark, images)
+    assert out.agg({"n_images": "sum"}).collect()[0][0] == 5
