@@ -36,6 +36,9 @@ HEADLINE = [
     "od_matrix",
     "tile_counts_z12",
     "knn_nearest_tower",
+    "trip_segments",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_lsh",
 ]
 
 
