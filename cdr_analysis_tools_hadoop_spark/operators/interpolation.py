@@ -349,8 +349,9 @@ def trip_segments_format(sited: DataFrame) -> DataFrame:
     A previous applyInPandas version paid per-(uid, day)-group pandas
     overhead — thousands of tiny DataFrames; at sf0.01 this plan is
     ~20x faster and at 10^12 rows it is one shuffle + codegen instead
-    of a Python round trip. Checked rows-only (the string codec is
-    not reasonably SQL-expressible in the oracle)."""
+    of a Python round trip. Value-hash-checked against
+    trip_segments_oracle (string_agg ORDER BY mirrors the point-list
+    codec)."""
     base = sited.select(
         "uid",
         F.to_date("call_time").cast("string").alias("pdt"),
