@@ -211,3 +211,28 @@ def test_summary_stats_golden(cdr):
     assert round(voice / days, 3) == float(rows["average_daily_voice"])
     assert round(sms / days, 3) == float(rows["average_daily_sms"])
     assert round(cells_per_day / days, 3) == float(rows["average_daily_unique_cell_id"])
+
+
+def test_geojson_golden_unmerged(spark, cdr, towers):
+    """The reference's japan._joined_ADMIN1.json golden is the Japan
+    prefecture layer UNCHANGED: its merge body is a disabled mock that
+    compares admin names against the literal 'Kochi Ken' (quirk Q6,
+    cdr_statistics.py:258-260), and 'Sendai' is not a prefecture name.
+    The engine's fixed merge keys on an explicit id column, so merging
+    the ADMIN1 stats into the golden layer (which has no such key)
+    must leave every feature byte-identical — reproducing the golden's
+    observed no-op while exercising the fixed code path."""
+    import json as _json
+
+    from cdr_analysis_tools_hadoop_spark.operators import geojson as gj
+
+    golden = _json.load(open(f"{GOLDENS}/japan._joined_ADMIN1.json"))
+    stats = (
+        cdr.join(
+            F.broadcast(towers.select("cell_id", "admin1").distinct()), "cell_id"
+        )
+        .groupBy(F.col("admin1").alias("zone_id"))
+        .agg(F.count(F.lit(1)).alias("count_activities"))
+    )
+    merged = gj.merge_stats(golden, stats, key="zone_id")
+    assert merged == golden
