@@ -269,6 +269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["od_matrix"] = _od
 
+    def _od_detail(s, d):
+        sited = trajectory.with_site(_zoned(s, d))
+        home = trajectory.user_home_site(sited)
+        return trajectory.od_edges(sited, home)
+
+    q["od_detail"] = _od_detail
+
     # --- dedup suite (training-data pipeline; SURVEY.md §2.2 P3 scale path) ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
@@ -508,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
         "count(DISTINCT uid) AS tusercount FROM edges "
         "WHERE origin_zone IS NOT NULL AND dest_zone IS NOT NULL "
         "GROUP BY pdt, origin_zone, dest_zone"
+    )
+    o["od_detail"] = (
+        f"{_OD_CTES} SELECT uid, pdt, origin_site, dest_site, "
+        "origin_zone, dest_zone, ts FROM edges"
     )
 
     o["dedup_exact"] = dedup.exact_dedup_oracle()
