@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
+    q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_docs(s, d))
 
     # --- similarity search (embeddings; ANN baseline + LSH scale path) ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d))
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_simhash"] = dedup.simhash_oracle()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_oracle()
+    o["dedup_clusters"] = dedup.dedup_clusters_oracle()
 
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle()
     o["ann_cosine_topk_lsh"] = similarity.cosine_topk_lsh_oracle()

@@ -301,3 +301,78 @@ def minhash_lsh_oracle(view: str = "documents") -> str:
         "AND b.s = a.s GROUP BY 1, 2) "
         + _JACCARD_TAIL.format(thr=LSH_VERIFY_THRESHOLD)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = LSH_VERIFY_THRESHOLD, max_iters: int = 20
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph, labeling every document with the smallest
+    doc_id in its component (= the canonical representative a training
+    pipeline keeps).
+
+    Iterative min-label propagation — the standard log-diameter
+    large-scale CC loop: each round every node takes the min of its
+    own label and its neighbours' labels; the driver loop stops at the
+    fixpoint (exact components, not an approximation). Each iteration
+    localCheckpoints the label frame so lineage stays O(1) instead of
+    growing per round — at 10^12 edges this is what keeps the plan
+    compilable; the per-round shuffle is on doc_id, the natural key.
+
+    Output: (doc_id, cluster_id, is_representative). DuckDB oracle:
+    recursive-CTE transitive closure + min — both sides compute the
+    exact component minimum, so values hash-match.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = sym.localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+def dedup_clusters_oracle(view: str = "documents") -> str:
+    pairs_sql = minhash_lsh_oracle(view)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach AS (SELECT src, dst FROM sym "
+        "UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src), "
+        "lab AS (SELECT d.doc_id, "
+        "least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id "
+        f"FROM {view} d LEFT JOIN reach r ON r.src = d.doc_id GROUP BY d.doc_id) "
+        "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_representative "
+        "FROM lab"
+    )

@@ -62,3 +62,23 @@ def test_lsh_candidates_subset_of_true_pairs(docs):
         for p in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
     }
     assert lsh <= exact
+
+
+def test_dedup_clusters_known_components(spark):
+    from cdr_analysis_tools_hadoop_spark.operators import dedup
+
+    # docs 0,1,2 share text (one component via exact dup pairs);
+    # 3,4 share; 5 unique. Use texts long enough to shingle.
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "pack my box with five dozen liquor jugs every single day now"
+    uniq = "sphinx of black quartz judge my vow completely different text"
+    rows = [(0, base_a), (1, base_a), (2, base_a + " extra"),
+            (3, base_b), (4, base_b), (5, uniq)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.is_representative)
+           for r in dedup.dedup_clusters(docs, threshold=0.3).collect()}
+    assert out[0] == (0, True)
+    assert out[1][0] == 0 and not out[1][1]
+    assert out[3] == (3, True)
+    assert out[4][0] == 3 and not out[4][1]
+    assert out[5] == (5, True)
