@@ -306,8 +306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
         interpolation.trip_segments_format(_cdr(s, d))
     )
+    # reference reads the PADDED trip table (*_trip_routing_array_apd)
     q["gps_export"] = lambda s, d: interpolation.export_gps_format(
-        interpolation.trip_segments_format(_cdr(s, d))
+        interpolation.trip_24h_padding(
+            interpolation.trip_segments_format(_cdr(s, d))
+        )
     )
 
     # --- multimodal plumbing (binary image columns; rows-only checks:
@@ -436,8 +439,12 @@ def oracle_sql() -> dict[str, str]:
         f"count(DISTINCT {geo.cell_id_sql('lat', 'lon', 10)}) AS uc "
         "FROM cdr GROUP BY 1)"
     )
+    # denominator = day count over the WHOLE event table, not joined
+    # days (reference passes {total_days} from total_days.sql).
     o["average_daily_admin1"] = (
-        f"{zone_base} SELECT round(avg(c), 6) AS average_admin1_per_day FROM ("
+        f"{zone_base} SELECT round(CAST(sum(c) AS BIGINT) / ("
+        "SELECT count(DISTINCT CAST(call_time AS DATE)) FROM zoned), 6) "
+        "AS average_admin1_per_day FROM ("
         "SELECT CAST(z.call_time AS DATE) AS day, count(DISTINCT t.admin1) AS c "
         "FROM zoned z JOIN towers t ON z.zone_id = t.zone_id GROUP BY 1)"
     )
@@ -552,5 +559,5 @@ def oracle_sql() -> dict[str, str]:
     o["route_interpolation"] = interpolation.route_interpolation_oracle(sited_cte)
     o["trip_segments"] = interpolation.trip_segments_oracle(sited_cte)
     o["trip_24h_padding"] = interpolation.trip_24h_padding_oracle(o["trip_segments"])
-    o["gps_export"] = interpolation.export_gps_format_oracle(o["trip_segments"])
+    o["gps_export"] = interpolation.export_gps_format_oracle(o["trip_24h_padding"])
     return o

@@ -134,9 +134,13 @@ def stay_points_oracle(sited_cte: str) -> str:
         "lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon FROM sited "
         "WINDOW w AS (PARTITION BY uid, CAST(call_time AS DATE) "
         "ORDER BY call_time, event_id)), "
-        "segd AS (SELECT pts.*, sum(case when prev_lat IS NULL OR "
+        # CAST: DuckDB types sum(INTEGER) as HUGEINT, which crosses
+        # Arrow as decimal128(38,0) and breaks the driver's value hash
+        # against Spark's BIGINT — the numbers are identical, the type
+        # is not.
+        "segd AS (SELECT pts.*, CAST(sum(case when prev_lat IS NULL OR "
         f"{d2} > {geo.dlit(D2_300M)} then 1 else 0 end) OVER ("
-        "PARTITION BY uid, pdt ORDER BY call_time, event_id) AS seg_id FROM pts), "
+        "PARTITION BY uid, pdt ORDER BY call_time, event_id) AS BIGINT) AS seg_id FROM pts), "
         "agg AS (SELECT uid, pdt, seg_id, "
         "min(CAST(floor(epoch(call_time)) AS BIGINT)) AS start_s, "
         "max(CAST(floor(epoch(call_time)) AS BIGINT)) AS end_s, "
@@ -180,6 +184,16 @@ def poi_reallocation(stays: DataFrame, pois: DataFrame) -> DataFrame:
         )
         for r in pois.collect()
     ]
+    if not entries:
+        # empty POI dimension: array_min over a zero-struct array
+        # would yield a NullType element and fail analysis — no POI
+        # means nothing snaps.
+        return stays.select(
+            "uid", "pdt", "seg_id", "start_s", "end_s", "n_points", "is_stay",
+            F.lit(-1).cast("bigint").alias("poi_id"),
+            F.col("lat"),
+            F.col("lon"),
+        )
     n = F.array_min(F.array(*entries))
     hit = F.col("is_stay") & (n["d2"] <= F.lit(radius2))
     return (
@@ -385,10 +399,10 @@ def trip_segments_format(sited: DataFrame) -> DataFrame:
         "pdt",
         "trip_seq",
         "call_time",
-        step_m.alias("step_m"),
         F.unix_timestamp("call_time").alias("epoch"),
         F.struct(
             F.row_number().over(wseg).alias("idx"),
+            step_m.alias("m"),
             F.format_string(
                 "%d|%s|%.6f|%.6f",
                 F.row_number().over(wseg),
@@ -398,9 +412,18 @@ def trip_segments_format(sited: DataFrame) -> DataFrame:
             ).alias("s"),
         ).alias("pt"),
     )
+    # distance = left-to-right fold over the idx-sorted steps, NOT a
+    # hash-aggregate sum: neither Spark nor DuckDB guarantees FP
+    # accumulation order through a hash aggregate, and the "###0.0###"
+    # formatting would expose a one-ulp difference. The sorted fold is
+    # order-pinned on both sides (DuckDB twin: list_reduce over
+    # list(... ORDER BY idx)).
+    sorted_pts = F.array_sort(F.collect_list("pt"))
     agg = pts.groupBy("uid", "pdt", "trip_seq").agg(
         (F.max("epoch") - F.min("epoch")).alias("total_time_s"),
-        F.sum("step_m").alias("dist"),
+        F.aggregate(
+            sorted_pts, F.lit(0.0), lambda a, x: a + x["m"]
+        ).alias("dist"),
         F.date_format(F.min("call_time"), "HH:mm:ss").alias("start_hms"),
         F.date_format(F.max("call_time"), "HH:mm:ss").alias("end_hms"),
         F.count(F.lit(1)).cast("int").alias("n_points"),
@@ -506,14 +529,25 @@ def trip_24h_padding(trips: DataFrame) -> DataFrame:
 def trip_segments_oracle(sited_cte: str) -> str:
     """DuckDB twin of trip_segments_format (same window algebra, same
     formatting snippets); enables a full value-hash check where the
-    old applyInPandas version allowed only a rows-only check."""
+    old applyInPandas version allowed only a rows-only check.
+
+    Deliberately %-free: printf/strftime/LIKE patterns are replaced by
+    fmt-style format(), TIME casts and ends_with() so a %-templating
+    harness can run the SQL verbatim (format('{:.Nf}') verified ==
+    printf('%.Nf') on 200k random doubles). Distance is
+    list_reduce(list(step_m ORDER BY idx)) — the same left-to-right
+    fold as the Spark side's aggregate() over the sorted array, so FP
+    accumulation order is pinned on both engines."""
     d2 = _d2_sql("plat", "plon", "lat", "lon")
     hav = geo.haversine_sql("plat", "plon", "lat", "lon")
+    stripped = "regexp_replace(format('{:.4f}', dist), '0+$', '')"
     fmt = (
-        "CASE WHEN regexp_replace(printf('%.4f', sum(step_m)), '0+$', '') LIKE '%.' "
-        "THEN regexp_replace(printf('%.4f', sum(step_m)), '0+$', '') || '0' "
-        "ELSE regexp_replace(printf('%.4f', sum(step_m)), '0+$', '') END"
+        f"CASE WHEN ends_with({stripped}, '.') "
+        f"THEN {stripped} || '0' "
+        f"ELSE {stripped} END"
     )
+    # date_trunc floors sub-second parts like Spark's HH:mm:ss format
+    hms = "CAST(CAST(date_trunc('second', call_time) AS TIME) AS VARCHAR)"
     return (
         f"{sited_cte}, "
         "lagged AS (SELECT uid, CAST(CAST(call_time AS DATE) AS VARCHAR) AS pdt, "
@@ -527,18 +561,21 @@ def trip_segments_oracle(sited_cte: str) -> str:
         f"CASE WHEN brk = 1 THEN {geo.dlit(0.0)} ELSE {hav} END AS step_m FROM brk), "
         "idxd AS (SELECT *, CAST(row_number() OVER (PARTITION BY uid, pdt, trip_seq "
         "ORDER BY call_time, event_id) AS INTEGER) AS idx, "
-        "CAST(floor(epoch(call_time)) AS BIGINT) AS ep FROM seg) "
-        "SELECT uid, pdt, trip_seq, "
-        f"CASE WHEN max(ep) - min(ep) >= {STAY_MIN_S} THEN 'STAY' ELSE 'MOVE' END AS kind, "
-        f"CASE WHEN max(ep) - min(ep) >= {STAY_MIN_S} THEN 'STAY' ELSE 'UNKNOWN' END AS mode, "
-        f"{fmt} AS distance_m, "
+        "CAST(floor(epoch(call_time)) AS BIGINT) AS ep FROM seg), "
+        "agg AS (SELECT uid, pdt, trip_seq, "
         "max(ep) - min(ep) AS total_time_s, "
-        "strftime(min(call_time), '%H:%M:%S') AS start_hms, "
-        "strftime(max(call_time), '%H:%M:%S') AS end_hms, "
+        "list_reduce(list(step_m ORDER BY idx), (a, x) -> a + x) AS dist, "
+        "CAST(CAST(date_trunc('second', min(call_time)) AS TIME) AS VARCHAR) AS start_hms, "
+        "CAST(CAST(date_trunc('second', max(call_time)) AS TIME) AS VARCHAR) AS end_hms, "
         "CAST(count(*) AS INTEGER) AS n_points, "
-        "string_agg(printf('%d|%s|%.6f|%.6f', idx, strftime(call_time, '%H:%M:%S'), "
+        f"string_agg(format('{{}}|{{}}|{{:.6f}}|{{:.6f}}', idx, {hms}, "
         "lat, lon), ';' ORDER BY idx) AS points "
-        "FROM idxd GROUP BY uid, pdt, trip_seq"
+        "FROM idxd GROUP BY uid, pdt, trip_seq) "
+        "SELECT uid, pdt, trip_seq, "
+        f"CASE WHEN total_time_s >= {STAY_MIN_S} THEN 'STAY' ELSE 'MOVE' END AS kind, "
+        f"CASE WHEN total_time_s >= {STAY_MIN_S} THEN 'STAY' ELSE 'UNKNOWN' END AS mode, "
+        f"{fmt} AS distance_m, "
+        "total_time_s, start_hms, end_hms, n_points, points FROM agg"
     )
 
 
@@ -575,7 +612,14 @@ def export_gps_format(trips: DataFrame) -> DataFrame:
     (``size(route_arr) > 1`` guard) explode their trip list, then each
     trip's "i|time|lat|lon;..." point string splits and explodes to
     one output row per point with '|' rewritten to ',' — reproduced as
-    a window count + split + explode, all codegen."""
+    a window count + split + explode, all codegen.
+
+    ``trips`` must be the PADDED trip table
+    (``trip_24h_padding(trip_segments_format(...))``): the reference
+    reads ``*_trip_routing_array_apd`` — i.e. after 24-h padding — so
+    the ``> 1`` guard counts filler STAYs too, and a day with exactly
+    one real segment still exports (fillers' empty point strings are
+    dropped by the ``pt != ''`` filter)."""
     w = Window.partitionBy("uid", "pdt")
     return (
         trips.withColumn("__ntrips", F.count(F.lit(1)).over(w))

@@ -291,11 +291,23 @@ def daily_average_unique_locations(cdr: DataFrame) -> DataFrame:
 
 def average_daily_admin_level(zoned: DataFrame, towers: DataFrame, level: str = "admin1") -> DataFrame:
     """Reference reports/summary/average_daily_admin1.sql:
-    sum over days of count(distinct admin) divided by the day count —
-    identical to avg over the per-day distinct counts (the reference
-    passes {total_days} in from an earlier query; same value)."""
+    sum over days of count(distinct admin) divided by {total_days}.
+
+    The denominator is the day count of the WHOLE event table (the
+    reference passes {total_days} in from total_days.sql), not the
+    count of days that survive the admin join — if every event of some
+    day failed to map to a zone, avg() over joined days would silently
+    use the smaller denominator. Both aggregates are single-row, so
+    the crossJoin is a trivial broadcast."""
     j = zoned.join(F.broadcast(towers.select("zone_id", level)), "zone_id")
-    per = j.groupBy(F.to_date("call_time").alias("day")).agg(
-        F.countDistinct(level).alias("c")
+    per_sum = (
+        j.groupBy(F.to_date("call_time").alias("day"))
+        .agg(F.countDistinct(level).alias("c"))
+        .agg(F.sum("c").alias("s"))
     )
-    return per.agg(F.round(F.avg("c"), 6).alias(f"average_{level}_per_day"))
+    days = zoned.agg(
+        F.countDistinct(F.to_date("call_time")).alias("nd")
+    )
+    return per_sum.crossJoin(days).select(
+        F.round(F.col("s") / F.col("nd"), 6).alias(f"average_{level}_per_day")
+    )

@@ -167,7 +167,9 @@ def language_id_oracle(view: str = "documents") -> str:
     return (
         f"WITH langs(lang_cand) AS (VALUES {lang_values}), "
         f"toks AS (SELECT doc_id, unnest({tok}) AS token FROM {view}), "
-        f"scored AS (SELECT doc_id, lang_cand, sum(({w}) % 1000) AS score "
+        # CAST: DuckDB sum(INTEGER) is HUGEINT (Arrow decimal128) —
+        # cast to BIGINT so the value hash matches Spark's long.
+        f"scored AS (SELECT doc_id, lang_cand, CAST(sum(({w}) % 1000) AS BIGINT) AS score "
         "FROM toks CROSS JOIN langs GROUP BY 1, 2) "
         "SELECT doc_id, lang_cand AS predicted_lang, score FROM ("
         "SELECT scored.*, row_number() OVER (PARTITION BY doc_id "
