@@ -95,6 +95,26 @@ def cosine_sql(a: str, b: str, na2: str, nb2: str, dialect: str) -> str:
     return f"({dot_sql(a, b, dialect)} / sqrt(({na2}) * ({nb2})))"
 
 
+# Near-dup banding: OR-amplified sign-LSH. ND_BANDS bands of ND_ROWS
+# sign bits each (64 distinct hyperplanes); a pair is a candidate when
+# ANY band key matches. P(candidate) = 1 - (1 - p^r)^b with
+# p = 1 - acos(cos)/pi — at the 0.4 contract threshold p ≈ 0.63,
+# giving ~94% recall; recall vs the exact all-pairs baseline is
+# asserted in tests (test_similarity).
+ND_BANDS = 16
+ND_ROWS = 4
+
+
+def band_key_sql(col: str, band: int, dialect: str, dim: int = DIM) -> str:
+    """ND_ROWS-bit sign key for one band (planes band*ND_ROWS ...)."""
+    terms = " + ".join(
+        f"(case when {plane_dot_sql(col, band * ND_ROWS + r, dialect, dim)} > 0 "
+        f"then {1 << r} else 0 end)"
+        for r in range(ND_ROWS)
+    )
+    return f"({terms})"
+
+
 # ---------------------------------------------------------------------------
 # IVF coarse quantizer (frozen deterministic codebook)
 #

@@ -42,11 +42,19 @@ LSH_VERIFY_THRESHOLD = 0.1
 # shared fragments
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """One partition per core before the explode: a small corpus read
+    as a single parquet file would otherwise run the whole
+    tokenize+shingle+md5 stage on one core (measured 8x slower at
+    sf0.1); the 2k-row pre-shuffle is free next to that."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def _distinct_shingles(docs: DataFrame, w: int = NGRAM_W) -> DataFrame:
     """(doc_id, s): distinct w-word shingles per document."""
     tok = th.tokens_sql("text", "spark")
     return (
-        docs.select(
+        _spread(docs).select(
             "doc_id",
             F.explode(F.expr(th.shingles_sql(tok, w, "spark"))).alias("s"),
         )
@@ -146,7 +154,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     (term-frequency weighted: repeated tokens vote repeatedly)."""
     tok = th.tokens_sql("text", "spark")
     h = th.md5_int_sql("token", "spark")
-    toks = docs.select("doc_id", F.explode(F.expr(tok)).alias("token"))
+    toks = _spread(docs).select("doc_id", F.explode(F.expr(tok)).alias("token"))
     votes = toks.groupBy("doc_id").agg(
         *[F.expr(v) for v in _simhash_votes(h, "spark")]
     )
@@ -171,15 +179,35 @@ def simhash_oracle(view: str = "documents") -> str:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, w: int = NGRAM_W, threshold: float = NGRAM_THRESHOLD
+    docs: DataFrame,
+    w: int = NGRAM_W,
+    threshold: float = NGRAM_THRESHOLD,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs w-gram Jaccard >= threshold via sparse shingle join.
 
     The equi-join on the shingle key is the scalable formulation: no
     cross join ever materializes; cost is sum over shingles of
-    (docs-per-shingle choose 2)."""
+    (docs-per-shingle choose 2) — which is exactly why a single hot
+    boilerplate shingle appearing in k docs costs k^2/2 pairs.
+    ``max_df`` is the stop-shingle cap for that skew: shingles whose
+    document frequency exceeds it are dropped from PAIR GENERATION
+    only (one count+filter over the shingle table — a cheap window-
+    free aggregation on the same key the join shuffles on). Per-doc
+    sizes ``n`` keep counting every shingle, so capped Jaccard is a
+    lower bound of the exact value: recall-safe pruning of pairs
+    whose only overlap is boilerplate. Default None = exact (the
+    contract/oracle form)."""
     ds = _distinct_shingles(docs, w)
     counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        keep = (
+            ds.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        ds = ds.join(keep, "s")
     a = ds.select(F.col("doc_id").alias("doc_a"), "s")
     b = ds.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
@@ -206,13 +234,46 @@ def ngram_jaccard_oracle(view: str = "documents") -> str:
 # 4. MinHash + LSH
 
 
-def _minhash_sig(ds: DataFrame) -> DataFrame:
-    # Hash each shingle ONCE in a projection, then take the 16
-    # permutation minima over the cheap mod-arithmetic — md5 is the
-    # expensive part and must not be re-expanded per permutation.
-    hashed = ds.select(
-        "doc_id", F.expr(th.md5_int_sql("s", "spark")).alias("h")
+def _hashed_shingles(docs: DataFrame, w: int = NGRAM_W) -> DataFrame:
+    """(doc_id, h): distinct 60-bit shingle hashes per document,
+    MATERIALIZED once (localCheckpoint).
+
+    The tokenize+shingle+md5 stage is the expensive part of the
+    MinHash family, and Spark has no common-subplan reuse — without
+    materialization the 4 downstream lineages (signature minima,
+    per-doc counts, and both sides of the intersection join) would
+    each re-derive it. Checkpointing the (bigint, bigint) frame —
+    16 bytes/row instead of the shingle strings — is the
+    "materialized shingle table" a 100 TB run would write to storage.
+    Downstream, intersections join on the hash, not the string:
+    identical distinct-cardinalities modulo md5 collisions
+    (P < 1e-9 at 2^60 for any realistic corpus), and the DuckDB
+    oracle mirrors the same hash join bit-for-bit.
+    """
+    tok = th.tokens_sql("text", "spark")
+    hashed = (
+        _spread(docs).select(
+            "doc_id",
+            F.explode(F.expr(th.shingles_sql(tok, w, "spark"))).alias("s"),
+        )
+        .select("doc_id", F.expr(th.md5_int_sql("s", "spark")).alias("h"))
+        .distinct()
     )
+    return hashed.localCheckpoint(eager=False)
+
+
+def _hashed_shingle_cte(view: str, w: int = NGRAM_W) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    h = th.md5_int_sql("s", "duckdb")
+    return (
+        f"dh AS (SELECT DISTINCT doc_id, {h} AS h FROM (SELECT doc_id, "
+        f"unnest({th.shingles_sql(tok, w, 'duckdb')}) AS s FROM {view}))"
+    )
+
+
+def _minhash_sig(hashed: DataFrame) -> DataFrame:
+    # Permutation minima over the cheap mod-arithmetic of the
+    # already-materialized hashes — md5 is never re-expanded.
     return hashed.groupBy("doc_id").agg(
         *[
             F.min(F.expr(th.minhash_perm_sql("h", k))).alias(f"m{k}")
@@ -240,8 +301,10 @@ def minhash_lsh_pairs(
 
     This is the 100 TB dedup path: per-document work is a single
     groupBy producing a 16-value signature; candidate generation is
-    an equi-join on (band, band_key) — never all-pairs."""
-    ds = _distinct_shingles(docs)
+    an equi-join on (band, band_key) — never all-pairs. The hashed
+    shingle table is materialized ONCE (_hashed_shingles) and feeds
+    all four downstream lineages."""
+    ds = _hashed_shingles(docs)
     counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sig = _minhash_sig(ds)
     band_structs = F.array(
@@ -267,12 +330,12 @@ def minhash_lsh_pairs(
     )
     # Candidate set is tiny relative to the shingle table: broadcast
     # it onto the a-side shingles, then equi-join the b-side on
-    # (doc_b, s) so intersection counting is a pure hash join on the
-    # shingle key — never a per-pair cross of shingle lists.
+    # (doc_b, h) so intersection counting is a pure hash join on the
+    # shingle hash — never a per-pair cross of shingle lists.
     inter = (
-        ds.select(F.col("doc_id").alias("doc_a"), "s")
+        ds.select(F.col("doc_id").alias("doc_a"), "h")
         .join(F.broadcast(cand), "doc_a")
-        .join(ds.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -280,69 +343,94 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_oracle(view: str = "documents") -> str:
-    h = th.md5_int_sql("s", "duckdb")
     mins = ", ".join(
-        f"min({th.minhash_perm_sql(h, k)}) AS m{k}" for k in range(th.NUM_PERM)
+        f"min({th.minhash_perm_sql('h', k)}) AS m{k}" for k in range(th.NUM_PERM)
     )
     band_blocks = " UNION ALL ".join(
         f"SELECT doc_id, {j} AS band, {key} AS bkey FROM sig"
         for j, key in _band_exprs()
     )
     return (
-        f"WITH {_shingle_cte(view)}, "
-        "n AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), "
-        f"sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id), "
+        f"WITH {_hashed_shingle_cte(view)}, "
+        "n AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {mins} FROM dh GROUP BY doc_id), "
         f"bands AS ({band_blocks}), "
         "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey "
         "AND x.doc_id < y.doc_id), "
         "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter FROM cand c "
-        "JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b "
-        "AND b.s = a.s GROUP BY 1, 2) "
+        "JOIN dh a ON a.doc_id = c.doc_a JOIN dh b ON b.doc_id = c.doc_b "
+        "AND b.h = a.h GROUP BY 1, 2) "
         + _JACCARD_TAIL.format(thr=LSH_VERIFY_THRESHOLD)
     )
 
 
 def dedup_clusters(
-    docs: DataFrame, threshold: float = LSH_VERIFY_THRESHOLD, max_iters: int = 20
+    docs: DataFrame,
+    threshold: float = LSH_VERIFY_THRESHOLD,
+    max_iters: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash-LSH pair graph, labeling every document with the smallest
     doc_id in its component (= the canonical representative a training
     pipeline keeps).
 
-    Iterative min-label propagation — the standard log-diameter
-    large-scale CC loop: each round every node takes the min of its
-    own label and its neighbours' labels; the driver loop stops at the
-    fixpoint (exact components, not an approximation). Each iteration
-    localCheckpoints the label frame so lineage stays O(1) instead of
-    growing per round — at 10^12 edges this is what keeps the plan
-    compilable; the per-round shuffle is on doc_id, the natural key.
+    Iterative min-label propagation with a pointer-doubling hop: each
+    round every node takes the min of its own label and its
+    neighbours' labels (one edge hop), then replaces its label with
+    its LABEL'S label (labels.join(labels) — path halving). The edge
+    hop alone converges in O(diameter) rounds; the label-over-label
+    hop squares the reach per round, giving true O(log diameter)
+    convergence (max_iters=20 covers components of diameter ~2^20).
+    The driver loop stops at the fixpoint (exact components, not an
+    approximation) and RAISES if max_iters is exhausted before the
+    fixpoint — silent non-convergence would return wrong labels.
+    Each iteration localCheckpoints the label frame so lineage stays
+    O(1) instead of growing per round — at 10^12 edges this is what
+    keeps the plan compilable; the per-round shuffles are on doc_id /
+    cluster_id, the natural keys.
 
     Output: (doc_id, cluster_id, is_representative). DuckDB oracle:
     recursive-CTE transitive closure + min — both sides compute the
     exact component minimum, so values hash-match.
+
+    ``pairs`` overrides the edge source (default: the MinHash-LSH
+    pair join) — any (doc_a, doc_b) frame works, e.g. the embedding
+    near-dup pairs.
     """
-    pairs = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold)
+    pairs = pairs.select("doc_a", "doc_b")
     sym = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = sym.localCheckpoint(eager=True)
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        hop1 = labels.join(nbr, labels.doc_id == nbr.dst, "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: label <- label[label]. Labels only ever
+        # shrink, so parent.cluster_id <= own cluster_id.
+        parent = hop1.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
         new = (
-            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            hop1.join(parent, hop1.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
@@ -355,6 +443,11 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -34,11 +34,10 @@ NEAR_DUP_THRESHOLD = 0.4
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure the corpus side of a cartesian/broadcast join has at
     least one partition per core — a small parquet file reads as a
-    single partition, which would serialize the whole scoring loop."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    single partition, which would serialize the whole scoring loop.
+    Unconditional repartition: checking df.rdd.getNumPartitions()
+    would convert the whole plan to an RDD just to read a number."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _with_norm(emb: DataFrame, prefix: str = "") -> DataFrame:
@@ -99,7 +98,70 @@ def cosine_topk_lsh(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) 
 
 
 def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
-    """All vector pairs with cosine >= threshold (embedding near-dup)."""
+    """Embedding near-duplicate pairs: banded sign-LSH candidate
+    generation + exact-cosine verification.
+
+    The 100 TB shape: candidates come from an equi-join on
+    (band, band_key) — a shuffle on a small key, linear in N — and
+    only the candidate pairs (tiny vs N^2) pay the exact cosine. Same
+    mechanic as minhash_lsh_pairs one module over. Lossy by design
+    (like cosine_topk_lsh): both engines apply the identical banding,
+    and recall vs the exact baseline (near_dup_pairs_exact) is
+    measured in tests."""
+    v = _with_norm(_spread(emb)).drop("label")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(vec.band_key_sql("embedding", j, "spark")).alias("bkey"),
+            )
+            for j in range(vec.ND_BANDS)
+        ]
+    )
+    bands = v.select("vec_id", F.explode(band_structs).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_n2"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm2").alias("b_n2"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.expr(vec.cosine_sql("a_emb", "b_emb", "a_n2", "b_n2", "spark")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def near_dup_pairs_exact(
+    emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
+) -> DataFrame:
+    """All-pairs exact baseline (O(N^2) crossJoin) — kept ONLY as the
+    recall yardstick for near_dup_pairs in tests; never the scale
+    path."""
     a = _with_norm(_spread(emb), "q_")
     b = _with_norm(emb).drop("label")
     return (
@@ -172,12 +234,24 @@ def cosine_topk_lsh_oracle(view: str = "embeddings", k: int = TOP_K, n_queries: 
 
 
 def near_dup_oracle(view: str = "embeddings", threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    """DuckDB twin of the BANDED near_dup_pairs (identical band keys,
+    so the value hash matches the lossy-by-design Spark plan)."""
     n2 = vec.norm2_sql("embedding", "duckdb")
     cos = vec.cosine_sql("a.embedding", "b.embedding", "a.norm2", "b.norm2", "duckdb")
+    band_blocks = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band, "
+        f"{vec.band_key_sql('embedding', j, 'duckdb')} AS bkey FROM v"
+        for j in range(vec.ND_BANDS)
+    )
     return (
-        f"WITH v AS (SELECT vec_id, embedding, {n2} AS norm2 FROM {view}) "
-        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine "
-        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        f"WITH v AS (SELECT vec_id, embedding, {n2} AS norm2 FROM {view}), "
+        f"bands AS ({band_blocks}), "
+        "cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b "
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey "
+        "AND x.vec_id < y.vec_id) "
+        f"SELECT vec_a, vec_b, round({cos}, 6) AS cosine "
+        "FROM cand c JOIN v a ON a.vec_id = c.vec_a "
+        "JOIN v b ON b.vec_id = c.vec_b "
         f"WHERE round({cos}, 6) >= {threshold}"
     )
 

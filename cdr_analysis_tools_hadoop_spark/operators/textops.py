@@ -143,7 +143,12 @@ def language_id(docs: DataFrame) -> DataFrame:
         [(lang,) for lang in LANGS], "lang_cand string"
     )
     tok = th.tokens_sql("text", "spark")
-    toks = docs.select("doc_id", F.explode(F.expr(tok)).alias("token"))
+    # spread before the explode: a single-file corpus would otherwise
+    # run the whole tokenize+hash stage on one core
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    toks = spread.select("doc_id", F.explode(F.expr(tok)).alias("token"))
     w = th.md5_int_sql("concat(lang_cand, '|', token)", "spark")
     scored = (
         toks.crossJoin(F.broadcast(langs))
@@ -187,7 +192,8 @@ def fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     documents as near-identical candidates."""
     tok = th.tokens_sql("text", "spark")
     sh = (
-        docs.select(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(th.shingles_sql(tok, 2, "spark"))

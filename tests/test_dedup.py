@@ -82,3 +82,43 @@ def test_dedup_clusters_known_components(spark):
     assert out[3] == (3, True)
     assert out[4][0] == 3 and not out[4][1]
     assert out[5] == (5, True)
+
+
+def _path_graph(spark, n=300):
+    """n docs + explicit path edges (i, i+1): graph diameter n-1,
+    far beyond max_iters=20 for plain one-hop min propagation."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    return docs, pairs
+
+
+def test_dedup_clusters_long_chain_pointer_doubling(spark):
+    """Diameter 299 >> 20 rounds: one-hop propagation alone cannot
+    reach the fixpoint in max_iters=20; the pointer-doubling hop
+    (reach ~2^k after k rounds) converges and labels the path 0."""
+    docs, pairs = _path_graph(spark)
+    out = dedup.dedup_clusters(docs, pairs=pairs).collect()
+    assert len(out) == 300
+    assert all(r.cluster_id == 0 for r in out)
+
+
+def test_dedup_clusters_raises_without_convergence(spark):
+    docs, pairs = _path_graph(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(docs, pairs=pairs, max_iters=3)
+
+
+def test_ngram_max_df_prunes_hot_shingle(spark):
+    """10 docs whose ONLY overlap is one boilerplate shingle: the
+    uncapped join pays all 45 pairs; max_df below the shingle's DF
+    prunes every one (the hot-shingle skew guard)."""
+    rows = [(i, f"u{i} common boiler v{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.08).collect()
+    assert len(uncapped) == 45
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.08, max_df=5).collect()
+    assert capped == []

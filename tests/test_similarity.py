@@ -63,3 +63,34 @@ def test_knn_label_vote_one_row_per_query(emb):
     rows = similarity.knn_label_vote(emb, k=5, n_queries=8).collect()
     assert len(rows) == 8
     assert all(1 <= r.votes <= 5 for r in rows)
+
+
+def test_near_dup_banded_recall_vs_exact(emb):
+    """near_dup_pairs is banded LSH + exact verify: every returned
+    pair must appear in the all-pairs exact baseline with the same
+    cosine (no false positives), and recall on the synthetic corpus
+    must clear the 1-(1-p^r)^b design point (~0.7 at the loose 0.4
+    contract threshold; ~1.0 at a realistic >=0.9 threshold)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs_exact(emb).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs(emb).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair]
+    assert len(banded) / len(exact) >= 0.7
+
+
+def test_near_dup_plan_has_no_cross_join(emb):
+    plan = (
+        similarity.near_dup_pairs(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
