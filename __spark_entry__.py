@@ -170,6 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _zoned(s, d), _towers(s, d), "admin1"
     )
     q["user_activity_histogram"] = lambda s, d: statistics.user_activity_histogram(_cdr(s, d))
+    # rows-only: bin CENTERS of the BHTT sketch are FP-merge-order
+    # dependent, so no cross-engine value hash exists by construction
+    # (row count = min(10, distinct active-day values) is stable)
+    q["user_activity_histogram_adaptive"] = lambda s, d: (
+        statistics.user_activity_histogram_adaptive(_cdr(s, d))
+    )
 
     # --- spatial: zones / cells / tiles / knn (SURVEY.md §2.3, §7.0) ---
     q["zone_population"] = lambda s, d: zones.zone_population(_zoned(s, d), _towers(s, d))

@@ -10,15 +10,18 @@ this environment, so:
   the same kernels — the Spark-side plumbing (schema, Arrow batching,
   partitioning) is identical and is what's tested.
 
-All kernels are mapInPandas over Arrow batches: one numpy call per
-image, zero per-row Python in the Spark sense (no row-at-a-time UDF,
-no collect).
+All kernels are ``mapInArrow`` with zero-copy blob access — the
+binary column is read by slicing the Arrow data buffer through its
+offsets (one memoryview per batch, no per-row Python ``bytes``
+copies, no pandas block consolidation) and passthrough columns reuse
+the incoming Arrow buffers unchanged. This is the same pattern as the
+fused benchmark kernel (pipeline.py decode_validate), applied to the
+secondary multimodal paths.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -27,6 +30,33 @@ from pyspark.sql.types import (
 )
 
 from ..functions import codec
+
+
+def _blob_views(rb, name: str = "bytes"):
+    """Zero-copy memoryview slices of a RecordBatch binary column."""
+    barr = rb.column(rb.schema.get_field_index(name))
+    _, offbuf, databuf = barr.buffers()
+    # binary arrays carry int32 offsets; honor the slice offset
+    offs = np.frombuffer(offbuf, dtype=np.int32)[
+        barr.offset : barr.offset + len(barr) + 1
+    ]
+    data = memoryview(databuf)
+    return [data[offs[i] : offs[i + 1]] for i in range(len(barr))]
+
+
+def _shape_groups(pix_list):
+    """Indices of same-shaped images: one stacked numpy op per
+    distinct (h, w) instead of per image."""
+    shapes = np.array([p.shape[0] << 16 | p.shape[1] for p in pix_list])
+    for s in np.unique(shapes):
+        idxs = np.nonzero(shapes == s)[0]
+        yield idxs, np.stack([pix_list[i] for i in idxs])
+
+
+# PSNR of the qnt4 round-trip without re-encoding: quantizing the low
+# 2 bits to 2 leaves residual (v & 3) - 2, so SSE is a 4-entry LUT sum.
+_SQERR_LUT = np.array([4, 1, 0, 1], dtype=np.uint8)
+_LUMA_W = np.array([0.299, 0.587, 0.114])
 
 
 def decode_features(images: DataFrame) -> DataFrame:
@@ -45,37 +75,45 @@ def decode_features(images: DataFrame) -> DataFrame:
             StructField("psnr_ok", BooleanType()),
         ]
     )
+    narrow = images.select("image_id", "phash", "bytes")
 
     def kernel(batches):
-        for pdf in batches:
-            ids, ph, pph, ml, ps, ok = [], [], [], [], [], []
-            for image_id, phash, blob in zip(
-                pdf["image_id"], pdf["phash"], pdf["bytes"]
-            ):
-                pix = codec.decode(bytes(blob))
-                luma = pix.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                rt = codec.decode(codec.encode_qnt4(pix))
-                p = codec.psnr(pix, rt)
-                ids.append(image_id)
-                ph.append(int(phash))
-                pph.append(codec.phash_ahash(pix))
-                ml.append(float(luma.mean()))
-                ps.append(min(p, 1e9))
-                ok.append(p >= 40.0)
-            yield pd.DataFrame(
-                {
-                    "image_id": ids,
-                    "phash": ph,
-                    "pixel_phash": pph,
-                    "mean_luma": ml,
-                    "qnt4_psnr": ps,
-                    "psnr_ok": ok,
-                }
+        import pyarrow as pa
+
+        for rb in batches:
+            pix_list = [codec.decode(v) for v in _blob_views(rb)]
+            n = len(pix_list)
+            ml = np.empty(n)
+            ps = np.empty(n)
+            pph = np.empty(n, dtype=np.int64)
+            for idxs, stack in _shape_groups(pix_list):
+                k, h, w, c = stack.shape
+                csum = stack.sum(axis=(1, 2), dtype=np.int64)
+                ml[idxs] = (csum @ _LUMA_W) / (h * w)
+                sse = _SQERR_LUT[stack & 3].sum(axis=(1, 2, 3), dtype=np.int64)
+                npix = float(h * w * c)
+                with np.errstate(divide="ignore"):
+                    ps[idxs] = np.minimum(
+                        10.0 * np.log10(255.0**2 * npix / sse), 1e9
+                    )
+            for i, pix in enumerate(pix_list):
+                pph[i] = codec.phash_ahash(pix)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # image_id: same Arrow buffer, zero copy
+                    rb.column(1),  # phash
+                    pa.array(pph, type=pa.int64()),
+                    pa.array(ml, type=pa.float64()),
+                    pa.array(ps, type=pa.float64()),
+                    pa.array(ps >= 40.0, type=pa.bool_()),
+                ],
+                names=[
+                    "image_id", "phash", "pixel_phash", "mean_luma",
+                    "qnt4_psnr", "psnr_ok",
+                ],
             )
 
-    return images.select("image_id", "phash", "bytes").mapInPandas(
-        kernel, schema=out_schema
-    )
+    return narrow.mapInArrow(kernel, schema=out_schema)
 
 
 def transcode(images: DataFrame, to_fmt: str = "qnt4") -> DataFrame:
@@ -95,13 +133,20 @@ def transcode(images: DataFrame, to_fmt: str = "qnt4") -> DataFrame:
     )
 
     def kernel(batches):
-        for pdf in batches:
-            blobs = [enc(codec.decode(bytes(b))) for b in pdf["bytes"]]
-            yield pd.DataFrame(
-                {"image_id": pdf["image_id"], "bytes": blobs, "fmt": to_fmt}
+        import pyarrow as pa
+
+        for rb in batches:
+            blobs = [enc(codec.decode(v)) for v in _blob_views(rb)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # image_id passthrough, zero copy
+                    pa.array(blobs, type=pa.binary()),
+                    pa.array([to_fmt] * len(blobs), type=pa.string()),
+                ],
+                names=["image_id", "bytes", "fmt"],
             )
 
-    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema=schema)
+    return images.select("image_id", "bytes").mapInArrow(kernel, schema=schema)
 
 
 def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
@@ -110,19 +155,19 @@ def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
     this environment). Kept as the documented extension point."""
 
     def kernel(batches):
-        for pdf in batches:
-            for b in pdf["bytes"]:
-                codec.decode(bytes(b))  # raises NotImplementedError for H264
-            yield pdf
+        for rb in batches:
+            for v in _blob_views(rb):
+                codec.decode(v)  # raises NotImplementedError for H264
+            yield rb
 
-    return videos.mapInPandas(kernel, schema=videos.schema)
+    return videos.mapInArrow(kernel, schema=videos.schema)
 
 
 def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
     """Thumbnail generation: decode, box-average downsample by
     ``factor``, re-encode (rawz). Real pixel math end-to-end — the
-    standard pre-training resize step expressed as the same Arrow
-    batch shape as decode/transcode."""
+    standard pre-training resize step, downsampled one shape-stack at
+    a time (one reshape+mean per distinct (h, w), not per image)."""
     schema = StructType(
         [
             StructField("image_id", images.schema["image_id"].dataType),
@@ -133,24 +178,35 @@ def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
     )
 
     def kernel(batches):
-        import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            ids, ws, hs, blobs = [], [], [], []
-            for i, b in zip(pdf["image_id"], pdf["bytes"]):
-                pix = codec.decode(bytes(b))
-                h, w, c = pix.shape
+        for rb in batches:
+            pix_list = [codec.decode(v) for v in _blob_views(rb)]
+            n = len(pix_list)
+            ws = np.empty(n, dtype=np.int32)
+            hs = np.empty(n, dtype=np.int32)
+            blobs: list = [None] * n
+            for idxs, stack in _shape_groups(pix_list):
+                k, h, w, c = stack.shape
                 h2, w2 = (h // factor) * factor, (w // factor) * factor
                 small = (
-                    pix[:h2, :w2]
-                    .reshape(h2 // factor, factor, w2 // factor, factor, c)
-                    .mean(axis=(1, 3))
+                    stack[:, :h2, :w2]
+                    .reshape(k, h2 // factor, factor, w2 // factor, factor, c)
+                    .mean(axis=(2, 4))
                     .astype(np.uint8)
                 )
-                ids.append(i)
-                hs.append(small.shape[0])
-                ws.append(small.shape[1])
-                blobs.append(codec.encode_rawz(small))
-            yield pd.DataFrame({"image_id": ids, "w": ws, "h": hs, "bytes": blobs})
+                hs[idxs] = small.shape[1]
+                ws[idxs] = small.shape[2]
+                for j, i in enumerate(idxs):
+                    blobs[i] = codec.encode_rawz(small[j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # image_id passthrough, zero copy
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                names=["image_id", "w", "h", "bytes"],
+            )
 
-    return images.select("image_id", "bytes").mapInPandas(kernel, schema=schema)
+    return images.select("image_id", "bytes").mapInArrow(kernel, schema=schema)

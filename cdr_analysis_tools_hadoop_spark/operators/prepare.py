@@ -69,6 +69,63 @@ def compile_projection(
     return out
 
 
+def stat_enabled(mapping: list[dict], required: tuple[str, ...]) -> bool:
+    """P11 mapping-completeness gate (reference
+    Common/cdr_statistics.py:21-30,70-75): a statistic is DISABLED
+    when any required canonical column is unmapped. A mapping item is
+    unmapped when its ``output_no`` is -1 (reference convention) or it
+    has neither ``expr`` nor ``custom``; a required column absent from
+    the mapping entirely is likewise unmapped."""
+    by_name = {item["name"].lower(): item for item in mapping}
+    for name in required:
+        item = by_name.get(name.lower())
+        if item is None:
+            return False
+        if item.get("output_no") == -1:
+            return False
+        if not (item.get("custom") or item.get("expr")):
+            return False
+    return True
+
+
+def mapping_admin(
+    towers: DataFrame, admin: str, filter_invalid_coords: bool = False
+) -> DataFrame:
+    """Per-admin-level zone table (reference insert_mapping_admin.sql):
+    distinct (admin, latitude, longitude) with dense 0-based zone ids.
+
+    - P5 blank-admin filter: ``translate({admin},'  ',' ') != ''``
+      (insert_mapping_admin.sql:3) — Spark's translate has identical
+      positional-mapping semantics, so the predicate is verbatim.
+    - P4 optional coordinate filter (the {check_lat_lng} slot).
+    - W4/Q3: the reference's ``row_number() OVER ()`` is
+      engine-nondeterministic; ids here are pinned to
+      ORDER BY (admin, latitude, longitude) — documented deviation.
+      The single-partition window is fine: the zone dimension is
+      broadcast-sized by definition (it feeds broadcast joins).
+    """
+    from pyspark.sql import Window
+
+    filtered = towers.filter(F.expr(f"translate({admin}, '  ', ' ') != ''"))
+    if filter_invalid_coords:
+        # try_cast: the reference's all-string schema compares lat/lon
+        # numerically via Hive's implicit double cast; ANSI Spark needs
+        # the explicit try_cast (unparseable -> NULL -> dropped).
+        lat = F.expr("try_cast(latitude AS double)")
+        lon = F.expr("try_cast(longitude AS double)")
+        filtered = filtered.filter(
+            ((lat != 0) | (lon != 0)) & lat.isNotNull() & lon.isNotNull()
+        )
+    distinct = filtered.select(admin, "latitude", "longitude").distinct()
+    w = Window.orderBy(admin, "latitude", "longitude")
+    return distinct.select(
+        (F.row_number().over(w) - 1).alias("rowidx"),
+        admin,
+        "latitude",
+        "longitude",
+    )
+
+
 def preprocess(
     df: DataFrame,
     projection: list,

@@ -40,16 +40,33 @@ def total_unique_uids(cdr: DataFrame) -> DataFrame:
     return cdr.agg(F.countDistinct("uid").alias("total_unique_uids"))
 
 
-def data_statistics(cdr: DataFrame) -> DataFrame:
-    """One-pass multi-aggregate (the reference runs one Hive job with
-    injected imei/imsi fragments, Common/cdr_statistics.py:35-38)."""
-    return cdr.agg(
+def data_statistics(cdr: DataFrame, faithful: bool = False) -> DataFrame:
+    """One-pass multi-aggregate (reference data_statistics.sql via
+    Common/cdr_statistics.py:35-38).
+
+    The reference injects ``count(distinct IMEI/IMSI)`` fragments when
+    those columns are mapped — mirrored here by injecting them when
+    the frame carries them (the driver's events adapter does not, so
+    the contract output is unchanged). ``faithful=True`` uses the
+    reference's exact output column names (unique_id,
+    unique_location_name) for golden-file comparison."""
+    uid_name = "unique_id" if faithful else "total_uids"
+    cols = [
         F.count(F.lit(1)).alias("total_records"),
         F.countDistinct(F.to_date("call_time")).alias("total_days"),
-        F.countDistinct("uid").alias("total_uids"),
+        F.countDistinct("uid").alias(uid_name),
+    ]
+    if "imei" in cdr.columns:
+        cols.append(F.countDistinct("imei").alias("unique_imei"))
+    if "imsi" in cdr.columns:
+        cols.append(F.countDistinct("imsi").alias("unique_imsi"))
+    if faithful and "cell_id" in cdr.columns:
+        cols.append(F.countDistinct("cell_id").alias("unique_location_name"))
+    cols += [
         F.min(F.to_date("call_time")).alias("start_date"),
         F.max(F.to_date("call_time")).alias("end_date"),
-    )
+    ]
+    return cdr.agg(*cols)
 
 
 def daily_cdrs(cdr: DataFrame) -> DataFrame:
@@ -192,16 +209,55 @@ def average_daily_by_type(cdr: DataFrame) -> DataFrame:
     )
 
 
-def user_activity_histogram(cdr: DataFrame, num_buckets: int = 10) -> DataFrame:
-    """Histogram of days-active per user.
-
-    The reference uses Hive `histogram_numeric(active_days, 10)`
-    (queries/statistics/histogram.sql:1-6) whose adaptive bin merge is
-    engine-specific; fixed-width buckets over [min, max] are the
-    portable re-expression (documented deviation)."""
-    active = cdr.groupBy("uid").agg(
+def _active_days(cdr: DataFrame) -> DataFrame:
+    """days-active per uid (reference histogram.sql inner query —
+    its group by (uid, year, month, day) then count(*) per uid is
+    exactly count(distinct date) per uid)."""
+    return cdr.groupBy("uid").agg(
         F.countDistinct(F.to_date("call_time")).alias("active_days")
     )
+
+
+def user_activity_histogram_adaptive(
+    cdr: DataFrame, num_buckets: int = 10
+) -> DataFrame:
+    """A10 parity form: Spark's built-in ``histogram_numeric`` — the
+    same Ben-Haim/Tom-Tov adaptive-bin sketch Hive runs in the
+    reference (queries/statistics/graphs/date_histogram/histogram.sql),
+    exploded to (bin_center, num_users) rows like the reference's
+    ``explode(histogram_numeric(active_days, 10))``.
+
+    Bin CENTERS are FP-merge-order dependent (the sketch is an
+    unordered aggregate), so this form has no cross-engine value-hash
+    oracle; tests/test_operators.py pins it exactly on fixtures where
+    distinct values <= num_buckets (no merging -> deterministic) and
+    checks the order-independent invariants (bin count, total mass,
+    weighted mean) beyond that. user_activity_histogram below is the
+    fixed-width, bit-reproducible companion the driver hash-checks."""
+    active = _active_days(cdr)
+    return (
+        active.select(
+            # cast: histogram_numeric propagates the INPUT type to the
+            # bin centers (a long input truncates every centroid)
+            F.explode(
+                F.expr(
+                    f"histogram_numeric(cast(active_days as double), {num_buckets})"
+                )
+            ).alias("bin")
+        )
+        .select(
+            F.col("bin.x").cast("double").alias("bin_center"),
+            F.col("bin.y").cast("double").alias("num_users"),
+        )
+        .orderBy("bin_center")
+    )
+
+
+def user_activity_histogram(cdr: DataFrame, num_buckets: int = 10) -> DataFrame:
+    """Histogram of days-active per user — fixed-width buckets over a
+    pinned range: the bit-reproducible form both engines can mirror
+    (the adaptive twin above is the reference's exact algorithm)."""
+    active = _active_days(cdr)
     lo, hi = 1, 32  # days-active bounded by a month window; fixed bounds keep bucketing portable
     width = (hi - lo) / num_buckets
     bucket = F.least(

@@ -115,3 +115,99 @@ def test_daily_statistics_grains(spark):
     assert m[("ALL", "3G")] == (2, 2)
     assert m[("Voice", "2G")] == (1, 1)
     assert len(out) == 1 + 2 + 2 + 3
+
+
+def test_mapping_admin_blank_filter_and_dense_ids(spark):
+    """P5: blank/empty admin names are dropped
+    (translate(admin,'  ',' ') != ''); zone ids are dense, 0-based,
+    pinned to (admin, lat, lon) order — W4/Q3."""
+    from cdr_analysis_tools_hadoop_spark.operators import prepare
+
+    rows = [
+        ("c1", "1.0", "2.0", "Alpha"),
+        ("c2", "1.0", "2.0", "Alpha"),     # duplicate (admin,lat,lon)
+        ("c3", "3.0", "4.0", "Beta"),
+        ("c4", "5.0", "6.0", ""),          # blank admin -> dropped
+        ("c5", "0", "0", "Gamma"),         # invalid coords
+    ]
+    towers = spark.createDataFrame(
+        rows, "cell_id string, latitude string, longitude string, admin1 string"
+    )
+    out = prepare.mapping_admin(towers, "admin1").collect()
+    assert [(r.rowidx, r.admin1) for r in sorted(out, key=lambda r: r.rowidx)] == [
+        (0, "Alpha"), (1, "Beta"), (2, "Gamma")
+    ]
+    out2 = prepare.mapping_admin(towers, "admin1", filter_invalid_coords=True)
+    assert {r.admin1 for r in out2.collect()} == {"Alpha", "Beta"}
+
+
+def test_stat_enabled_gate():
+    """P11: a stat is disabled when any required column is unmapped
+    (output_no == -1 / missing expr / absent), enabled otherwise."""
+    from cdr_analysis_tools_hadoop_spark.operators import prepare
+
+    mapping = [
+        {"name": "UID", "expr": "col_a"},
+        {"name": "call_time", "custom": "to_timestamp(col_b)"},
+        {"name": "imei", "output_no": -1},
+        {"name": "imsi", "expr": None},
+    ]
+    assert prepare.stat_enabled(mapping, ("uid", "call_time"))
+    assert not prepare.stat_enabled(mapping, ("uid", "imei"))
+    assert not prepare.stat_enabled(mapping, ("uid", "imsi"))
+    assert not prepare.stat_enabled(mapping, ("uid", "network_type"))
+
+
+def test_data_statistics_injects_imei_imsi(spark):
+    from cdr_analysis_tools_hadoop_spark.operators import statistics
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "uid long, call_time string"
+    ).withColumn("call_time", F.to_timestamp("call_time"))
+    assert "unique_imei" not in statistics.data_statistics(base).columns
+    with_ids = base.withColumn("imei", F.lit("a")).withColumn("imsi", F.lit("b"))
+    cols = statistics.data_statistics(with_ids).columns
+    assert "unique_imei" in cols and "unique_imsi" in cols
+
+
+def test_histogram_numeric_adaptive_exact_when_no_merge(spark):
+    """With distinct active-day values <= num_buckets the BHTT sketch
+    never merges, so bins are exactly (value, count) — deterministic
+    across partitionings and bit-equal to the reference algorithm."""
+    from cdr_analysis_tools_hadoop_spark.operators import statistics
+
+    rows = []
+    # uid blocks with 1, 3, 3, 7 active days respectively
+    for uid, ndays in [(1, 1), (2, 3), (3, 3), (4, 7)]:
+        for d in range(ndays):
+            rows.append((uid, f"2024-01-{d+1:02d} 08:00:00"))
+    cdr = spark.createDataFrame(rows, "uid long, call_time string").withColumn(
+        "call_time", F.to_timestamp("call_time")
+    )
+    got = [
+        (r.bin_center, r.num_users)
+        for r in statistics.user_activity_histogram_adaptive(cdr, 5).collect()
+    ]
+    assert got == [(1.0, 1.0), (3.0, 2.0), (7.0, 1.0)]
+
+
+def test_histogram_numeric_adaptive_invariants(spark):
+    """When merging happens, the sketch still preserves bin count,
+    total mass and the weighted mean (order-independent invariants)."""
+    from cdr_analysis_tools_hadoop_spark.operators import statistics
+
+    rows = []
+    for uid in range(40):
+        for d in range(uid % 13 + 1):
+            rows.append((uid, f"2024-01-{d+1:02d} 08:00:00"))
+    cdr = spark.createDataFrame(rows, "uid long, call_time string").withColumn(
+        "call_time", F.to_timestamp("call_time")
+    )
+    bins = statistics.user_activity_histogram_adaptive(cdr, 5).collect()
+    assert len(bins) == 5
+    assert sum(r.num_users for r in bins) == 40
+    exact_mean = sum(u % 13 + 1 for u in range(40)) / 40
+    got_mean = sum(r.bin_center * r.num_users for r in bins) / 40
+    assert abs(got_mean - exact_mean) < 1e-9
+    centers = [r.bin_center for r in bins]
+    assert centers == sorted(centers)

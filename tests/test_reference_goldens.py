@@ -76,18 +76,16 @@ def towers(spark):
 
 
 def test_file_data_stat_golden(cdr):
+    """The LIBRARY data_statistics (faithful mode, imei/imsi fragments
+    auto-injected because the sample maps them) reproduces
+    css_file_data_stat.csv byte-for-byte, including column order."""
+    from cdr_analysis_tools_hadoop_spark.operators import statistics
+
     g = _read_golden("css_file_data_stat.csv")
     want = dict(zip(g[0], g[1]))
-    row = cdr.agg(
-        F.count(F.lit(1)).alias("total_records"),
-        F.countDistinct(F.to_date("call_time")).alias("total_days"),
-        F.countDistinct("uid").alias("unique_id"),
-        F.countDistinct("imei").alias("unique_imei"),
-        F.countDistinct("imsi").alias("unique_imsi"),
-        F.countDistinct("cell_id").alias("unique_location_name"),
-        F.min(F.to_date("call_time")).cast("string").alias("start_date"),
-        F.max(F.to_date("call_time")).cast("string").alias("end_date"),
-    ).collect()[0]
+    out = statistics.data_statistics(cdr, faithful=True)
+    assert out.columns == list(g[0])
+    row = out.collect()[0]
     for k, v in want.items():
         assert str(row[k]) == v, (k, str(row[k]), v)
 
