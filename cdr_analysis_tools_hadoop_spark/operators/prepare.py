@@ -72,18 +72,24 @@ def compile_projection(
 def stat_enabled(mapping: list[dict], required: tuple[str, ...]) -> bool:
     """P11 mapping-completeness gate (reference
     Common/cdr_statistics.py:21-30,70-75): a statistic is DISABLED
-    when any required canonical column is unmapped. A mapping item is
-    unmapped when its ``output_no`` is -1 (reference convention) or it
-    has neither ``expr`` nor ``custom``; a required column absent from
-    the mapping entirely is likewise unmapped."""
+    when any required canonical column is unmapped.
+
+    ``output_no`` is the reference's authority: -1 disables, any
+    other value enables — even with no input column (the projection
+    then fills the literal '-1' sentinel, which the reference happily
+    counts, e.g. unique_imei=1 in css_file_data_stat.csv). Items
+    without an ``output_no`` (engine-style mappings) count as mapped
+    when they carry an ``expr`` or ``custom``. A required column
+    absent from the mapping entirely is unmapped."""
     by_name = {item["name"].lower(): item for item in mapping}
     for name in required:
         item = by_name.get(name.lower())
         if item is None:
             return False
-        if item.get("output_no") == -1:
-            return False
-        if not (item.get("custom") or item.get("expr")):
+        if "output_no" in item:
+            if item["output_no"] == -1:
+                return False
+        elif not (item.get("custom") or item.get("expr")):
             return False
     return True
 
@@ -139,10 +145,13 @@ def preprocess(
     if check_duplicate:
         out = out.distinct()
     if filter_invalid_coords:
+        # try_cast: the canonical layer is all-string (reference
+        # SURVEY.md §1.2); Hive compares via implicit double cast,
+        # ANSI Spark needs it explicit (unparseable -> NULL -> drop)
+        lat = F.expr(f"try_cast({lat_col} AS double)")
+        lon = F.expr(f"try_cast({lon_col} AS double)")
         out = out.filter(
-            ((F.col(lat_col) != 0) | (F.col(lon_col) != 0))
-            & F.col(lat_col).isNotNull()
-            & F.col(lon_col).isNotNull()
+            ((lat != 0) | (lon != 0)) & lat.isNotNull() & lon.isNotNull()
         )
     return out
 

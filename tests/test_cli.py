@@ -1,0 +1,146 @@
+"""Config-JSON CLI drivers end-to-end: one command sequence over the
+reference's OWN Sample_Inputs reproduces its golden CSVs
+(Statistics/output_reports/*) — the reference user's workflow
+(run_prepare_cdr_and_mapping.py; run_statistics.py;
+run_origin_destination.py) on the engine."""
+
+from __future__ import annotations
+
+import csv
+import json
+
+import pytest
+
+from cdr_analysis_tools_hadoop_spark import cli
+
+GOLDENS = "/root/reference/Statistics/output_reports"
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_run")
+    base = json.load(open("/root/repo/configs/sample_config.json"))
+    base["output_data_location"] = str(root / "warehouse")
+    base["output_report_location"] = str(root / "output_reports")
+    base["output_graph_location"] = str(root / "output_graphs")
+    p = root / "config.json"
+    json.dump(base, open(p, "w"))
+    return base, str(p)
+
+
+@pytest.fixture(scope="module")
+def ran(spark, cfg):
+    conf, _ = cfg
+    cli.run_prepare(spark, conf)
+    written = cli.run_statistics(spark, conf)
+    return conf, written
+
+
+def _read(path):
+    with open(path, newline="") as f:
+        return [r for r in csv.reader(f) if r]
+
+
+def test_cli_reproduces_file_data_stat_golden(ran):
+    conf, _ = ran
+    got = _read(f"{conf['output_report_location']}/css_file_data_stat.csv")
+    want = _read(f"{GOLDENS}/css_file_data_stat.csv")
+    assert got == want
+
+
+def test_cli_reproduces_daily_golden(ran):
+    conf, _ = ran
+    got = _read(f"{conf['output_report_location']}/css_provider_data_stat_daily.csv")
+    want = _read(f"{GOLDENS}/css_provider_data_stat_daily.csv")
+    assert got[0] == want[0]
+    assert sorted(map(tuple, got[1:])) == sorted(map(tuple, want[1:]))
+
+
+def test_cli_reproduces_monthly_golden(ran):
+    conf, _ = ran
+    got = _read(
+        f"{conf['output_report_location']}/css_provider_data_stat_monthly.csv"
+    )
+    want = _read(f"{GOLDENS}/css_provider_data_stat_monthly.csv")
+    assert got[0] == want[0]
+    assert sorted(map(tuple, got[1:])) == sorted(map(tuple, want[1:]))
+
+
+def test_cli_reproduces_zone_goldens(ran):
+    conf, _ = ran
+    for level in ("ADMIN1", "ADMIN2"):
+        got = _read(
+            f"{conf['output_report_location']}/"
+            f"zone_based_aggregations_level_{level}.csv"
+        )
+        want = _read(f"{GOLDENS}/zone_based_aggregations_level_{level}.csv")
+        assert got[0] == want[0], level
+        assert sorted(map(tuple, got[1:])) == sorted(map(tuple, want[1:])), level
+
+
+def test_cli_reproduces_summary_golden(ran):
+    conf, _ = ran
+    got = _read(f"{conf['output_report_location']}/summary_stats.csv")
+    want = _read(f"{GOLDENS}/summary_stats.csv")
+    assert got == want
+
+
+def test_cli_writes_graphs_and_od(spark, ran):
+    conf, written = ran
+    pngs = [p for p in written if p.endswith(".png")]
+    assert len(pngs) == 7
+    for p in pngs:
+        assert open(p, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+    # the reference sample's 8 towers all share ONE lat/lon, so the
+    # J2 composite-key zone join yields a single zone and OD is
+    # legitimately empty (the reference's OD golden came from the
+    # unshipped config_big dataset) — the run must still complete
+    # and write the file
+    path = cli.run_od(spark, conf)
+    assert open(path).read() == ""
+
+
+def test_cli_od_on_multi_zone_input(spark, tmp_path):
+    """Synthetic two-tower input with a user commuting between zones:
+    the od driver must emit leave-home / site-change / return-home
+    edges with 5-column TSV rows."""
+    (tmp_path / "towers.csv").write_text(
+        "CELLID,LATITUDE,LONGITUDE,DISTRICT\n"
+        "c1,10.0,20.0,A\nc2,11.0,21.0,B\n"
+    )
+    (tmp_path / "cdr.csv").write_text(
+        "SUBID,CALLTIME,CELLID\n"
+        "u1,2024-01-01 08:00:00,c1\n"
+        "u1,2024-01-01 12:00:00,c2\n"
+        "u1,2024-01-01 18:00:00,c1\n"
+        "u1,2024-01-02 09:00:00,c1\n"
+        "u2,2024-01-01 10:00:00,c2\n"
+    )
+    conf = {
+        "provider_prefix": "tiny",
+        "data_path": str(tmp_path),
+        "output_data_location": str(tmp_path / "warehouse"),
+        "output_report_location": str(tmp_path / "reports"),
+        "input_files": ["cdr.csv"],
+        "input_cell_tower_files": ["towers.csv"],
+        "check_invalid_lat_lng": True,
+        "cdr_data_layer": [
+            {"input_no": 1, "input_name": "SUBID", "output_no": 1, "name": "UID"},
+            {"input_no": 2, "input_name": "CALLTIME", "output_no": 2, "name": "CALL_TIME"},
+            {"input_no": 3, "input_name": "CELLID", "output_no": 3, "name": "CELL_ID"},
+        ],
+        "cdr_cell_tower": [
+            {"input_no": 1, "input_name": "CELLID", "output_no": 1, "name": "CELL_ID"},
+            {"input_no": 2, "input_name": "LATITUDE", "output_no": 2, "name": "LATITUDE"},
+            {"input_no": 3, "input_name": "LONGITUDE", "output_no": 3, "name": "LONGITUDE"},
+            {"input_no": 4, "input_name": "DISTRICT", "output_no": 4, "name": "ADMIN1"},
+        ],
+    }
+    cli.run_prepare(spark, conf)
+    path = cli.run_od(spark, conf)
+    rows = [r.split("\t") for r in open(path).read().strip().split("\n")]
+    assert rows and all(len(r) == 5 for r in rows)
+    # u1 day1: home=zone0(c1): 12:00 c1->c2 edge, 18:00 c2->c1 edge
+    od = {(r[0], r[1], r[2]): (int(r[3]), int(r[4])) for r in rows}
+    assert od[("2024-01-01", "0", "1")] == (1, 1)
+    assert od[("2024-01-01", "1", "0")] == (1, 1)

@@ -151,8 +151,11 @@ def test_stat_enabled_gate():
         {"name": "call_time", "custom": "to_timestamp(col_b)"},
         {"name": "imei", "output_no": -1},
         {"name": "imsi", "expr": None},
+        # reference shape: output-mapped, no input -> '-1' fill, ENABLED
+        {"name": "cell_id", "output_no": 6, "input_no": -1},
     ]
     assert prepare.stat_enabled(mapping, ("uid", "call_time"))
+    assert prepare.stat_enabled(mapping, ("uid", "cell_id"))
     assert not prepare.stat_enabled(mapping, ("uid", "imei"))
     assert not prepare.stat_enabled(mapping, ("uid", "imsi"))
     assert not prepare.stat_enabled(mapping, ("uid", "network_type"))
