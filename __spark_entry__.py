@@ -312,6 +312,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
         interpolation.trip_segments_format(_cdr(s, d))
     )
+    # TripODStay: consecutive-STAY OD edges (registered-only UDF in
+    # the reference; semantics from jar bytecode)
+    # 50 km stay radius: the synthetic anchors always jump >300 m, so
+    # the faithful default would yield zero stays; the wider radius
+    # exercises the operator's real edge logic (default unchanged)
+    q["trip_od_stay"] = lambda s, d: interpolation.trip_od_stay(
+        interpolation.trip_segments_format(_cdr(s, d), dist_max_m=50_000.0),
+        [
+            (r["zone_id"], r["tlat"], r["tlon"])
+            for r in _towers(s, d).collect()
+        ],
+    )
     # reference reads the PADDED trip table (*_trip_routing_array_apd)
     q["gps_export"] = lambda s, d: interpolation.export_gps_format(
         interpolation.trip_24h_padding(
@@ -565,5 +577,9 @@ def oracle_sql() -> dict[str, str]:
     o["route_interpolation"] = interpolation.route_interpolation_oracle(sited_cte)
     o["trip_segments"] = interpolation.trip_segments_oracle(sited_cte)
     o["trip_24h_padding"] = interpolation.trip_24h_padding_oracle(o["trip_segments"])
+    o["trip_od_stay"] = interpolation.trip_od_stay_oracle(
+        interpolation.trip_segments_oracle(sited_cte, dist_max_m=50_000.0),
+        _TOWERS_CTE,
+    )
     o["gps_export"] = interpolation.export_gps_format_oracle(o["trip_24h_padding"])
     return o

@@ -39,6 +39,7 @@ HEADLINE = [
     "trip_segments",
     "dedup_minhash_lsh",
     "ann_cosine_topk_lsh",
+    "embedding_near_dup",
 ]
 
 
@@ -56,6 +57,11 @@ def ensure_images(spark, n: int, path: str) -> None:
 
 
 IMAGES_LAYOUT = "v2"  # bump when file count / codec / content changes
+
+
+def _cpu_jiffies() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
 
 
 def main() -> None:
@@ -88,6 +94,7 @@ def main() -> None:
     # --- headline analytics queries ---
     import __spark_entry__ as entrymod
 
+    cpu0 = _cpu_jiffies()
     qs = entrymod.queries()
     q_times: dict[str, float] = {}
     q_times["image_pipeline"] = round(pipe_sec, 3)
@@ -105,6 +112,13 @@ def main() -> None:
         q_times[name] = round(time.time() - t0, 3)
 
     total = round(sum(q_times.values()), 3)
+    # hypervisor-steal share of busy time over the analytics section:
+    # this shared host gets multi-minute co-tenant bursts that slow
+    # identical runs 2-4x (see BENCH/BASELINE.md); the number lets a
+    # reader normalize a steal-contaminated bench record
+    d = [y - x for x, y in zip(cpu0, _cpu_jiffies())]
+    busy = d[0] + d[1] + d[2] + d[5] + d[6]
+    steal_pct = round(100.0 * d[7] / max(d[7] + busy, 1), 1)
     print(
         json.dumps(
             {
@@ -116,6 +130,7 @@ def main() -> None:
                 "images_per_sec": round(n_images / pipe_sec, 1),
                 "n_images": n_images,
                 "cpus": cpus,
+                "host_steal_pct": steal_pct,
             }
         )
     )

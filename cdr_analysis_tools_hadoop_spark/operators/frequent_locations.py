@@ -86,3 +86,63 @@ def user_home(freq: DataFrame) -> DataFrame:
     return freq.filter(F.col("trank") == 1).select(
         "uid", F.col("zone_id").alias("home_zone")
     )
+
+
+def frequent_locations_old_consolidate(
+    cdr: DataFrame,
+    towers: DataFrame,
+    admin_zones: DataFrame,
+    admin: str = "admin1",
+) -> DataFrame:
+    """J4 LITERAL legacy variant (reference
+    frequent_locations_old_consolidate.sql:1-7): the 3-way join
+    consolidate JOIN cell_tower_data_preprocess ON cell_id JOIN
+    cell_tower_data_{admin} ON (latitude, longitude) string equality,
+    grouped by (uid, lat, lon, cell_id, admin).
+
+    Faithful quirk: the reference's windows partition by
+    (uid, cell_id) — BOTH of which are group keys — so every
+    partition is a single row: trank is always 1 and ppercent always
+    100.0. Reproduced literally (this is the legacy query's actual
+    output, which is why the non-legacy frequent_locations.sql
+    partitioning by uid alone superseded it).
+
+    Plan shape: broadcast both dimension joins (tower + admin zone
+    are broadcast-sized), ONE shuffle on the group keys. ``towers``
+    is the preprocess table (cell_id, latitude, longitude);
+    ``admin_zones`` is mapping_admin's output (rowidx, admin, lat,
+    lon).
+    """
+    a2 = F.broadcast(
+        towers.select(
+            "cell_id",
+            F.col("latitude").alias("__tlat"),
+            F.col("longitude").alias("__tlon"),
+        ).distinct()
+    )
+    a3 = F.broadcast(
+        admin_zones.select(
+            F.col(admin),
+            F.col("latitude").alias("__tlat"),
+            F.col("longitude").alias("__tlon"),
+        ).distinct()
+    )
+    joined = cdr.join(a2, "cell_id").join(a3, ["__tlat", "__tlon"])
+    counts = joined.groupBy(
+        "uid", "__tlat", "__tlon", "cell_id", admin
+    ).agg(F.count("uid").alias("tcount"))
+    # partition by (uid, cell_id): cell_id is a group key, so each
+    # window holds one row — rank 1, percent 100 (faithful quirk)
+    w = Window.partitionBy("uid", "cell_id")
+    return counts.select(
+        "uid",
+        "cell_id",
+        "tcount",
+        F.row_number()
+        .over(w.orderBy(F.desc("tcount")))
+        .alias("trank"),
+        (F.col("tcount") / F.sum("tcount").over(w) * 100).alias("ppercent"),
+        F.col("__tlon").alias("longitude"),
+        F.col("__tlat").alias("latitude"),
+        admin,
+    ).orderBy("uid", "trank")

@@ -350,7 +350,9 @@ _TRIP_SCHEMA = StructType(
 )
 
 
-def trip_segments_format(sited: DataFrame) -> DataFrame:
+def trip_segments_format(
+    sited: DataFrame, dist_max_m: float = DIST_MAX_M
+) -> DataFrame:
     """Reference-shaped trip rows per (uid, day): STAY/MOVE alternation
     with the "i|HH:mm:ss|lat|lon;..." point-list string encoding
     (TripSegmentationCDR output constants "1|", "|", ";" — SURVEY.md
@@ -365,7 +367,12 @@ def trip_segments_format(sited: DataFrame) -> DataFrame:
     ~20x faster and at 10^12 rows it is one shuffle + codegen instead
     of a Python round trip. Value-hash-checked against
     trip_segments_oracle (string_agg ORDER BY mirrors the point-list
-    codec)."""
+    codec).
+
+    ``dist_max_m`` defaults to the bytecode's 300 m; wider values
+    model coarser stay detection (the reference hardcodes the
+    constant, the engine exposes it as config)."""
+    d2_thresh = (dist_max_m * _DEG_PER_M) ** 2
     base = sited.select(
         "uid",
         F.to_date("call_time").cast("string").alias("pdt"),
@@ -384,7 +391,7 @@ def trip_segments_format(sited: DataFrame) -> DataFrame:
         (F.col("lat") - F.col("prev_lat")) ** 2
         + ((F.col("lon") - F.col("prev_lon")) * F.lit(geo.LON_SCALE)) ** 2
     )
-    brk = F.when(F.col("prev_lat").isNull() | (d2 > F.lit(D2_300M)), 1).otherwise(0)
+    brk = F.when(F.col("prev_lat").isNull() | (d2 > F.lit(d2_thresh)), 1).otherwise(0)
     seg = prev.withColumn("brk", brk).withColumn(
         "trip_seq", (F.sum("brk").over(w) - 1).cast("int")
     )
@@ -526,7 +533,9 @@ def trip_24h_padding(trips: DataFrame) -> DataFrame:
     ).select([f.name for f in trips.schema.fields])
 
 
-def trip_segments_oracle(sited_cte: str) -> str:
+def trip_segments_oracle(
+    sited_cte: str, dist_max_m: float = DIST_MAX_M
+) -> str:
     """DuckDB twin of trip_segments_format (same window algebra, same
     formatting snippets); enables a full value-hash check where the
     old applyInPandas version allowed only a rows-only check.
@@ -539,6 +548,7 @@ def trip_segments_oracle(sited_cte: str) -> str:
     fold as the Spark side's aggregate() over the sorted array, so FP
     accumulation order is pinned on both engines."""
     d2 = _d2_sql("plat", "plon", "lat", "lon")
+    d2_thresh = (dist_max_m * _DEG_PER_M) ** 2
     hav = geo.haversine_sql("plat", "plon", "lat", "lon")
     stripped = "regexp_replace(format('{:.4f}', dist), '0+$', '')"
     fmt = (
@@ -554,7 +564,7 @@ def trip_segments_oracle(sited_cte: str) -> str:
         "call_time, event_id, lat, lon, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon "
         "FROM sited WINDOW w AS (PARTITION BY uid, CAST(call_time AS DATE) "
         "ORDER BY call_time, event_id)), "
-        f"brk AS (SELECT *, CASE WHEN plat IS NULL OR {d2} > {geo.dlit(D2_300M)} "
+        f"brk AS (SELECT *, CASE WHEN plat IS NULL OR {d2} > {geo.dlit(d2_thresh)} "
         "THEN 1 ELSE 0 END AS brk FROM lagged), "
         "seg AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY uid, pdt "
         "ORDER BY call_time, event_id) - 1 AS INTEGER) AS trip_seq, "
@@ -658,4 +668,97 @@ def export_gps_format_oracle(trips_sql: str) -> str:
         "SELECT uid, pdt, trip_seq, kind, mode, distance_m, total_time_s, "
         "start_hms, end_hms, n_points, replace(pt, '|', ',') AS point_csv "
         "FROM pts WHERE pt != ''"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. TripODStay (registered-only UDF in the reference — implemented)
+
+
+def trip_od_stay(trips: DataFrame, sites: list[tuple[int, float, float]]) -> DataFrame:
+    """OD edges between CONSECUTIVE STAY points of each (uid, day) —
+    the reference's ``TripODStay`` UDF, which is registered
+    (initial_hive_commands_od.json:19) but invoked by no shipped SQL;
+    semantics recovered from bytecode
+    (lib/cdrmobilitylibjica.jar!TripODStay.evaluate):
+
+    - only trip rows with kind == 'STAY' participate; the bytecode
+      parses row[IDX_DATA] as ONE "i|time|lat|lon" point (its length-4
+      split guard skips anything else), i.e. it expects a
+      single-representative-point stay (the post-reallocation shape).
+      The engine generalizes to the stay's FIRST point — identical to
+      the bytecode whenever the stay has one point, non-degenerate on
+      raw multi-point segmentations (documented deviation);
+    - each point gets a ccode "<lat>-<lon>" (string concat of the
+      raw point-string fields, StringBuilder lat + '-' + lon) and a
+      gcode = containing zone (PolygonGeo.contains -> engine
+      nearest-site zone, same argmin the oracle mirrors);
+    - every consecutive qualifying pair emits
+      [origin_ccode, dest_ccode, origin_gcode, dest_gcode, ts].
+
+    ``ts`` deviation (documented): the bytecode re-parses the point
+    time with SimpleDateFormat("yyyy-MM-dd HH:mm:ss"), but the point
+    strings carry bare "HH:mm:ss" — the reference UDF as shipped
+    would throw into its catch-all and truncate output. The engine
+    emits the intended 'pdt HH:mm:ss' timestamp instead.
+    """
+    from . import zones as _zones
+
+    pts = (
+        trips.filter(F.col("kind") == "STAY")
+        .withColumn("__p", F.split(F.split("points", ";")[0], "\\|"))
+        .filter(F.size("__p") == 4)
+        .select(
+            "uid",
+            "pdt",
+            "trip_seq",
+            F.col("__p")[1].alias("hms"),
+            F.col("__p")[2].alias("lat_s"),
+            F.col("__p")[3].alias("lon_s"),
+        )
+        .withColumn("lat", F.col("lat_s").cast("double"))
+        .withColumn("lon", F.col("lon_s").cast("double"))
+        .withColumn(
+            "gcode", _zones.nearest_site_struct("lat", "lon", sites)["zone_id"]
+        )
+        .withColumn("ccode", F.concat_ws("-", "lat_s", "lon_s"))
+    )
+    w = Window.partitionBy("uid", "pdt").orderBy("trip_seq")
+    return (
+        pts.withColumn("prev_ccode", F.lag("ccode").over(w))
+        .withColumn("prev_gcode", F.lag("gcode").over(w))
+        .filter(F.col("prev_ccode").isNotNull())
+        .select(
+            "uid",
+            "pdt",
+            F.col("prev_ccode").alias("origin_ccode"),
+            F.col("ccode").alias("dest_ccode"),
+            F.col("prev_gcode").alias("origin_gcode"),
+            F.col("gcode").alias("dest_gcode"),
+            F.concat_ws(" ", "pdt", "hms").alias("ts"),
+        )
+    )
+
+
+def trip_od_stay_oracle(trips_sql: str, towers_cte: str) -> str:
+    """DuckDB twin of trip_od_stay; ``towers_cte`` defines
+    ``towers(zone_id, tlat, tlon)``."""
+    d2 = geo.planar_d2_sql("lat", "lon", "t.tlat", "t.tlon")
+    return (
+        f"WITH trips AS ({trips_sql}), {towers_cte}, "
+        "pts0 AS (SELECT uid, pdt, trip_seq, "
+        "string_split(string_split(points, ';')[1], '|') AS p "
+        "FROM trips WHERE kind = 'STAY'), "
+        "pts AS (SELECT uid, pdt, trip_seq, p[2] AS hms, p[3] AS lat_s, "
+        "p[4] AS lon_s, CAST(p[3] AS DOUBLE) AS lat, CAST(p[4] AS DOUBLE) AS lon "
+        "FROM pts0 WHERE len(p) = 4), "
+        "zoned AS (SELECT pts.*, (SELECT t.zone_id FROM towers t "
+        f"ORDER BY {d2}, t.zone_id LIMIT 1) AS gcode, "
+        "lat_s || '-' || lon_s AS ccode FROM pts), "
+        "lagged AS (SELECT *, lag(ccode) OVER w AS prev_ccode, "
+        "lag(gcode) OVER w AS prev_gcode FROM zoned "
+        "WINDOW w AS (PARTITION BY uid, pdt ORDER BY trip_seq)) "
+        "SELECT uid, pdt, prev_ccode AS origin_ccode, ccode AS dest_ccode, "
+        "prev_gcode AS origin_gcode, gcode AS dest_gcode, "
+        "pdt || ' ' || hms AS ts FROM lagged WHERE prev_ccode IS NOT NULL"
     )

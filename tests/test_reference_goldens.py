@@ -234,3 +234,21 @@ def test_geojson_golden_unmerged(spark, cdr, towers):
     )
     merged = gj.merge_stats(golden, stats, key="zone_id")
     assert merged == golden
+
+
+def test_frequent_locations_old_consolidate_literal(cdr, towers):
+    """J4 literal 3-way legacy join over the reference's own sample:
+    row per (uid, tower, admin); the reference's (uid, cell_id)
+    window partitioning makes every trank 1 and ppercent 100
+    (faithful quirk), and tcount sums back to the 17 sample events
+    that map to a tower."""
+    from cdr_analysis_tools_hadoop_spark.operators import frequent_locations as fl
+
+    zones = prepare.mapping_admin(towers, "admin1")
+    # mapping_admin emits (rowidx, admin1, latitude, longitude)
+    out = fl.frequent_locations_old_consolidate(cdr, towers, zones).collect()
+    assert out, "sample must produce rows"
+    assert all(r.trank == 1 for r in out)
+    assert all(r.ppercent == 100.0 for r in out)
+    assert sum(r.tcount for r in out) == 17
+    assert all(r.admin1 == "Sendai" for r in out)

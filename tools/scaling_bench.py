@@ -15,9 +15,13 @@ shows the single-box bus — not the plan — is what saturates; on a
 real cluster 4N executors bring 4N memory buses (scale-out), which is
 the regime the north rule targets.
 
-Per level: 2 warm-up runs + `repeats` timed runs; the MEDIAN after
-dropping runs > 1.5x the minimum (this host shows random CPU-steal
-spikes up to ~27% that would otherwise dominate a plain median).
+Per level: 2 warm-up runs, then timed runs with PER-RUN CPU-STEAL
+telemetry from /proc/stat. This shared host gets multi-minute
+co-tenant bursts that slow identical runs 2-4x; a run is "clean" when
+hypervisor steal is <= STEAL_MAX_PCT of its busy time. The level
+keeps sampling (with a backoff after each dirty run) until `repeats`
+clean runs or MAX_ATTEMPTS; the reported time is the median of clean
+runs (all attempts + their steal are printed, nothing hidden).
 
 Usage:  python tools/scaling_bench.py [n_images] [repeats]
 """
@@ -33,24 +37,46 @@ from datetime import datetime, timezone
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [(2, True), (8, True), (32, False)]  # (cores, pinned?)
+STEAL_MAX_PCT = 2.0      # steal / (steal + busy) per timed run
+MAX_ATTEMPTS = 12
+DIRTY_BACKOFF_S = 20
 
 RUN_TEMPLATE = r"""
-import json, statistics, sys, time
+import json, sys, time
 sys.path.insert(0, {root!r})
 from cdr_analysis_tools_hadoop_spark.session import build_session
 from cdr_analysis_tools_hadoop_spark import pipeline
+
+def cpu():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
 spark = build_session("scale-bench", master="local[{cores}]",
                       extra_conf={{"spark.ui.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 images = spark.read.parquet({img_path!r})
 for _ in range(2):
     pipeline.run_pipeline(spark, images).count()
-runs = []
-for _ in range({repeats}):
+attempts = []
+n_clean = 0
+while n_clean < {repeats} and len(attempts) < {max_attempts}:
+    a = cpu()
     t0 = time.time()
     pipeline.run_pipeline(spark, images).count()
-    runs.append(time.time() - t0)
-print("RESULT " + json.dumps(runs))
+    dt = time.time() - t0
+    b = cpu()
+    d = [y - x for x, y in zip(a, b)]
+    busy = d[0] + d[1] + d[2] + d[5] + d[6]   # user nice sys irq softirq
+    steal = d[7]
+    steal_pct = 100.0 * steal / max(steal + busy, 1)
+    clean = steal_pct <= {steal_max}
+    attempts.append({{"sec": round(dt, 2), "steal_pct": round(steal_pct, 1),
+                      "clean": clean}})
+    if clean:
+        n_clean += 1
+    else:
+        time.sleep({backoff})
+print("RESULT " + json.dumps(attempts))
 """
 
 
@@ -67,13 +93,26 @@ def run_level(cores: int, pinned: bool, img_path: str, repeats: int) -> dict:
     cmd += [
         sys.executable,
         "-c",
-        RUN_TEMPLATE.format(root=ROOT, cores=cores, img_path=img_path, repeats=repeats),
+        RUN_TEMPLATE.format(
+            root=ROOT, cores=cores, img_path=img_path, repeats=repeats,
+            max_attempts=MAX_ATTEMPTS, steal_max=STEAL_MAX_PCT,
+            backoff=DIRTY_BACKOFF_S,
+        ),
     ]
     env = dict(os.environ, SPARK_DRIVER_MEM="24g")
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
-    runs = json.loads([ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1][7:])
-    return {"cores": cores, "pinned": pinned, "runs": [round(r, 2) for r in runs],
-            "sec": round(robust_median(runs), 2)}
+    attempts = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1][7:]
+    )
+    clean = [a["sec"] for a in attempts if a["clean"]]
+    basis = clean if len(clean) >= 2 else [a["sec"] for a in attempts]
+    return {
+        "cores": cores,
+        "pinned": pinned,
+        "attempts": attempts,
+        "n_clean": len(clean),
+        "sec": round(robust_median(basis), 2),
+    }
 
 
 def main() -> None:
@@ -109,6 +148,11 @@ def main() -> None:
                          env=env, capture_output=True, text=True, check=True).stdout
     headline = json.loads([ln for ln in out.strip().splitlines() if ln.startswith("{")][-1])
 
+    def fmt_attempts(lv):
+        return ", ".join(
+            f"{a['sec']}s@{a['steal_pct']}%st" for a in lv["attempts"]
+        )
+
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     md = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -118,8 +162,13 @@ Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
 `python tools/scaling_bench.py {n_images} {repeats}`. Identical input
 for every level: {n_images} deterministic synthetic images (seeded,
 256 uncompressed parquet files, written once). Fresh JVM per level;
-2 warm-up runs then {repeats} timed runs; median after dropping runs
->1.5x the level minimum (this host has random CPU-steal spikes).
+2 warm-up runs, then timed runs with per-run hypervisor-steal
+telemetry (/proc/stat): this shared host gets multi-minute co-tenant
+bursts that slow identical runs 2-4x, so a run counts as CLEAN when
+steal <= {STEAL_MAX_PCT}% of its busy time; each level samples until
+{repeats} clean runs (max {MAX_ATTEMPTS} attempts, {DIRTY_BACKOFF_S}s
+backoff after a dirty run) and reports the median of clean runs.
+ALL attempts incl. steal are listed below — nothing is hidden.
 
 Job (pipeline.run_pipeline, ONE fused Arrow stage + one tiny
 shuffle): decode-validate (zlib + PSNR>=40dB gate) -> phash->anchor
@@ -127,11 +176,11 @@ shuffle): decode-validate (zlib + PSNR>=40dB gate) -> phash->anchor
 polygons (interior cells via searchsorted, boundary via vectorized
 ray cast) -> z14 tile assignment -> zone/tile aggregate.
 
-| level | cores | pinned | runs (s) | median s | images/sec |
-|---|---|---|---|---|---|
-| A (N)    | 2  | taskset 0-1 | {levels[2]['runs']} | {levels[2]['sec']} | {thr[2]} |
-| B (4N)   | 8  | taskset 0-7 | {levels[8]['runs']} | {levels[8]['sec']} | {thr[8]} |
-| C (16N)  | 32 | whole box   | {levels[32]['runs']} | {levels[32]['sec']} | {thr[32]} |
+| level | cores | pinned | attempts (sec @ steal) | clean | median s | images/sec |
+|---|---|---|---|---|---|---|
+| A (N)    | 2  | taskset 0-1 | {fmt_attempts(levels[2])} | {levels[2]['n_clean']} | {levels[2]['sec']} | {thr[2]} |
+| B (4N)   | 8  | taskset 0-7 | {fmt_attempts(levels[8])} | {levels[8]['n_clean']} | {levels[8]['sec']} | {thr[8]} |
+| C (16N)  | 32 | whole box   | {fmt_attempts(levels[32])} | {levels[32]['n_clean']} | {levels[32]['sec']} | {thr[32]} |
 
 **Scaling efficiency N->4N (2 -> 8 cores)** = {thr[8]} / (4 x {thr[2]})
 = **{eff_2_8:.3f}**  (north-rule target >= 0.8)
