@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    # f_hmesh EXACT parity (bytecode-recovered HMesh$Level fractions)
+    from cdr_analysis_tools_hadoop_spark.operators import tiling as _tiling
+
+    q["hmesh_counts_l4"] = lambda s, d: _tiling.hmesh_counts(_cdr(s, d), 4)
+    q["hmesh_pyramid_counts"] = lambda s, d: _tiling.hmesh_pyramid_counts(_cdr(s, d))
     q["knn_nearest_tower"] = lambda s, d: (
         _cdr(s, d)
         .withColumn(
@@ -308,6 +313,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         interpolation.stay_points(_cdr(s, d)), _pois(s, d)
     )
     q["route_interpolation"] = lambda s, d: interpolation.route_interpolation(_cdr(s, d))
+
+    # rows-only: graph shortest-path routing is not SQL-expressible
+    # (the documented non-SQL case). Deterministic synthetic road
+    # graph; path cache over DISTINCT node pairs is the only Python.
+    def _route_net(s, d):
+        from cdr_analysis_tools_hadoop_spark.operators import routing
+
+        bc = s.sparkContext.broadcast(routing.RoadGraph())
+        return routing.route_interpolation_network(_cdr(s, d), bc)
+
+    q["route_interpolation_network"] = _route_net
     q["trip_segments"] = lambda s, d: interpolation.trip_segments_format(_cdr(s, d))
     q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
         interpolation.trip_segments_format(_cdr(s, d))
@@ -497,6 +513,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(call_time AS DATE) AS day, "
         f"count(DISTINCT {geo.cell_id_sql('lat', 'lon', 10)}) AS n_sites "
         "FROM cdr GROUP BY day)"
+    )
+    from cdr_analysis_tools_hadoop_spark.operators import tiling as _tiling
+
+    o["hmesh_counts_l4"] = (
+        f"{base} SELECT {_tiling.hmesh_code_sql('lon', 'lat', 4, 'duckdb')} "
+        "AS hmesh_code, count(*) AS n_events FROM cdr GROUP BY hmesh_code"
+    )
+    o["hmesh_pyramid_counts"] = f"{base} " + " UNION ALL ".join(
+        f"SELECT {lv} AS level, "
+        f"{_tiling.hmesh_code_sql('lon', 'lat', lv, 'duckdb')} AS hmesh_code, "
+        "count(*) AS n_events FROM cdr GROUP BY 1, 2"
+        for lv in (2, 4, 6)
     )
     o["tile_counts_z12"] = (
         f"{base} SELECT {geo.tile_x_sql('lon', 12)} AS tile_x, "

@@ -1,0 +1,237 @@
+"""Network shortest-path route interpolation (f_routing's missing
+half, made real on a synthetic road graph).
+
+Reference parity: ``f_routing`` (TurkcellRoutingUDF) routes MOVE legs
+over an OSM road network via `jp.ac.ut.csis.pflow.routing2` —
+a package that lives in ``cdrinterpolationlib.jar``, which is MISSING
+from the reference repo (.MISSING_LARGE_BLOBS), as is its road-data
+sideload. `interpolation.route_interpolation` therefore ships the
+documented straight-line deviation; THIS module supplies the
+network-routing shape for when road data exists:
+
+- a deterministic synthetic road graph over the engine bbox (grid
+  with hash-pruned edges, so shortest paths genuinely detour);
+- a broadcast ``RoadGraph`` (CSR adjacency, numpy) with per-pair
+  Dijkstra;
+- **the 100 TB design point**: legs snap to graph nodes JVM-side,
+  then Python computes shortest paths ONLY for the DISTINCT
+  (src, dst) node pairs — at planet scale distinct node pairs are
+  orders of magnitude fewer than legs — and the per-pair paths
+  broadcast-join back onto the legs (path cache, no per-leg Python).
+- timestamps interpolate along the path by cumulative length;
+  transport mode reuses the deterministic seeded draw (Q4 fix) from
+  operators/interpolation.
+
+Checks: pytest verifies Dijkstra optimality against an independent
+Bellman-Ford, grid-snap correctness, and that the physical plan has
+exactly ONE python stage fed by the distinct-pair frame. The contract
+entry is rows-only (graph routing is not SQL-expressible — the
+documented non-SQL case).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StructField, StructType,
+)
+
+from ..functions import geo
+
+GRID = 32              # GRID x GRID nodes over the engine bbox
+PRUNE_PCT = 20         # % of interior edges removed (forces detours)
+_PRUNE_SALT = 40_503
+
+
+def _edge_kept(a: int, b: int) -> bool:
+    """Deterministic ~PRUNE_PCT% interior-edge pruning."""
+    h = (a * 2_654_435_761 + b * 97_781 + _PRUNE_SALT) % 100
+    return h >= PRUNE_PCT
+
+
+class RoadGraph:
+    """Broadcastable CSR road graph over the bbox grid.
+
+    Node (i, j) -> id i*GRID+j at lat = LAT0 + i/(GRID-1) * DLAT,
+    lon = LON0 + j/(GRID-1) * DLON. 4-neighbour edges; interior edges
+    hash-pruned, boundary ring kept intact (connectivity guarantee).
+    Edge weight = haversine metres.
+    """
+
+    def __init__(self, grid: int = GRID):
+        self.grid = grid
+        n = grid * grid
+        ii, jj = np.divmod(np.arange(n), grid)
+        self.lat = geo.LAT0 + ii / (grid - 1) * geo.DLAT
+        self.lon = geo.LON0 + jj / (grid - 1) * geo.DLON
+        adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        for a in range(n):
+            i, j = divmod(a, grid)
+            for di, dj in ((0, 1), (1, 0)):
+                i2, j2 = i + di, j + dj
+                if i2 >= grid or j2 >= grid:
+                    continue
+                b = i2 * grid + j2
+                on_boundary = (
+                    (di == 0 and (i == 0 or i == grid - 1))
+                    or (dj == 0 and (j == 0 or j == grid - 1))
+                )
+                if not on_boundary and not _edge_kept(a, b):
+                    continue
+                w = float(
+                    geo.haversine_np(
+                        np.array([self.lat[a]]), np.array([self.lon[a]]),
+                        np.array([self.lat[b]]), np.array([self.lon[b]]),
+                    )[0]
+                )
+                adj[a].append((b, w))
+                adj[b].append((a, w))
+        self.adj = adj
+
+    def dijkstra(self, src: int, dst: int) -> tuple[list[int], float]:
+        """Node path src..dst and its length (metres)."""
+        n = len(self.adj)
+        dist = np.full(n, np.inf)
+        prev = np.full(n, -1, dtype=np.int64)
+        dist[src] = 0.0
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u == dst:
+                break
+            if d > dist[u]:
+                continue
+            for v, w in self.adj[u]:
+                nd = d + w
+                if nd < dist[v]:
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(pq, (nd, v))
+        if not np.isfinite(dist[dst]):
+            return [], float("inf")
+        path = [dst]
+        while path[-1] != src:
+            path.append(int(prev[path[-1]]))
+        return path[::-1], float(dist[dst])
+
+
+def snap_node_sql(lat_col: str, lon_col: str, grid: int = GRID) -> str:
+    """Nearest grid-node id, closed-form JVM arithmetic (for arbitrary
+    road networks use knn.cell_ring_knn — this synthetic graph is a
+    grid, so snapping needs no search)."""
+    g1 = grid - 1
+    i = (
+        f"least({g1}, greatest(0, cast(round(({lat_col} - {geo.dlit(geo.LAT0)})"
+        f" / {geo.dlit(geo.DLAT)} * {g1}) as bigint)))"
+    )
+    j = (
+        f"least({g1}, greatest(0, cast(round(({lon_col} - {geo.dlit(geo.LON0)})"
+        f" / {geo.dlit(geo.DLON)} * {g1}) as bigint)))"
+    )
+    return f"(({i}) * {grid} + ({j}))"
+
+
+_PATH_SCHEMA = StructType(
+    [
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+        StructField("total_m", DoubleType()),
+        StructField("plats", ArrayType(DoubleType())),
+        StructField("plons", ArrayType(DoubleType())),
+        StructField("cums", ArrayType(DoubleType())),
+    ]
+)
+
+
+def shortest_paths(pairs: DataFrame, graph_bc) -> DataFrame:
+    """Dijkstra per DISTINCT (src, dst) pair — the path cache."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        g: RoadGraph = graph_bc.value
+        for pdf in batches:
+            rows = []
+            for src, dst in zip(pdf["src"], pdf["dst"]):
+                path, total = g.dijkstra(int(src), int(dst))
+                if not path:
+                    continue
+                plats = [float(g.lat[v]) for v in path]
+                plons = [float(g.lon[v]) for v in path]
+                cums, acc = [0.0], 0.0
+                for a, b in zip(path, path[1:]):
+                    for v, w in g.adj[a]:
+                        if v == b:
+                            acc += w
+                            break
+                    cums.append(acc)
+                rows.append((int(src), int(dst), total, plats, plons, cums))
+            yield pd.DataFrame(
+                rows, columns=["src", "dst", "total_m", "plats", "plons", "cums"]
+            )
+
+    return pairs.mapInPandas(kernel, schema=_PATH_SCHEMA)
+
+
+def route_interpolation_network(sited: DataFrame, graph_bc) -> DataFrame:
+    """Route every consecutive-point leg over the road graph.
+
+    Plan: window legs (JVM) -> closed-form node snap (JVM) ->
+    DISTINCT node pairs -> Dijkstra path cache (the ONLY Python
+    stage) -> broadcast join back -> explode path vertices with
+    time by cumulative-length fraction (JVM). Output: uid, pdt,
+    leg_id, step, ts_s, lat, lon, route_m.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uid", "pdt").orderBy("call_time", "event_id")
+    legs = (
+        sited.select(
+            "uid",
+            F.to_date("call_time").alias("pdt"),
+            "call_time",
+            "event_id",
+            "lat",
+            "lon",
+        )
+        .withColumn("node", F.expr(snap_node_sql("lat", "lon")))
+        .withColumn("src", F.lag("node").over(w))
+        .withColumn("t0", F.lag(F.unix_timestamp("call_time")).over(w))
+        .withColumn("t1", F.unix_timestamp("call_time"))
+        .withColumn("leg_id", F.row_number().over(w) - 1)
+        .filter(
+            F.col("src").isNotNull()
+            & (F.col("t1") > F.col("t0"))
+            & (F.col("src") != F.col("node"))
+        )
+        .select("uid", "pdt", "leg_id", "src", F.col("node").alias("dst"), "t0", "t1")
+    )
+    pairs = legs.select("src", "dst").distinct()
+    paths = shortest_paths(pairs, graph_bc)
+    joined = legs.join(F.broadcast(paths), ["src", "dst"])
+    stepped = joined.select(
+        "uid",
+        "pdt",
+        "leg_id",
+        "t0",
+        "t1",
+        "total_m",
+        F.posexplode(F.arrays_zip("plats", "plons", "cums")).alias("step", "p"),
+    )
+    frac = F.when(
+        F.col("total_m") > 0, F.col("p.cums") / F.col("total_m")
+    ).otherwise(F.lit(0.0))
+    return stepped.select(
+        "uid",
+        "pdt",
+        "leg_id",
+        "step",
+        (F.col("t0") + ((F.col("t1") - F.col("t0")) * frac).cast("long")).alias("ts_s"),
+        F.col("p.plats").alias("lat"),
+        F.col("p.plons").alias("lon"),
+        F.round("total_m", 3).alias("route_m"),
+    )

@@ -111,3 +111,83 @@ def vector_to_tiles(
         F.expr(geo.tile_y_sql(lat_col, zoom)).alias("y"),
         F.lit(zoom).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact HMesh parity (bytecode-recovered)
+
+# HMesh$Level cell sizes in degrees as (lon_num, lon_den, lat_num,
+# lat_den) — extracted from the Fraction constructor calls in
+# lib/pflow-hiveUDF.jar!HMesh$Level.<clinit> (javap): LEVEL1 is the
+# JIS 1st-mesh 1 deg x 40', LEVEL4 the 1 km 3rd mesh, LEVEL6 ~125 m.
+HMESH_LEVELS = {
+    1: (1, 1, 2, 3),
+    2: (1, 4, 1, 6),
+    3: (1, 8, 1, 12),
+    4: (1, 80, 1, 120),
+    5: (1, 160, 1, 240),
+    6: (1, 800, 1, 1200),
+}
+
+
+def hmesh_code_sql(lon_col: str, lat_col: str, level: int, dialect: str) -> str:
+    """The exact HMesh cell code: "floor(lon/lonSize)_floor(lat/latSize)"
+    (HMesh.update: Math.floor of the coordinate over the level's
+    Fraction.doubleValue(), then String.format("%d_%d")).
+
+    Faithful detail: the divisor is the DOUBLE value of the fraction
+    (e.g. lat size 2/3 -> 0.6666666666666666), not exact rational
+    arithmetic — both engines inline the identical double literal so
+    boundary coordinates land in the same cell on both sides.
+    """
+    ln, ld, an, ad = HMESH_LEVELS[level]
+    lon_size = geo.dlit(ln / ld)
+    lat_size = geo.dlit(an / ad)
+    x = f"CAST(floor(({lon_col}) / {lon_size}) AS BIGINT)"
+    y = f"CAST(floor(({lat_col}) / {lat_size}) AS BIGINT)"
+    if dialect == "spark":
+        return f"concat(cast({x} as string), '_', cast({y} as string))"
+    return f"(CAST({x} AS VARCHAR) || '_' || CAST({y} AS VARCHAR))"
+
+
+def hmesh_counts(
+    df: DataFrame, level: int, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """Events per HMesh cell at one level (the f_hmesh rollup)."""
+    return (
+        df.select(
+            F.expr(hmesh_code_sql(lon_col, lat_col, level, "spark")).alias(
+                "hmesh_code"
+            )
+        )
+        .groupBy("hmesh_code")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def hmesh_pyramid_counts(
+    df: DataFrame,
+    levels: tuple[int, ...] = (2, 4, 6),
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Counts for several HMesh levels in ONE scan (explode of
+    conditional structs — Spark has no common-subplan reuse, a
+    per-level union would rescan the fact per level)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("level"),
+                F.expr(hmesh_code_sql(lon_col, lat_col, lv, "spark")).alias(
+                    "hmesh_code"
+                ),
+            )
+            for lv in levels
+        ]
+    )
+    return (
+        df.select(F.explode(structs).alias("t"))
+        .select("t.*")
+        .groupBy("level", "hmesh_code")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -162,3 +162,49 @@ def test_pipeline_handles_empty_partitions(spark):
     images = synthetic.images_df(spark, 5, partitions=8)  # empty partitions
     out = pipeline.run_pipeline(spark, images)
     assert out.agg({"n_images": "sum"}).collect()[0][0] == 5
+
+
+def test_hmesh_codes_match_bytecode_semantics(spark):
+    """HMesh cell codes = floor(coord / Fraction.doubleValue()) joined
+    by '_' (lib/pflow-hiveUDF.jar!HMesh.update). Checked against a
+    plain-python evaluation of the same formula at every level,
+    including negative coordinates (floor, not trunc)."""
+    import math
+
+    from cdr_analysis_tools_hadoop_spark.operators import tiling
+
+    pts = [(35.6895, 139.6917), (-33.8688, 151.2093), (38.2682, 140.8694)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for level, (ln, ld, an, ad) in tiling.HMESH_LEVELS.items():
+        rows = df.select(
+            "lat", "lon",
+            F.expr(
+                tiling.hmesh_code_sql("lon", "lat", level, "spark")
+            ).alias("code"),
+        ).collect()
+        for r in rows:
+            want = (
+                f"{math.floor(r.lon / (ln / ld))}_"
+                f"{math.floor(r.lat / (an / ad))}"
+            )
+            assert r.code == want, (level, r.lat, r.lon)
+
+
+def test_hmesh_pyramid_counts_one_scan(spark):
+    from cdr_analysis_tools_hadoop_spark.operators import tiling
+
+    df = spark.createDataFrame(
+        [(35.0 + i * 0.001, 139.0 + i * 0.001) for i in range(100)],
+        "lat double, lon double",
+    )
+    out = tiling.hmesh_pyramid_counts(df, levels=(2, 4, 6)).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, 0)
+        by_level[r.level] += r.n_events
+    assert by_level == {2: 100, 4: 100, 6: 100}
+    plan = (
+        tiling.hmesh_pyramid_counts(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
