@@ -202,3 +202,31 @@ def streaming_stay_points(sited: DataFrame, ts_col: str = "call_time") -> DataFr
     return keyed.groupBy("uid", "pdt").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup of a document stream: the ingest-time
+    twin of ``operators/dedup.exact_dedup``.
+
+    Same content key (md5 of normalized text, functions/texthash.py),
+    deduplicated with ``dropDuplicatesWithinWatermark`` so the state
+    store keeps only the keys inside the watermark horizon — the
+    shape a 100 TB training-data ingest needs: bounded state, one
+    shuffle on the content hash, no reprocessing of the full corpus
+    per micro-batch. Works on batch frames too (state-free
+    dropDuplicates semantics), which is what the parity test uses.
+    """
+    from ..functions import texthash as th
+
+    keyed = docs.withColumn(
+        "text_hash", F.md5(F.expr(th.normalize_text_sql("text", "spark")))
+    )
+    if keyed.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    return keyed.dropDuplicates(["text_hash"])

@@ -80,3 +80,56 @@ def test_streaming_stay_points_matches_batch(spark, sited_static, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Stream == batch: the streaming dedup over two micro-batches
+    (duplicates within AND across batches) keeps exactly one row per
+    content key — the same keys the batch exact_dedup keeps."""
+    import pyspark.sql.functions as F
+    from cdr_analysis_tools_hadoop_spark.operators import dedup
+    from cdr_analysis_tools_hadoop_spark.streaming import zone_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows1 = [(1, "alpha beta", "2024-01-01 10:00:00"),
+             (2, "alpha beta", "2024-01-01 10:00:05"),
+             (3, "gamma", "2024-01-01 10:00:10")]
+    rows2 = [(4, "ALPHA  beta", "2024-01-01 10:01:00"),   # dup across batches
+             (5, "delta", "2024-01-01 10:01:30")]
+
+    def write(rows, name):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts string"
+        ).withColumn("ingest_ts", F.to_timestamp("ingest_ts")).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir / name))
+
+    write(rows1, "b1")
+    write(rows2, "b2")
+    schema = spark.read.parquet(str(in_dir / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir, chk = tmp_path / "out", tmp_path / "chk"
+    q = (
+        zone_stream.streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir))
+    batch_all = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string, ingest_ts string"
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    want_keys = {
+        r.text_hash for r in dedup.exact_dedup(batch_all.select("doc_id", "text")).collect()
+    }
+    got_rows = got.collect()
+    assert {r.text_hash for r in got_rows} == want_keys
+    assert len(got_rows) == len(want_keys)  # exactly one survivor per key
