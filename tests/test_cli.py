@@ -144,3 +144,13 @@ def test_cli_od_on_multi_zone_input(spark, tmp_path):
     od = {(r[0], r[1], r[2]): (int(r[3]), int(r[4])) for r in rows}
     assert od[("2024-01-01", "0", "1")] == (1, 1)
     assert od[("2024-01-01", "1", "0")] == (1, 1)
+
+
+def test_cli_interpolation_runs(spark, ran):
+    conf, _ = ran
+    path = cli.run_interpolation(spark, conf)
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "*"))
+    assert files, "interpolation export directory must contain output"
