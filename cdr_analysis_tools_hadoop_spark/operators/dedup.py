@@ -272,13 +272,16 @@ def _hashed_shingle_cte(view: str, w: int = NGRAM_W) -> str:
 
 
 def _minhash_sig(hashed: DataFrame) -> DataFrame:
-    # Permutation minima over the cheap mod-arithmetic of the
-    # already-materialized hashes — md5 is never re-expanded.
+    # ONE groupBy produces the per-doc shingle count AND the 16
+    # permutation minima — the count would otherwise cost its own
+    # shuffle on the same key. md5 is never re-expanded (the hashes
+    # are already materialized).
     return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.min(F.expr(th.minhash_perm_sql("h", k))).alias(f"m{k}")
             for k in range(th.NUM_PERM)
-        ]
+        ],
     )
 
 
@@ -303,10 +306,11 @@ def minhash_lsh_pairs(
     groupBy producing a 16-value signature; candidate generation is
     an equi-join on (band, band_key) — never all-pairs. The hashed
     shingle table is materialized ONCE (_hashed_shingles) and feeds
-    all four downstream lineages."""
+    all downstream lineages; per-doc counts ride the signature
+    aggregation (one shuffle on doc_id, not two)."""
     ds = _hashed_shingles(docs)
-    counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sig = _minhash_sig(ds)
+    counts = sig.select("doc_id", "n")
     band_structs = F.array(
         *[
             F.struct(
