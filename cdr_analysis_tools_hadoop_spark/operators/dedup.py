@@ -419,32 +419,38 @@ def dedup_clusters(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        hop1 = labels.join(nbr, labels.doc_id == nbr.dst, "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-            ).alias("cluster_id"),
+        # carry the old label through so the convergence check is a
+        # filter on the checkpointed frame, not another join; the
+        # checkpoint also stops the parent self-join below from
+        # recomputing the nbr shuffle twice
+        hop1 = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").alias("old_label"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
         )
         # pointer doubling: label <- label[label]. Labels only ever
         # shrink, so parent.cluster_id <= own cluster_id.
         parent = hop1.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
+        final_label = F.coalesce("p_label", "cluster_id")
         new = (
             hop1.join(parent, hop1.cluster_id == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+                final_label.alias("cluster_id"),
+                (final_label != F.col("old_label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new
+        changed = new.filter("__chg").count()
+        labels = new.select("doc_id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:

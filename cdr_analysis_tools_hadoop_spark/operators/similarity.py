@@ -121,6 +121,9 @@ def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> Dat
     bands = v.select("vec_id", F.explode(band_structs).alias("bk")).select(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # materialize once: the self-join's two sides would otherwise each
+    # recompute all 64 hyperplane folds (no common-subplan reuse)
+    bands = bands.localCheckpoint(eager=False)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bkey"])
