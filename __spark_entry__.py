@@ -235,6 +235,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hmesh_counts_l4"] = lambda s, d: _tiling.hmesh_counts(_cdr(s, d), 4)
     q["hmesh_pyramid_counts"] = lambda s, d: _tiling.hmesh_pyramid_counts(_cdr(s, d))
+    # J8 scale path: the Arrow cell-ring kNN kernel (knn.py) — exact
+    # within-radius nearest site. Output is INTEGER ids only: the
+    # kernel's numpy haversine and DuckDB's libm differ in the last
+    # ulp, so distances are compared in pytest with tolerance, not
+    # value-hashed here.
+    def _knn_ring(s, d, radius_m=25_000.0):
+        import numpy as np
+
+        from cdr_analysis_tools_hadoop_spark.operators import knn
+
+        sites = np.array(
+            [
+                (r["zone_id"], r["tlat"], r["tlon"])
+                for r in _towers(s, d).collect()
+            ],
+            dtype=float,
+        )
+        out = knn.nearest_site_within(
+            _cdr(s, d).select("event_id", "lat", "lon"), sites, radius_m
+        )
+        return out.select(
+            "event_id",
+            F.coalesce(F.col("site_id"), F.lit(-1)).alias("site_id"),
+        )
+
+    q["knn_within_radius"] = _knn_ring
     q["knn_nearest_tower"] = lambda s, d: (
         _cdr(s, d)
         .withColumn(
@@ -534,6 +560,16 @@ def oracle_sql() -> dict[str, str]:
     o["knn_nearest_tower"] = (
         f"{zone_base.replace('c.*, t.zone_id,', f'c.event_id, t.zone_id, {_D2} AS d2,')} "
         f"SELECT event_id, zone_id, round(sqrt(d2) * {geo.dlit(111320.0)}, 6) AS dist_m FROM zoned"
+    )
+
+    hav = geo.haversine_sql("c.lat", "c.lon", "t.tlat", "t.tlon")
+    o["knn_within_radius"] = (
+        f"{_with(_CDR_CTE, _TOWERS_CTE)} "
+        "SELECT event_id, CASE WHEN d <= 25000.0 THEN site_id ELSE -1 END AS site_id "
+        "FROM (SELECT c.event_id, t.zone_id AS site_id, "
+        f"{hav} AS d, row_number() OVER (PARTITION BY c.event_id "
+        f"ORDER BY {hav}, t.zone_id) AS rn "
+        "FROM cdr c CROSS JOIN towers t) WHERE rn = 1"
     )
 
     o["frequent_locations"] = f"{freq_base} SELECT * FROM freq"
