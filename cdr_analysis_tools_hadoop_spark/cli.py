@@ -263,7 +263,9 @@ def run_od(spark: SparkSession, cfg: dict) -> str:
     ).select(
         "*",
         F.concat_ws("_", "__tlat", "__tlon").alias("zone_str"),
-        F.monotonically_increasing_id().alias("event_id"),
+        # deterministic window tie-break for same-timestamp events:
+        # monotonically_increasing_id would vary with partitioning
+        F.xxhash64("uid", "call_time", "cell_id").alias("event_id"),
     )
     # dense ids for sites/zones (the reference's admin zone table ids)
     from pyspark.sql import Window
@@ -299,7 +301,7 @@ def run_interpolation(spark: SparkSession, cfg: dict) -> str:
     sited = cdr.select(
         F.col("uid"),
         "call_time",
-        F.monotonically_increasing_id().alias("event_id"),
+        F.xxhash64("uid", "call_time", "cell_id").alias("event_id"),
         F.expr("try_cast(latitude AS double)").alias("lat"),
         F.expr("try_cast(longitude AS double)").alias("lon"),
     ).filter(F.col("lat").isNotNull())
