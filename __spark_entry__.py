@@ -366,6 +366,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for r in _towers(s, d).collect()
         ],
     )
+    # TripODStay at the FAITHFUL 300 m default radius: the dwell
+    # fixture anchors each user to one point per 6-hour block, so
+    # genuine <=300 m stays exist (1805 STAY segments at sf0.01) and
+    # the operator's default path is oracle-exercised (r2 verdict #7).
+    q["trip_od_stay_faithful"] = lambda s, d: interpolation.trip_od_stay(
+        interpolation.trip_segments_format(prepare.events_as_dwell_cdr(s, d)),
+        [
+            (r["zone_id"], r["tlat"], r["tlon"])
+            for r in _towers(s, d).collect()
+        ],
+    )
     # reference reads the PADDED trip table (*_trip_routing_array_apd)
     q["gps_export"] = lambda s, d: interpolation.export_gps_format(
         interpolation.trip_24h_padding(
@@ -389,7 +400,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_id", "w", "h", F.length("bytes").alias("blob_bytes")
         )
     )
-    return q
+
+    # ------------------------------------------------------------------
+    # Certification-priority ordering. The driver's correctness gate
+    # records only the FIRST 50 entries in insertion order, so the
+    # oracle-bearing queries that most need a driver row go first:
+    # the interpolation chain (incl. the two round-1 hash-fails,
+    # stay_points / poi_reallocation) and every query whose semantics
+    # changed this round. Rows-only queries (pixel codecs, graph
+    # routing, the adaptive BHTT histogram) and redundant per-day /
+    # night-variant stats that were driver-green in r1+r2 sit past the
+    # window; their coverage lives in pytest + prior CORRECTNESS runs.
+    head = [
+        # never-driver-certified oracle queries (r2 verdict item 1)
+        "stay_points",
+        "poi_reallocation",
+        "route_interpolation",
+        "trip_segments",
+        "trip_24h_padding",
+        "trip_od_stay",
+        "trip_od_stay_faithful",
+        "gps_export",
+        "text_fingerprints",
+        # core statistics
+        "total_records",
+        "total_unique_uids",
+        "data_statistics",
+        "daily_cdrs",
+        "daily_statistics",
+        "monthly_statistics",
+        "summary_stats",
+        "total_unique_locations",
+        "total_days",
+        "average_daily_admin1",
+        "user_activity_histogram",
+        # spatial: zones / cells / tiles / knn
+        "zone_population",
+        "zone_assignment",
+        "cell_counts_res8",
+        "tile_pyramid_counts",
+        "average_daily_unique_sites",
+        "tile_counts_z12",
+        "hmesh_counts_l4",
+        "hmesh_pyramid_counts",
+        "knn_within_radius",
+        "knn_nearest_tower",
+        # frequent-locations chain
+        "frequent_locations",
+        "frequent_locations_wsum",
+        "frequent_locations_thresholded",
+        "user_home",
+        "frequent_locations_night",
+        # trajectory / OD
+        "od_matrix",
+        "od_detail",
+        # dedup suite
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        # similarity / ANN (near_dup banding re-derived in r3)
+        "ann_cosine_topk",
+        "ann_cosine_topk_lsh",
+        "ann_cosine_topk_ivf",
+        "embedding_near_dup",
+        "knn_label_vote",
+        # text analysis
+        "text_token_stats",
+        "text_quality",
+        "text_language_id",
+    ]
+    ordered = {k: q[k] for k in head if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -646,4 +730,11 @@ def oracle_sql() -> dict[str, str]:
         _TOWERS_CTE,
     )
     o["gps_export"] = interpolation.export_gps_format_oracle(o["trip_24h_padding"])
+    dwell_cte = _with(
+        prepare.dwell_cdr_oracle_cte(),
+        "sited AS (SELECT uid, call_time, event_id, lat, lon FROM cdr)",
+    )
+    o["trip_od_stay_faithful"] = interpolation.trip_od_stay_oracle(
+        interpolation.trip_segments_oracle(dwell_cte), _TOWERS_CTE
+    )
     return o

@@ -209,6 +209,39 @@ def cdr_oracle_cte() -> str:
     )
 
 
+# Faithful-dwell anchor: location derives from (user, 6-hour block)
+# instead of event_id, so a user sits at ONE point for each quarter of
+# the day. Consecutive events inside a block are genuine 0 m dwells at
+# the reference's faithful 300 m stay radius (TripSegmentationCDR
+# DIST_MAX_M — the event-id-anchored fixture always jumps > 300 m and
+# yields zero stays at the default).
+_DWELL_LOC_SQL = "(user_id * 4 + CAST(floor(hour(ts) / 6) AS BIGINT))"
+
+
+def dwell_cdr_oracle_cte() -> str:
+    """DuckDB twin of :func:`events_as_dwell_cdr` (same snippet)."""
+    return (
+        "cdr AS (SELECT event_id, user_id AS uid, ts AS call_time, "
+        f"{geo.anchor_lat_sql(_DWELL_LOC_SQL)} AS lat, "
+        f"{geo.anchor_lon_sql(_DWELL_LOC_SQL)} AS lon "
+        "FROM events)"
+    )
+
+
+def events_as_dwell_cdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events` table with faithful-dwell anchors (see
+    ``_DWELL_LOC_SQL``): exercises the interpolation chain's stay
+    detection at the reference's default 300 m radius."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("call_time"),
+        F.expr(geo.anchor_lat_sql(_DWELL_LOC_SQL)).alias("lat"),
+        F.expr(geo.anchor_lon_sql(_DWELL_LOC_SQL)).alias("lon"),
+    )
+
+
 def events_as_cdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `events` table as a canonical CDR fact with deterministic
     anchor coordinates derived from event_id (phash-role column)."""
