@@ -28,6 +28,7 @@ reports + the 7 graphs; ``od`` writes origin_destination.tsv.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -248,9 +249,6 @@ def run_od(spark: SparkSession, cfg: dict) -> str:
     """run_origin_destination.py: trajectories -> TripOD edges ->
     OD rollup -> origin_destination.tsv."""
     cdr, towers = _read_prepared(spark, cfg)
-    od_date = cfg.get("od_date")
-    if od_date:
-        cdr = cdr.filter(F.col("pdt") == od_date)
     zoned = cdr.join(
         F.broadcast(
             towers.select(
@@ -280,17 +278,36 @@ def run_od(spark: SparkSession, cfg: dict) -> str:
         zoned.join(F.broadcast(zone_ids), "zone_str")
         .withColumn("site", F.col("zone_id"))
     )
+    # home = rank-1 site over the FULL history (reference
+    # insert_la_cdr_uid_home.sql builds home from the unfiltered
+    # frequent-locations table); only the trajectory/edge stage is
+    # restricted to od_date. Zone ids are likewise global, so a
+    # single-day run and a full run agree on the same dense ids.
     home = trajectory.user_home_site(sited)
-    edges = trajectory.od_edges(sited, home)
+    od_date = cfg.get("od_date")
+    day = sited.filter(F.col("pdt") == od_date) if od_date else sited
+    edges = trajectory.od_edges(day, home)
     od = trajectory.od_sum(edges)
     rep = cfg.get("output_report_location", "output_reports")
     os.makedirs(rep, exist_ok=True)
     path = f"{rep}/origin_destination.tsv"
-    rows = od.orderBy("pdt", "origin_zone", "dest_zone").collect()
-    with open(path, "w") as f:
-        for r in rows:
-            f.write("\t".join(str(v) for v in r) + "\n")
-    print(f"od: wrote {len(rows)} rows to {path}")
+    # cluster-side export (od_to_csv.sql:1-7 INSERT OVERWRITE LOCAL
+    # DIRECTORY): a total sort range-partitions the matrix, each task
+    # writes its sorted range, and part files concatenate in filename
+    # order into the single report file — a streaming file merge, not
+    # a driver-side row collect (the OD matrix is zones^2 x days).
+    parts_dir = path + ".d"
+    csv_io.export_tsv(
+        od.orderBy("pdt", "origin_zone", "dest_zone"), parts_dir
+    )
+    n = 0
+    with open(path, "w") as out:
+        for part in sorted(glob.glob(os.path.join(parts_dir, "part-*"))):
+            with open(part) as src:
+                for line in src:
+                    out.write(line)
+                    n += 1
+    print(f"od: wrote {n} rows to {path}")
     return path
 
 

@@ -146,6 +146,14 @@ def summary_rows(
         F.max(F.to_date("call_time")).cast("string").alias("end_date"),
     ).collect()[0]
     total_days = agg.total_days
+    if not total_days:
+        # empty frame or no parseable call_time (e.g. a wrong
+        # input_file_time_format): fail with a clear message instead
+        # of a ZeroDivisionError in the per-day ratios below
+        raise ValueError(
+            "summary_rows: CDR frame has no parseable call_time days "
+            "(empty input or wrong input_file_time_format?)"
+        )
     block1 = [
         ("total_records", agg.total_records),
         ("total_uids", agg.total_uids),

@@ -112,10 +112,20 @@ def nearest_site_within(
                     lat[rows, None], lon[rows, None],
                     idx.lat[cand_idx][None, :], idx.lon[cand_idx][None, :],
                 )
-                j = np.argmin(d, axis=1)
-                dm = d[np.arange(len(rows)), j]
+                dm = d.min(axis=1)
+                # tie-break like the oracle's ORDER BY (distance,
+                # site_id): among candidates within 1e-6 m of the row
+                # minimum take the SMALLEST site id. A bare argmin
+                # picks first-in-candidate-order, which flips on
+                # duplicate-coordinate sites or ulp-level numpy-vs-
+                # libm differences between near-equidistant sites.
+                ids_c = idx.ids[cand_idx]
+                close = d <= dm[:, None] + 1e-6
+                tie_id = np.where(
+                    close, ids_c[None, :], np.iinfo(np.int64).max
+                ).min(axis=1)
                 ok = dm <= radius_m
-                best_id[rows[ok]] = idx.ids[cand_idx[j[ok]]]
+                best_id[rows[ok]] = tie_id[ok]
                 best_d[rows[ok]] = dm[ok]
             out = pdf.copy()
             out["__site_id"] = best_id

@@ -46,11 +46,14 @@ def _blob_views(rb, name: str = "bytes"):
 
 def _shape_groups(pix_list):
     """Indices of same-shaped images: one stacked numpy op per
-    distinct (h, w) instead of per image."""
-    shapes = np.array([p.shape[0] << 16 | p.shape[1] for p in pix_list])
-    for s in np.unique(shapes):
-        idxs = np.nonzero(shapes == s)[0]
-        yield idxs, np.stack([pix_list[i] for i in idxs])
+    distinct (h, w, channels) instead of per image. The channel count
+    is part of the key — same-sized gray and RGB images must not land
+    in one np.stack."""
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(pix_list):
+        groups.setdefault(p.shape, []).append(i)
+    for idxs in groups.values():
+        yield np.asarray(idxs), np.stack([pix_list[i] for i in idxs])
 
 
 # PSNR of the qnt4 round-trip without re-encoding: quantizing the low

@@ -63,3 +63,30 @@ def test_phash_deterministic_and_discriminative():
     assert hashes == [codec.phash_ahash(p) for p in pix]
     assert len(set(hashes)) > 1
     assert all(0 <= h < 9007199254740991 for h in hashes)
+
+
+def test_shape_groups_split_mixed_channel_batches():
+    """Same (h, w) with different channel counts (or gray 2-D arrays)
+    must land in separate stacks — np.stack would raise otherwise."""
+    import numpy as np
+
+    from cdr_analysis_tools_hadoop_spark.operators.multimodal import (
+        _shape_groups,
+    )
+
+    pix = [
+        np.zeros((4, 4, 3), dtype=np.uint8),
+        np.ones((4, 4), dtype=np.uint8),        # gray, 2-D
+        np.full((4, 4, 1), 2, dtype=np.uint8),  # gray, explicit channel
+        np.full((4, 4, 3), 3, dtype=np.uint8),
+        np.full((2, 4, 3), 4, dtype=np.uint8),
+    ]
+    got = {tuple(idxs): stack.shape for idxs, stack in _shape_groups(pix)}
+    assert got == {
+        (0, 3): (2, 4, 4, 3),
+        (1,): (1, 4, 4),
+        (2,): (1, 4, 4, 1),
+        (4,): (1, 2, 4, 3),
+    }
+    # every index appears exactly once
+    assert sorted(i for k in got for i in k) == [0, 1, 2, 3, 4]
