@@ -15,6 +15,8 @@ integer coefficients lose nothing.
 
 from __future__ import annotations
 
+import math
+
 DIM = 64
 
 # sign-hyperplane count for the LSH bucket signature (2^8 buckets)
@@ -95,22 +97,87 @@ def cosine_sql(a: str, b: str, na2: str, nb2: str, dialect: str) -> str:
     return f"({dot_sql(a, b, dialect)} / sqrt(({na2}) * ({nb2})))"
 
 
-# Near-dup banding: OR-amplified sign-LSH. ND_BANDS bands of ND_ROWS
-# sign bits each (64 distinct hyperplanes); a pair is a candidate when
-# ANY band key matches. P(candidate) = 1 - (1 - p^r)^b with
-# p = 1 - acos(cos)/pi — at the 0.4 contract threshold p ≈ 0.63,
-# giving ~94% recall; recall vs the exact all-pairs baseline is
-# asserted in tests (test_similarity).
-ND_BANDS = 16
-ND_ROWS = 4
+# Near-dup banding: OR-amplified sign-LSH, (bands, rows) DERIVED from
+# the requested threshold via the 1-(1-p^r)^b curve with
+# p = 1 - acos(threshold)/pi, targeting 99% recall AT the threshold
+# (worst case — higher-sim pairs recall better). A pair is a
+# candidate when ANY band key matches; recall vs the exact all-pairs
+# baseline is asserted empirically in tests (test_similarity) at both
+# a loose (0.4) and a tight (0.9) threshold.
+#
+# The near-dup planes use a splitmix64-mixed coefficient stream, NOT
+# the LCG stream of plane_coeff: adjacent LCG planes are correlated
+# enough that 4-row band bits badly undershoot the iid curve
+# (measured 75% recall where the formula said 94%); with the mixed
+# stream measured recall tracks the prediction within ~1 point.
+
+_M64 = (1 << 64) - 1
 
 
-def band_key_sql(col: str, band: int, dialect: str, dim: int = DIM) -> str:
-    """ND_ROWS-bit sign key for one band (planes band*ND_ROWS ...)."""
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — full-avalanche integer mix."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
+def nd_plane_coeff(p: int, i: int) -> int:
+    """Deterministic well-mixed integer coefficient in [-1000, 1000]."""
+    return _mix64(p * DIM + i) % 2001 - 1000
+
+
+def nd_plane_dot_sql(col: str, p: int, dialect: str, dim: int = DIM) -> str:
+    if dialect == "spark":
+        coeffs = "array(" + ",".join(
+            str(nd_plane_coeff(p, i)) for i in range(dim)
+        ) + ")"
+        return _fold_sql(
+            f"zip_with({col}, {coeffs}, "
+            f"(x, c) -> cast(c as double) * cast(x as double))"
+        )
     terms = " + ".join(
-        f"(case when {plane_dot_sql(col, band * ND_ROWS + r, dialect, dim)} > 0 "
+        f"({nd_plane_coeff(p, i)}) * {elem_sql(col, i, dialect)}"
+        for i in range(dim)
+    )
+    return f"({terms})"
+
+
+def banding_for_threshold(
+    threshold: float,
+    target_recall: float = 0.99,
+    max_bands: int = 32,
+    max_rows: int = 8,
+) -> tuple[int, int]:
+    """(bands, rows) for >= target_recall at the threshold: the
+    LARGEST rows whose required band count fits max_bands — more rows
+    per band = selectivity grows like p^r, i.e. the best candidate
+    pruning the band budget affords. Hash cost is bands*rows plane
+    dots (linear in N); pruning is what survives 10^12 rows."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best: tuple[int, int] | None = None
+    for rows in range(1, max_rows + 1):
+        pr = p ** rows
+        if pr >= 1.0:
+            bands = 1
+        else:
+            bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if bands <= max_bands:
+            best = (bands, rows)
+    if best is None:
+        # threshold so low no row count fits: single sign bit, all bands
+        best = (max_bands, 1)
+    return best
+
+
+def band_key_sql(
+    col: str, band: int, dialect: str, rows: int, dim: int = DIM
+) -> str:
+    """rows-bit sign key for one band (planes band*rows ...)."""
+    terms = " + ".join(
+        f"(case when {nd_plane_dot_sql(col, band * rows + r, dialect, dim)} > 0 "
         f"then {1 << r} else 0 end)"
-        for r in range(ND_ROWS)
+        for r in range(rows)
     )
     return f"({terms})"
 

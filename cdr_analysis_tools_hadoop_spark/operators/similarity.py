@@ -107,15 +107,24 @@ def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> Dat
     mechanic as minhash_lsh_pairs one module over. Lossy by design
     (like cosine_topk_lsh): both engines apply the identical banding,
     and recall vs the exact baseline (near_dup_pairs_exact) is
-    measured in tests."""
+    measured in tests.
+
+    (bands, rows) are DERIVED from the threshold
+    (vec.banding_for_threshold, 99% recall target at the threshold) —
+    a fixed banding tuned for tight thresholds under-recalls loose
+    ones. The oracle derives the identical pair from the same
+    threshold, so both engines stay in lockstep at any setting."""
+    bands_n, rows_n = vec.banding_for_threshold(threshold)
     v = _with_norm(_spread(emb)).drop("label")
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.expr(vec.band_key_sql("embedding", j, "spark")).alias("bkey"),
+                F.expr(
+                    vec.band_key_sql("embedding", j, "spark", rows_n)
+                ).alias("bkey"),
             )
-            for j in range(vec.ND_BANDS)
+            for j in range(bands_n)
         ]
     )
     bands = v.select("vec_id", F.explode(band_structs).alias("bk")).select(
@@ -241,10 +250,11 @@ def near_dup_oracle(view: str = "embeddings", threshold: float = NEAR_DUP_THRESH
     so the value hash matches the lossy-by-design Spark plan)."""
     n2 = vec.norm2_sql("embedding", "duckdb")
     cos = vec.cosine_sql("a.embedding", "b.embedding", "a.norm2", "b.norm2", "duckdb")
+    bands_n, rows_n = vec.banding_for_threshold(threshold)
     band_blocks = " UNION ALL ".join(
         f"SELECT vec_id, {j} AS band, "
-        f"{vec.band_key_sql('embedding', j, 'duckdb')} AS bkey FROM v"
-        for j in range(vec.ND_BANDS)
+        f"{vec.band_key_sql('embedding', j, 'duckdb', rows_n)} AS bkey FROM v"
+        for j in range(bands_n)
     )
     return (
         f"WITH v AS (SELECT vec_id, embedding, {n2} AS norm2 FROM {view}), "
