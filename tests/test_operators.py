@@ -194,6 +194,36 @@ def test_histogram_numeric_adaptive_exact_when_no_merge(spark):
     assert got == [(1.0, 1.0), (3.0, 2.0), (7.0, 1.0)]
 
 
+def test_histogram_numeric_adaptive_merged_golden(spark):
+    """Pinned golden for the MERGING case: with a deterministic
+    fixture and pinned partitioning (repartition(4, uid)) the BHTT
+    sketch's merge order is fixed, so the exact (center, count) bins
+    are reproducible across JVMs — the adaptive form is value-checked
+    here even though it has no cross-engine oracle."""
+    from cdr_analysis_tools_hadoop_spark.operators import statistics
+
+    rows = []
+    for uid in range(40):
+        for d in range(uid % 13 + 1):
+            rows.append((uid, f"2024-01-{d+1:02d} 08:00:00"))
+    cdr = (
+        spark.createDataFrame(rows, "uid long, call_time string")
+        .withColumn("call_time", F.to_timestamp("call_time"))
+        .repartition(4, "uid")
+    )
+    got = [
+        (round(r.bin_center, 9), r.num_users)
+        for r in statistics.user_activity_histogram_adaptive(cdr, 5).collect()
+    ]
+    assert got == [
+        (1.428571429, 7.0),
+        (3.5, 6.0),
+        (6.0, 9.0),
+        (8.714285714, 7.0),
+        (11.636363636, 11.0),
+    ]
+
+
 def test_histogram_numeric_adaptive_invariants(spark):
     """When merging happens, the sketch still preserves bin count,
     total mass and the weighted mean (order-independent invariants)."""
