@@ -350,6 +350,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return routing.route_interpolation_network(_cdr(s, d), bc)
 
     q["route_interpolation_network"] = _route_net
+
+    # same routing shape over a real OSM XML extract (checked-in mini
+    # extract; a planet extract drops in unchanged) — closes the road
+    # sideload gap (initial_hive_commands_interpolation.json:63-65)
+    def _route_net_osm(s, d):
+        from cdr_analysis_tools_hadoop_spark.operators import routing
+
+        graph = routing.load_osm_extract(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "osm_mini.osm")
+        )
+        bc = s.sparkContext.broadcast(graph)
+        return routing.route_interpolation_network(
+            _cdr(s, d), bc, node_snapper=routing.osm_node_snapper(graph)
+        )
+
+    q["route_interpolation_network_osm"] = _route_net_osm
     q["trip_segments"] = lambda s, d: interpolation.trip_segments_format(_cdr(s, d))
     q["trip_24h_padding"] = lambda s, d: interpolation.trip_24h_padding(
         interpolation.trip_segments_format(_cdr(s, d))

@@ -111,6 +111,60 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         q_times[name] = round(time.time() - t0, 3)
 
+    # --- skew evidence (r2 verdict #3): same-size uniform vs hot
+    # fixtures through the OD chain (guard-first cap) and the PIP
+    # join (map-only kernel). "Holds throughput" = hot/uniform time
+    # ratio stays near 1 instead of degrading to a one-reducer tail.
+    from cdr_analysis_tools_hadoop_spark.operators import (
+        spatial_join as _sj,
+    )
+    from cdr_analysis_tools_hadoop_spark.operators import (
+        trajectory as _traj,
+    )
+    import numpy as _np
+
+    def _od_time(frame):
+        home = _traj.user_home_site(frame)
+        t0 = time.time()
+        _traj.od_sum(_traj.od_edges(frame, home)).count()
+        return round(time.time() - t0, 3)
+
+    skew: dict[str, float] = {}
+    n_sk = 2_000_000
+    uni = synthetic.sited_events_df(spark, n_sk).localCheckpoint()
+    hot = synthetic.sited_events_df(
+        spark, n_sk, hot_uid_frac=0.25
+    ).localCheckpoint()
+    _od_time(uni)  # warm-up (JIT/codegen for the shape)
+    skew["od_uniform_2m_sec"] = _od_time(uni)
+    skew["od_hot_uid_2m_sec"] = _od_time(hot)
+
+    towers_np = synthetic.towers_np()
+    polys = list(
+        zip(towers_np[:, 0].astype(_np.int64), synthetic.voronoi_polygons(towers_np))
+    )
+
+    def _pip_time(pts):
+        t0 = time.time()
+        _sj.pip_join(pts, polys, out_col="zone").filter(
+            "zone is not null"
+        ).count()
+        return round(time.time() - t0, 3)
+
+    p_uni = synthetic.points_df(spark, 4_000_000).localCheckpoint()
+    p_hot = synthetic.points_df(
+        spark, 4_000_000, hotspot_frac=0.5
+    ).localCheckpoint()
+    _pip_time(p_uni)  # warm-up
+    skew["pip_uniform_4m_sec"] = _pip_time(p_uni)
+    skew["pip_hotspot_4m_sec"] = _pip_time(p_hot)
+    skew["od_hot_over_uniform"] = round(
+        skew["od_hot_uid_2m_sec"] / skew["od_uniform_2m_sec"], 3
+    )
+    skew["pip_hot_over_uniform"] = round(
+        skew["pip_hotspot_4m_sec"] / skew["pip_uniform_4m_sec"], 3
+    )
+
     total = round(sum(q_times.values()), 3)
     # hypervisor-steal share of busy time over the analytics section:
     # this shared host gets multi-minute co-tenant bursts that slow
@@ -130,6 +184,7 @@ def main() -> None:
                 "images_per_sec": round(n_images / pipe_sec, 1),
                 "n_images": n_images,
                 "cpus": cpus,
+                "skew": skew,
                 "host_steal_pct": steal_pct,
             }
         )

@@ -72,10 +72,21 @@ def collect_trajectories(sited: DataFrame) -> DataFrame:
         F.col("site"),
         F.col("zone_id"),
     )
+    # guard-first like od_edges: counting before collecting means a
+    # viral uid never materializes (then discards) a multi-million-
+    # element array in one reducer — the count's map-side partials
+    # absorb the skew and the join drops the hot group up front
+    day = sited.select("uid", F.to_date("call_time").alias("pdt"), point.alias("pt"))
+    bad = (
+        day.groupBy("uid", "pdt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > MAX_TRAJECTORY)
+        .select("uid", "pdt")
+    )
     return (
-        sited.groupBy("uid", F.to_date("call_time").alias("pdt"))
-        .agg(F.array_sort(F.collect_list(point)).alias("arr"))
-        .filter(F.size("arr") <= MAX_TRAJECTORY)
+        day.join(F.broadcast(bad), ["uid", "pdt"], "left_anti")
+        .groupBy("uid", "pdt")
+        .agg(F.array_sort(F.collect_list("pt")).alias("arr"))
     )
 
 
@@ -83,22 +94,38 @@ def od_edges(sited: DataFrame, home: DataFrame) -> DataFrame:
     """TripOD edge extraction as pure window algebra.
 
     Output: uid, pdt, origin_site, dest_site, origin_zone, dest_zone,
-    ts. Shuffle count: ONE exchange on (uid) covers the home join and
-    a second on (uid, pdt) covers the windows; the trajectory-size
-    guard is a window count (no extra aggregate pass).
+    ts. The (uid, pdt) exchange is shared by the guard join and the
+    windows (same keys), plus one on (uid) for the home join; the P9
+    size guard is applied BEFORE the window (see inline comment) so a
+    skewed uid never reaches the window sort.
     """
     day = F.to_date("call_time").alias("pdt")
     df = sited.select(
         "uid", day, "call_time", "event_id", "site", "zone_id"
     )
+    # GUARD FIRST (skew immunity): the P9 size guard used to be a
+    # count window filtered afterwards, which SORTS a viral uid's
+    # whole (uid, pdt) partition in one task before dropping it. Now
+    # the guard runs before the window: a groupBy count is two-phase
+    # (map-side partials collapse the hot key to one row per input
+    # partition), over-cap groups are by construction RARE (each has
+    # > MAX_TRAJECTORY rows), and a broadcast ANTI join drops their
+    # rows in the scan stage — zero extra fact shuffles, so every
+    # window partition has <= MAX_TRAJECTORY rows. Identical output:
+    # the guard drops whole groups, so lag/lead over survivors match
+    # the filter-after-window form row for row.
+    bad = (
+        df.groupBy("uid", "pdt")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") > MAX_TRAJECTORY)
+        .select("uid", "pdt")
+    )
     w = Window.partitionBy("uid", "pdt").orderBy("call_time", "event_id")
-    wall = Window.partitionBy("uid", "pdt")
     df = (
-        df.withColumn("prev_site", F.lag("site").over(w))
+        df.join(F.broadcast(bad), ["uid", "pdt"], "left_anti")
+        .withColumn("prev_site", F.lag("site").over(w))
         .withColumn("prev_zone", F.lag("zone_id").over(w))
         .withColumn("next_time", F.lead("call_time").over(w))
-        .withColumn("n_points", F.count(F.lit(1)).over(wall))
-        .filter(F.col("n_points") <= MAX_TRAJECTORY)
         .join(home, "uid", "inner")
     )
 

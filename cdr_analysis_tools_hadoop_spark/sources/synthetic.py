@@ -252,3 +252,67 @@ def images_df(spark: SparkSession, num_images: int, partitions: int | None = Non
         "caption string, phash long"
     )
     return spark.range(0, num_images, 1, partitions).mapInPandas(gen, schema=schema)
+
+
+def sited_events_df(
+    spark: SparkSession,
+    n: int,
+    hot_uid_frac: float = 0.0,
+    n_uids: int = 30_000,
+    n_days: int = 30,
+    partitions: int = 64,
+) -> DataFrame:
+    """Deterministic sited-CDR fixture for skew benchmarks/tests.
+
+    ``hot_uid_frac`` of all events belong to ONE viral uid (0) — the
+    adversarial shape for the (uid, pdt) windows and trajectory
+    collects (the reference only bounds this with its 500-event cap,
+    insert_la_cdr_all_with_ant_zone_by_uid_od.sql:6). The rest spread
+    uniformly over ``n_uids`` uids. Pure codegen (range + arithmetic),
+    no data files.
+    """
+    hot_n = int(n * hot_uid_frac)
+    idc = F.col("id")
+    uid = F.when(idc < hot_n, F.lit(0)).otherwise(idc % n_uids + 1)
+    # deterministic spread over n_days days and the day's seconds
+    sec = (idc * 7919) % (n_days * 86_400)
+    site = ((idc * 104_729) % 997).cast("long")
+    return spark.range(0, n, 1, partitions).select(
+        idc.alias("event_id"),
+        uid.cast("long").alias("uid"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(secs=sec.cast("double"))
+        ).alias("call_time"),
+        site.alias("site"),
+        (site % 25).alias("zone_id"),
+        F.lit(0.0).alias("duration"),
+        F.expr(geo.anchor_lat_sql("id")).alias("lat"),
+        F.expr(geo.anchor_lon_sql("id")).alias("lon"),
+    )
+
+
+def points_df(
+    spark: SparkSession,
+    n: int,
+    hotspot_frac: float = 0.0,
+    partitions: int = 64,
+) -> DataFrame:
+    """Deterministic point layer for PIP-join skew benchmarks:
+    ``hotspot_frac`` of the points pile onto one tower-adjacent spot
+    (a tower hotspot cell), the rest are anchor-uniform over the
+    bbox."""
+    hot_n = int(n * hotspot_frac)
+    idc = F.col("id")
+    # hotspot just off tower 0 with ~110 m of deterministic jitter so
+    # the rows aren't constant-foldable
+    jit = ((idc % 1000) / F.lit(1000.0) - 0.5) * F.lit(0.002)
+    lat = F.when(
+        idc < hot_n, F.lit(geo.LAT0 + 0.117) + jit
+    ).otherwise(F.expr(geo.anchor_lat_sql("id")))
+    lon = F.when(
+        idc < hot_n, F.lit(geo.LON0 + 0.081) + jit
+    ).otherwise(F.expr(geo.anchor_lon_sql("id")))
+    return spark.range(0, n, 1, partitions).select(
+        idc.alias("point_id"), lat.alias("lat"), lon.alias("lon")
+    )

@@ -108,3 +108,61 @@ def test_route_interpolation_network_end_to_end(spark, graph):
     )
     assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_osm_extract_loader_parses_and_filters(tmp_path):
+    """Loader keeps highway ways, ignores others, densifies ids."""
+    from cdr_analysis_tools_hadoop_spark.operators import routing
+
+    g = routing.load_osm_extract("data/osm_mini.osm")
+    assert len(g.lat) == 49
+    n_edges = sum(len(a) for a in g.adj) // 2
+    # 73 residential segments + 6 diagonal primary segments; the
+    # waterway way contributes nothing
+    assert n_edges == 79
+    # every node reachable from node 0 (boundary ring is intact)
+    seen, stack = {0}, [0]
+    while stack:
+        u = stack.pop()
+        for v, _ in g.adj[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    assert len(seen) == 49
+
+
+def test_osm_diagonal_is_shortest(tmp_path):
+    """The primary avenue shortcut must beat the Manhattan route."""
+    import numpy as np
+
+    from cdr_analysis_tools_hadoop_spark.operators import routing
+
+    g = routing.load_osm_extract("data/osm_mini.osm")
+    # corner nodes: densified ids sort by OSM id, which is row-major
+    path, d = g.dijkstra(0, 48)
+    assert len(path) == 7  # straight down the diagonal
+    # manhattan distance along grid streets would be ~12 segments
+    grid_seg = float(
+        routing.geo.haversine_np(
+            np.array([g.lat[0]]), np.array([g.lon[0]]),
+            np.array([g.lat[1]]), np.array([g.lon[1]]),
+        )[0]
+    )
+    assert d < 12 * grid_seg * 0.9
+
+
+def test_route_interpolation_network_osm_runs(spark, sf_dir):
+    from cdr_analysis_tools_hadoop_spark.operators import prepare, routing
+
+    graph = routing.load_osm_extract("data/osm_mini.osm")
+    bc = spark.sparkContext.broadcast(graph)
+    out = routing.route_interpolation_network(
+        prepare.events_as_cdr(spark, sf_dir),
+        bc,
+        node_snapper=routing.osm_node_snapper(graph),
+    )
+    rows = out.limit(50).collect()
+    assert rows and all(r.route_m > 0 for r in rows)
+    # path cache unchanged: Dijkstra fed by DISTINCT pairs
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" in plan or "Aggregate" in plan
