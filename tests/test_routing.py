@@ -3,6 +3,8 @@ Bellman-Ford, grid snapping, path-cache plan shape, end-to-end rows."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -110,11 +112,18 @@ def test_route_interpolation_network_end_to_end(spark, graph):
     assert "CartesianProduct" not in plan
 
 
+OSM_MINI = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "osm_mini.osm",
+)
+
+
 def test_osm_extract_loader_parses_and_filters(tmp_path):
     """Loader keeps highway ways, ignores others, densifies ids."""
     from cdr_analysis_tools_hadoop_spark.operators import routing
 
-    g = routing.load_osm_extract("data/osm_mini.osm")
+    g = routing.load_osm_extract(OSM_MINI)
     assert len(g.lat) == 49
     n_edges = sum(len(a) for a in g.adj) // 2
     # 73 residential segments + 6 diagonal primary segments; the
@@ -137,7 +146,7 @@ def test_osm_diagonal_is_shortest(tmp_path):
 
     from cdr_analysis_tools_hadoop_spark.operators import routing
 
-    g = routing.load_osm_extract("data/osm_mini.osm")
+    g = routing.load_osm_extract(OSM_MINI)
     # corner nodes: densified ids sort by OSM id, which is row-major
     path, d = g.dijkstra(0, 48)
     assert len(path) == 7  # straight down the diagonal
@@ -154,7 +163,7 @@ def test_osm_diagonal_is_shortest(tmp_path):
 def test_route_interpolation_network_osm_runs(spark, sf_dir):
     from cdr_analysis_tools_hadoop_spark.operators import prepare, routing
 
-    graph = routing.load_osm_extract("data/osm_mini.osm")
+    graph = routing.load_osm_extract(OSM_MINI)
     bc = spark.sparkContext.broadcast(graph)
     out = routing.route_interpolation_network(
         prepare.events_as_cdr(spark, sf_dir),
