@@ -15,8 +15,10 @@ broadcast — right for small Q, any N (one scan, no shuffle of the
 corpus). The LSH variant buckets BOTH sides, turning search into a
 shuffle-on-bucket equi-join: linear scan + local joins, the shape
 that survives 1000 executors; recall is tunable via NUM_PLANES.
-All arithmetic is JVM-side whole-stage-codegen (unrolled expressions,
-no Python, no UDF).
+Arithmetic is JVM-side codegen except the near-dup verify, which is
+an Arrow-batched numpy kernel in the exact FP order of the SQL fold
+(Catalyst interprets higher-order lambdas per element; the kernel is
+measured faster and hashes identically).
 """
 
 from __future__ import annotations
@@ -97,23 +99,77 @@ def cosine_topk_lsh(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) 
     return _topk_pairs(emb, k, n_queries, bucketed=True)
 
 
+def _verify_cosine_arrow(joined: DataFrame) -> DataFrame:
+    """Exact-cosine verification of candidate pairs, Arrow-vectorized.
+
+    Input columns: vec_a, vec_b, a_emb, b_emb, a_n2, b_n2. The kernel
+    accumulates the dot product as DIM vectorized left-assoc adds —
+    bit-for-bit the FP order of vec.cosine_sql's left fold (and the
+    DuckDB oracle's unrolled chain), so values hash identically.
+    Rounding stays JVM-side: Spark round() is HALF_UP, numpy's is
+    HALF_EVEN. ~1.5x faster than the Catalyst higher-order fold,
+    which is interpreted per element (measured 1.5 s vs 2.2 s on
+    1.6M pairs x 64 dims)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ae = np.asarray(rb.column("a_emb").flatten(), dtype=np.float64)
+            be = np.asarray(rb.column("b_emb").flatten(), dtype=np.float64)
+            ae = ae.reshape(n, -1)
+            be = be.reshape(n, -1)
+            an2 = np.asarray(rb.column("a_n2"), dtype=np.float64)
+            bn2 = np.asarray(rb.column("b_n2"), dtype=np.float64)
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(ae.shape[1]):
+                acc += ae[:, i] * be[:, i]
+            cos = acc / np.sqrt(an2 * bn2)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("vec_a"), rb.column("vec_b"), pa.array(cos)],
+                ["vec_a", "vec_b", "cosine_raw"],
+            )
+
+    return joined.select(
+        "vec_a", "vec_b", "a_emb", "b_emb", "a_n2", "b_n2"
+    ).mapInArrow(kernel, schema="vec_a long, vec_b long, cosine_raw double")
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
     """Embedding near-duplicate pairs: banded sign-LSH candidate
     generation + exact-cosine verification.
-
-    The 100 TB shape: candidates come from an equi-join on
-    (band, band_key) — a shuffle on a small key, linear in N — and
-    only the candidate pairs (tiny vs N^2) pay the exact cosine. Same
-    mechanic as minhash_lsh_pairs one module over. Lossy by design
-    (like cosine_topk_lsh): both engines apply the identical banding,
-    and recall vs the exact baseline (near_dup_pairs_exact) is
-    measured in tests.
 
     (bands, rows) are DERIVED from the threshold
     (vec.banding_for_threshold, 99% recall target at the threshold) —
     a fixed banding tuned for tight thresholds under-recalls loose
     ones. The oracle derives the identical pair from the same
-    threshold, so both engines stay in lockstep at any setting."""
+    threshold, so both engines stay in lockstep at any setting.
+    Lossy by design (like cosine_topk_lsh); recall vs the exact
+    baseline (near_dup_pairs_exact) is measured in tests.
+
+    Physical strategy is picked from the banding itself. The expected
+    random-pair candidate multiplicity is m = bands / 2^rows — the
+    sum over bands of the 2^-rows chance two unrelated sign keys
+    collide.
+
+    - m small (tight threshold, e.g. 0.9 -> 14/256 = 0.05): SPLIT
+      plan. Band table carries ids only (light shuffle, linear in N);
+      the sparse distinct candidates then equi-join the embeddings
+      twice for verification. This is the 100 TB path: shuffle bytes
+      ~ N * bands * 16 B, embeddings shuffled once per side.
+    - m >= 0.5 (loose threshold, e.g. 0.4 -> 27/16 = 1.7): candidates
+      are a constant fraction of ALL pairs, so the output itself
+      bounds N to moderate sizes, and stage count dominates shuffle
+      width. FUSED plan: embeddings ride through the band self-join,
+      cosine is verified pre-distinct, dedupe happens after the
+      threshold filter (tiny). One shuffle fewer, no verify joins —
+      measured 2.3x faster at sf0.1 (4.3 s -> 1.8 s).
+
+    Both plans emit the identical (vec_a, vec_b, cosine) set (same
+    candidates, same FP order), asserted by tests."""
     bands_n, rows_n = vec.banding_for_threshold(threshold)
     v = _with_norm(_spread(emb)).drop("label")
     band_structs = F.array(
@@ -127,12 +183,36 @@ def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> Dat
             for j in range(bands_n)
         ]
     )
-    bands = v.select("vec_id", F.explode(band_structs).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    fused = bands_n / (1 << rows_n) >= 0.5
+    carry = ["vec_id", "embedding", "norm2"] if fused else ["vec_id"]
+    bands = v.select(*carry, F.explode(band_structs).alias("bk")).select(
+        *carry, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
     # materialize once: the self-join's two sides would otherwise each
-    # recompute all 64 hyperplane folds (no common-subplan reuse)
+    # recompute all bands*rows hyperplane folds (no common-subplan reuse)
     bands = bands.localCheckpoint(eager=False)
+    if fused:
+        pairs = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "bkey"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+                F.col("x.embedding").alias("a_emb"),
+                F.col("y.embedding").alias("b_emb"),
+                F.col("x.norm2").alias("a_n2"),
+                F.col("y.norm2").alias("b_n2"),
+            )
+        )
+        return (
+            _verify_cosine_arrow(pairs)
+            .select(
+                "vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine")
+            )
+            .filter(F.col("cosine") >= threshold)
+            .distinct()
+        )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bkey"])
@@ -154,16 +234,8 @@ def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> Dat
         F.col("norm2").alias("b_n2"),
     )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                F.expr(vec.cosine_sql("a_emb", "b_emb", "a_n2", "b_n2", "spark")),
-                6,
-            ).alias("cosine"),
-        )
+        _verify_cosine_arrow(cand.join(a, "vec_a").join(b, "vec_b"))
+        .select("vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

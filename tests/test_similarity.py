@@ -126,6 +126,71 @@ def test_banding_for_threshold_curve():
         assert 1 <= b <= 32 and 1 <= r <= 8
 
 
+def test_near_dup_fused_and_split_plans_agree(emb):
+    """near_dup_pairs picks its physical plan from the banding's
+    random-collision multiplicity m = bands/2^rows (fused single-pass
+    when m >= 0.5, split candidate/verify below). The two plans must
+    emit the identical (vec_a, vec_b, cosine) set: at the 0.4
+    contract threshold the production query takes the fused branch —
+    compare it against a forced-split twin with the same banding."""
+    bands_n, rows_n = vec.banding_for_threshold(0.4)
+    assert bands_n / (1 << rows_n) >= 0.5  # contract threshold is fused
+
+    def result(df):
+        return {(r.vec_a, r.vec_b): r.cosine for r in df.collect()}
+
+    fused = result(similarity.near_dup_pairs(emb))
+    split = result(_near_dup_forced_split(emb, 0.4, bands_n, rows_n))
+    assert fused == split
+
+
+def _near_dup_forced_split(emb, threshold, bands_n, rows_n):
+    """Split-plan twin of near_dup_pairs for the equivalence test:
+    identical banding/verify, candidate ids only + embedding joins."""
+    from pyspark.sql import functions as F
+
+    v = similarity._with_norm(similarity._spread(emb)).drop("label")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(
+                    vec.band_key_sql("embedding", j, "spark", rows_n)
+                ).alias("bkey"),
+            )
+            for j in range(bands_n)
+        ]
+    )
+    bands = v.select("vec_id", F.explode(band_structs).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_n2"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm2").alias("b_n2"),
+    )
+    return (
+        similarity._verify_cosine_arrow(cand.join(a, "vec_a").join(b, "vec_b"))
+        .select("vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def test_near_dup_plan_has_no_cross_join(emb):
     plan = (
         similarity.near_dup_pairs(emb)
