@@ -417,6 +417,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def _audios(s, n=500):
+        return synthetic.audio_df(s, n, partitions=8)
+
+    q["audio_features"] = lambda s, d: multimodal.audio_features(_audios(s))
+    q["audio_resample_8k"] = lambda s, d: (
+        multimodal.audio_resample(_audios(s), 8_000).select(
+            "audio_id", "sr", "n_samples", F.length("bytes").alias("blob_bytes")
+        )
+    )
+
     # ------------------------------------------------------------------
     # Certification-priority ordering. The driver's correctness gate
     # records only the FIRST 50 entries in insertion order, so the

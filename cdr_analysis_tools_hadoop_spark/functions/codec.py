@@ -93,6 +93,42 @@ def decode(blob: bytes) -> np.ndarray:
     raise AssertionError("unreachable")
 
 
+# --- audio -----------------------------------------------------------------
+# Same philosophy as the image codecs: one REAL self-contained codec
+# (pcmz: zlib-compressed int16 LE PCM) so the whole decode -> feature
+# -> resample -> re-encode path is exercised end to end, plus stub
+# magics for external formats (MP3/OPUS/AAC) that raise
+# NotImplementedError inside the same kernels.
+# Blob layout: magic(4s) sample_rate(u32) n_samples(u32) channels(u8).
+
+_AHDR = struct.Struct("<4sIIB")
+
+
+def encode_pcmz(samples: np.ndarray, sample_rate: int) -> bytes:
+    """``samples``: int16 array of shape (n, channels)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    return _AHDR.pack(b"PCMZ", sample_rate, n, ch) + zlib.compress(
+        np.ascontiguousarray(samples, dtype="<i2").tobytes(), 6
+    )
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """-> (int16 samples of shape (n, channels), sample_rate)."""
+    magic, sr, n, ch = _AHDR.unpack_from(blob)
+    if magic in (b"MP3_", b"OPUS", b"AAC_"):
+        raise NotImplementedError(
+            f"codec {magic!r} requires an audio library not present in this "
+            "environment; Spark plumbing is format-agnostic (binary in, "
+            "ndarray out)"
+        )
+    if magic != b"PCMZ":
+        raise ValueError(f"unknown audio codec magic {magic!r}")
+    payload = zlib.decompress(blob[_AHDR.size:])
+    return np.frombuffer(payload, dtype="<i2").reshape(n, ch), sr
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = a.astype(np.float64)
     b = b.astype(np.float64)

@@ -166,6 +166,126 @@ def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
     return videos.mapInArrow(kernel, schema=videos.schema)
 
 
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Decode every audio blob and emit per-clip features: duration,
+    RMS level (dBFS), peak, zero-crossing rate, and clip ratio — the
+    standard quality/filter signals of an audio training-data sweep
+    (drop silent, clipped, or degenerate clips).
+
+    Same zero-copy mapInArrow shape as decode_features; clips are
+    variable-length so the numpy work is per clip (each clip is
+    thousands of samples — the loop is over rows, the math vectorized
+    within a clip)."""
+    out_schema = StructType(
+        [
+            StructField("audio_id", audios.schema["audio_id"].dataType),
+            StructField("sr", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("channels", IntegerType()),
+            StructField("duration_s", DoubleType()),
+            StructField("rms_dbfs", DoubleType()),
+            StructField("peak", IntegerType()),
+            StructField("zcr_hz", DoubleType()),
+            StructField("clip_ratio", DoubleType()),
+        ]
+    )
+    narrow = audios.select("audio_id", "bytes")
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            decoded = [codec.decode_audio(v) for v in _blob_views(rb)]
+            k = len(decoded)
+            srs = np.empty(k, dtype=np.int32)
+            ns = np.empty(k, dtype=np.int64)
+            chs = np.empty(k, dtype=np.int32)
+            dur = np.empty(k)
+            rms = np.empty(k)
+            peak = np.empty(k, dtype=np.int32)
+            zcr = np.empty(k)
+            clip = np.empty(k)
+            for i, (pcm, sr) in enumerate(decoded):
+                n, ch = pcm.shape
+                x = pcm.astype(np.float64)
+                srs[i], ns[i], chs[i] = sr, n, ch
+                dur[i] = n / sr
+                ms = float(np.mean(x * x))
+                rms[i] = (
+                    10.0 * np.log10(ms / (32768.0**2)) if ms > 0 else -np.inf
+                )
+                peak[i] = int(np.max(np.abs(pcm)))
+                # sign changes per second, averaged over channels
+                sgn = np.signbit(pcm)
+                zcr[i] = float(np.mean(sgn[1:] != sgn[:-1])) * sr
+                clip[i] = float(np.mean((pcm >= 32767) | (pcm <= -32768)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # audio_id passthrough, zero copy
+                    pa.array(srs, type=pa.int32()),
+                    pa.array(ns, type=pa.int64()),
+                    pa.array(chs, type=pa.int32()),
+                    pa.array(dur, type=pa.float64()),
+                    pa.array(rms, type=pa.float64()),
+                    pa.array(peak, type=pa.int32()),
+                    pa.array(zcr, type=pa.float64()),
+                    pa.array(clip, type=pa.float64()),
+                ],
+                names=[
+                    "audio_id", "sr", "n_samples", "channels", "duration_s",
+                    "rms_dbfs", "peak", "zcr_hz", "clip_ratio",
+                ],
+            )
+
+    return narrow.mapInArrow(kernel, schema=out_schema)
+
+
+def audio_resample(audios: DataFrame, to_sr: int = 8_000) -> DataFrame:
+    """Linear-interpolation resample + pcmz re-encode — the
+    rate-normalization step before batching clips for training.
+    Real math for the engine codec; external formats raise
+    NotImplementedError inside the same kernel (decode_audio)."""
+    schema = StructType(
+        [
+            StructField("audio_id", audios.schema["audio_id"].dataType),
+            StructField("sr", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            decoded = [codec.decode_audio(v) for v in _blob_views(rb)]
+            ns: list = []
+            blobs: list = []
+            for pcm, sr in decoded:
+                n, ch = pcm.shape
+                n2 = max(1, int(round(n * to_sr / sr)))
+                pos = np.arange(n2, dtype=np.float64) * (sr / to_sr)
+                i0 = np.minimum(pos.astype(np.int64), n - 1)
+                i1 = np.minimum(i0 + 1, n - 1)
+                frac = (pos - i0)[:, None]
+                x = pcm.astype(np.float64)
+                y = x[i0] * (1.0 - frac) + x[i1] * frac
+                out = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+                ns.append(n2)
+                blobs.append(codec.encode_pcmz(out, to_sr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # audio_id passthrough, zero copy
+                    pa.array([to_sr] * len(blobs), type=pa.int32()),
+                    pa.array(ns, type=pa.int64()),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                names=["audio_id", "sr", "n_samples", "bytes"],
+            )
+
+    return audios.select("audio_id", "bytes").mapInArrow(kernel, schema=schema)
+
+
 def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
     """Thumbnail generation: decode, box-average downsample by
     ``factor``, re-encode (rawz). Real pixel math end-to-end — the

@@ -254,6 +254,61 @@ def images_df(spark: SparkSession, num_images: int, partitions: int | None = Non
     return spark.range(0, num_images, 1, partitions).mapInPandas(gen, schema=schema)
 
 
+def audio_df(
+    spark: SparkSession, num_clips: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic audio-clip table (pcmz blobs).
+
+    Per-id sine mixes at 16 kHz: fundamental 110*(1 + id%17) Hz plus a
+    third harmonic, 0.5-1.75 s, mono with stereo (phase-shifted right
+    channel) every 4th clip, and a deliberately clipped clip every 7th
+    (amplitude 1.25 of full scale) so clip_ratio has signal. Same
+    embarrassingly parallel shape as images_df — each partition
+    synthesizes its own range ids, no shuffle.
+    """
+    from ..functions import codec  # local import to keep module load light
+
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    sr = 16_000
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            rows = {
+                "audio_id": [], "bytes": [], "sr": [], "n_samples": [],
+                "channels": [], "fmt": [],
+            }
+            for i in ids:
+                n = 8_000 + int(i % 5) * 4_000
+                freq = 110.0 * (1 + int(i % 17))
+                amp = 1.25 if i % 7 == 0 else 0.2 + 0.12 * int(i % 6)
+                t = np.arange(n, dtype=np.float64) / sr
+                wave = amp * np.sin(2 * np.pi * freq * t)
+                wave += 0.1 * np.sin(2 * np.pi * 3 * freq * t)
+                ch = 2 if i % 4 == 0 else 1
+                if ch == 2:
+                    wave = np.stack([wave, np.roll(wave, 7)], axis=1)
+                else:
+                    wave = wave[:, None]
+                pcm = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
+                rows["audio_id"].append(f"aud{int(i):010d}")
+                rows["bytes"].append(codec.encode_pcmz(pcm, sr))
+                rows["sr"].append(sr)
+                rows["n_samples"].append(n)
+                rows["channels"].append(ch)
+                rows["fmt"].append("pcmz")
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "audio_id string, bytes binary, sr int, n_samples int, "
+        "channels int, fmt string"
+    )
+    return spark.range(0, num_clips, 1, partitions).mapInPandas(gen, schema=schema)
+
+
 def sited_events_df(
     spark: SparkSession,
     n: int,

@@ -155,6 +155,77 @@ def test_multimodal_resize_box(spark):
         assert (pix[0, 0] == want).all()
 
 
+def test_audio_codec_roundtrip_and_stubs():
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+    import numpy as np
+    import pytest as _pytest
+
+    pcm = (np.sin(np.arange(4000) / 13.0) * 20000).astype(np.int16)
+    blob = codec.encode_pcmz(np.stack([pcm, pcm // 2], axis=1), 16_000)
+    back, sr = codec.decode_audio(blob)
+    assert sr == 16_000 and back.shape == (4000, 2)
+    assert (back[:, 0] == pcm).all() and (back[:, 1] == pcm // 2).all()
+    # mono 1-D input is promoted to (n, 1)
+    mono, _ = codec.decode_audio(codec.encode_pcmz(pcm, 8_000))
+    assert mono.shape == (4000, 1)
+    with _pytest.raises(NotImplementedError):
+        codec.decode_audio(b"MP3_" + blob[4:])
+    with _pytest.raises(ValueError):
+        codec.decode_audio(b"XXXX" + blob[4:])
+
+
+def test_audio_features_match_direct_numpy(spark):
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+    import numpy as np
+
+    audios = synthetic.audio_df(spark, 40, partitions=2)
+    feats = {r.audio_id: r for r in multimodal.audio_features(audios).collect()}
+    assert len(feats) == 40
+    blobs = {
+        r.audio_id: bytes(r.bytes)
+        for r in audios.select("audio_id", "bytes").collect()
+    }
+    # every 7th clip is synthesized over full scale -> clipping recorded
+    assert any(r.clip_ratio > 0 for r in feats.values())
+    assert all(r.clip_ratio == 0 for r in feats.values() if int(r.audio_id[3:]) % 7)
+    for aid in list(feats)[:5]:
+        pcm, sr = codec.decode_audio(blobs[aid])
+        r = feats[aid]
+        assert r.sr == sr and r.n_samples == pcm.shape[0]
+        assert r.duration_s == pcm.shape[0] / sr
+        x = pcm.astype(np.float64)
+        assert abs(r.rms_dbfs - 10 * np.log10(np.mean(x * x) / 32768.0**2)) < 1e-9
+        assert r.peak == int(np.max(np.abs(pcm)))
+
+
+def test_audio_resample_preserves_pitch(spark):
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    audios = synthetic.audio_df(spark, 12, partitions=2)
+    out = {r.audio_id: r for r in multimodal.audio_resample(audios, 8_000).collect()}
+    orig = {r.audio_id: r for r in audios.collect()}
+    zcr_in = {
+        r.audio_id: r.zcr_hz
+        for r in multimodal.audio_features(audios).collect()
+    }
+    res_df = multimodal.audio_resample(audios, 8_000)
+    zcr_out = {
+        r.audio_id: r.zcr_hz
+        for r in multimodal.audio_features(
+            res_df.withColumn("fmt", F.lit("pcmz"))
+        ).collect()
+    }
+    for aid, r in out.items():
+        assert r.sr == 8_000
+        assert abs(r.n_samples - orig[aid].n_samples / 2) <= 1
+        pcm, sr = codec.decode_audio(bytes(r.bytes))
+        assert sr == 8_000 and pcm.shape[0] == r.n_samples
+        # zero-crossings per second (pitch proxy) survive the resample
+        # as long as the fundamental is under the new Nyquist
+        if zcr_in[aid] < 3_500:
+            assert abs(zcr_out[aid] - zcr_in[aid]) / zcr_in[aid] < 0.05
+
+
 def test_pipeline_handles_empty_partitions(spark):
     from cdr_analysis_tools_hadoop_spark import pipeline
     from cdr_analysis_tools_hadoop_spark.sources import synthetic
