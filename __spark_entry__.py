@@ -420,6 +420,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _audios(s, n=500):
         return synthetic.audio_df(s, n, partitions=8)
 
+    # corpus-size-aware near-dup (GEMM banding, split verify) over a
+    # seeded tight-pair corpus — rows-only: the band table would need
+    # thousands of plane-dot expressions in SQL; the verify kernel is
+    # the one oracle-certified via embedding_near_dup
+    q["embedding_near_dup_scaled"] = lambda s, d: similarity.near_dup_pairs_scaled(
+        synthetic.embeddings_df(s, 5_000, partitions=8), threshold=0.9, n_hint=5_000
+    )
+
     q["audio_features"] = lambda s, d: multimodal.audio_features(_audios(s))
     q["audio_resample_8k"] = lambda s, d: (
         multimodal.audio_resample(_audios(s), 8_000).select(

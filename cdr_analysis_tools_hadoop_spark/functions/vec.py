@@ -127,6 +127,54 @@ def nd_plane_coeff(p: int, i: int) -> int:
     return _mix64(p * DIM + i) % 2001 - 1000
 
 
+def nd_plane_matrix(n_planes: int, dim: int = DIM):
+    """(n_planes, dim) float64 matrix of nd_plane_coeff values,
+    built vectorized (same splitmix64 stream, bit-for-bit)."""
+    import numpy as np
+
+    idx = (
+        np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(DIM)
+        + np.arange(dim, dtype=np.uint64)[None, :]
+    )
+    with np.errstate(over="ignore"):
+        x = (idx + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(2001)).astype(np.float64) - 1000.0
+
+
+def banding_for_corpus(
+    threshold: float,
+    n: int,
+    target_recall: float = 0.99,
+    max_bands: int = 192,
+    max_rows: int = 24,
+) -> tuple[int, int]:
+    """Corpus-size-aware (bands, rows) for the near-dup scale mode.
+
+    banding_for_threshold's 32-band budget keeps rows <= 8, i.e. at
+    most 2^8 buckets per band — the right cost point for small
+    corpora, but bucket occupancy grows like N/2^rows, so random
+    candidate pairs grow like bands * N^2 / 2^(rows+1): quadratic
+    once N >> 2^rows. The scale rule pins rows ~ log2(N) + 2 so that
+    expected random candidates stay ~ O(bands * N), then takes bands
+    from the same 1-(1-p^r)^b recall curve. bands is capped at
+    max_bands (hashing cost bands*rows plane dots per vector); when
+    the cap binds — tight thresholds at very large N — achieved
+    recall falls below target (0.9 @ rows=24: 95% at the 192 cap)
+    and the caller should shard the corpus or raise max_bands.
+    """
+    b0, r0 = banding_for_threshold(threshold, target_recall)
+    rows = max(r0, min(max_rows, math.ceil(math.log2(max(n, 2))) + 2))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pr = p ** rows
+    if pr >= 1.0:
+        return 1, rows
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    return min(bands, max_bands), rows
+
+
 def nd_plane_dot_sql(col: str, p: int, dialect: str, dim: int = DIM) -> str:
     if dialect == "spark":
         coeffs = "array(" + ",".join(

@@ -213,6 +213,13 @@ def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> Dat
             .filter(F.col("cosine") >= threshold)
             .distinct()
         )
+    return _split_verify(bands, v, threshold)
+
+
+def _split_verify(bands: DataFrame, v: DataFrame, threshold: float) -> DataFrame:
+    """Split-plan tail shared by near_dup_pairs and the scale mode:
+    distinct sparse candidates from the id-only band table, embeddings
+    joined back only for the survivors, Arrow-exact verify."""
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bkey"])
@@ -238,6 +245,80 @@ def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD) -> Dat
         .select("vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _band_keys_arrow(v: DataFrame, bands_n: int, rows_n: int) -> DataFrame:
+    """(vec_id, band, bkey) via one numpy GEMM per Arrow batch against
+    the nd_plane_coeff matrix — the hashing path for bandings too wide
+    for a Catalyst expression tree (bands*rows in the thousands makes
+    janino compilation and per-element lambda interpretation the
+    bottleneck; a (k, dim) x (dim, planes) GEMM is one BLAS call).
+
+    BLAS accumulation order differs from the SQL fold, so a dot
+    within FP noise of 0 may flip a sign bit vs band_key_sql — that
+    perturbs candidate RECALL by a vanishing amount and never the
+    verified values (the verify stage recomputes exact cosines). With
+    integer-valued embeddings every order is exact, which is how the
+    SQL-vs-GEMM parity test pins the packing."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes_t = np.ascontiguousarray(vec.nd_plane_matrix(bands_n * rows_n).T)
+    weights = (1 << np.arange(rows_n, dtype=np.int64))
+
+    def kernel(batches):
+        for rb in batches:
+            k = rb.num_rows
+            if k == 0:
+                continue
+            x = np.asarray(rb.column("embedding").flatten(), dtype=np.float64)
+            x = x.reshape(k, -1)
+            bits = (x @ planes_t) > 0
+            keys = (
+                bits.reshape(k, bands_n, rows_n).astype(np.int64) * weights
+            ).sum(axis=2)
+            ids = np.asarray(rb.column("vec_id"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, bands_n)),
+                    pa.array(np.tile(np.arange(bands_n, dtype=np.int32), k)),
+                    pa.array(keys.reshape(-1)),
+                ],
+                ["vec_id", "band", "bkey"],
+            )
+
+    return v.select("vec_id", "embedding").mapInArrow(
+        kernel, schema="vec_id long, band int, bkey long"
+    )
+
+
+def near_dup_pairs_scaled(
+    emb: DataFrame, threshold: float = 0.9, n_hint: int | None = None
+) -> DataFrame:
+    """Near-duplicate pairs for LARGE corpora at tight thresholds.
+
+    Same candidates-then-exact-verify semantics as near_dup_pairs,
+    but the banding is corpus-size-aware (vec.banding_for_corpus:
+    rows ~ log2(N) + 2 keeps bucket occupancy O(1), so candidates
+    stay ~ O(bands * N) instead of bands * N^2 / 2^(rows+1)), and the
+    band keys are hashed by the GEMM kernel instead of a Catalyst
+    expression per plane. Loose thresholds don't belong here: below
+    ~0.7 the required band count explodes (sign-LSH separates 0.63
+    from 0.5 per bit) — use near_dup_pairs, whose output is only
+    bounded for moderate N anyway.
+
+    No oracle twin: the band table would need thousands of plane-dot
+    expressions in SQL. Correctness is pinned by pytest (recall vs
+    the exact baseline on a seeded tight-pair fixture; SQL-vs-GEMM
+    key parity on an integer fixture) — the verify stage reuses the
+    same Arrow kernel that IS oracle-certified via embedding_near_dup.
+    """
+    if n_hint is None:
+        n_hint = emb.count()
+    bands_n, rows_n = vec.banding_for_corpus(threshold, n_hint)
+    v = _with_norm(_spread(emb)).drop("label")
+    bands = _band_keys_arrow(v, bands_n, rows_n).localCheckpoint(eager=False)
+    return _split_verify(bands, v, threshold)
 
 
 def near_dup_pairs_exact(

@@ -254,6 +254,59 @@ def images_df(spark: SparkSession, num_images: int, partitions: int | None = Non
     return spark.range(0, num_images, 1, partitions).mapInPandas(gen, schema=schema)
 
 
+def embeddings_df(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    dup_every: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic embedding corpus at ANY scale (the parquet
+    embeddings table stops at sf0.1 / 2000 rows). Values are
+    splitmix64-mixed uniforms in [-0.5, 0.5); every ``dup_every``-th
+    vector is its predecessor plus a 0.15-amplitude perturbation
+    (cosine ~0.95-0.99) so tight-threshold near-dup search has seeded
+    ground truth. Embarrassingly parallel — each partition
+    synthesizes its own range ids."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+    def _uniforms(ids: np.ndarray) -> np.ndarray:
+        idx = ids.astype(np.uint64)[:, None] * np.uint64(dim) + np.arange(
+            dim, dtype=np.uint64
+        )
+        return _mix(idx).astype(np.float64) / 2.0**64 - 0.5
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            base = _uniforms(ids)
+            isdup = (ids % dup_every == 0) & (ids > 0)
+            if isdup.any():
+                base[isdup] = _uniforms(ids[isdup] - 1) + 0.15 * base[isdup]
+            emb = base.astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(emb),
+                    "label": (ids % 10).astype(np.int32),
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int"
+    )
+
+
 def audio_df(
     spark: SparkSession, num_clips: int, partitions: int | None = None
 ) -> DataFrame:

@@ -5,6 +5,7 @@ import pytest
 
 from cdr_analysis_tools_hadoop_spark.functions import vec
 from cdr_analysis_tools_hadoop_spark.operators import similarity
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
 
 
 @pytest.fixture(scope="module")
@@ -189,6 +190,87 @@ def _near_dup_forced_split(emb, threshold, bands_n, rows_n):
         .select("vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def test_banding_for_corpus_scaling_rule():
+    """Scale-mode banding: rows tracks log2(N) so expected random
+    candidates stay ~ O(bands * N) — the quantity bands * N^2 /
+    2^(rows+1) divided by N must stay bounded as N grows 1000x."""
+    import math
+
+    prev_rows = 0
+    for n in (1_000, 100_000, 1_000_000):
+        b, r = vec.banding_for_corpus(0.9, n)
+        assert r >= prev_rows
+        prev_rows = r
+        cand_per_vec = b * n / 2 ** (r + 1)
+        assert cand_per_vec <= 64  # candidates linear in N, small constant
+        p = 1.0 - math.acos(0.9) / math.pi
+        if b < 192:  # cap not binding -> design recall met
+            assert 1 - (1 - p**r) ** b >= 0.99
+    # loose thresholds are not the scale mode's territory, but the
+    # derivation must still respect its caps rather than explode
+    b, r = vec.banding_for_corpus(0.4, 1_000_000)
+    assert b <= 192 and r <= 24
+
+
+def test_band_keys_gemm_matches_sql_on_integer_fixture(spark):
+    """The GEMM banding kernel must produce byte-identical band keys
+    to the band_key_sql expression path. Integer-valued embeddings
+    make every summation order exact, isolating the packing/sign
+    logic from FP association."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    mat = rng.integers(-50, 51, size=(120, vec.DIM)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(mat)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bands_n, rows_n = 7, 11
+    arrow = {
+        (r.vec_id, r.band, r.bkey)
+        for r in similarity._band_keys_arrow(df, bands_n, rows_n).collect()
+    }
+    from pyspark.sql import functions as F
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(vec.band_key_sql("embedding", j, "spark", rows_n)).alias(
+                    "bkey"
+                ),
+            )
+            for j in range(bands_n)
+        ]
+    )
+    sql = {
+        (r.vec_id, r.bk.band, r.bk.bkey)
+        for r in df.select("vec_id", F.explode(structs).alias("bk")).collect()
+    }
+    assert arrow == sql
+    assert len(arrow) == 120 * bands_n
+
+
+def test_near_dup_scaled_recall_and_exact_values(spark):
+    """near_dup_pairs_scaled on the seeded tight-pair corpus: every
+    returned pair appears in the exact baseline with the SAME cosine
+    (the verify stage is exact), recall >= 95%."""
+    df = synthetic.embeddings_df(spark, 400, dup_every=10, partitions=4)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs_exact(df, threshold=0.9).collect()
+    }
+    scaled = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs_scaled(
+            df, threshold=0.9, n_hint=400
+        ).collect()
+    }
+    assert len(exact) >= 30  # the generator really seeds tight pairs
+    assert set(scaled) <= set(exact)
+    for pair, cos in scaled.items():
+        assert cos == exact[pair]
+    assert len(scaled) / len(exact) >= 0.95
 
 
 def test_near_dup_plan_has_no_cross_join(emb):

@@ -68,6 +68,7 @@ def main() -> None:
     import bench
     from cdr_analysis_tools_hadoop_spark import pipeline
     from cdr_analysis_tools_hadoop_spark.operators import (
+        similarity,
         spatial_join,
         trajectory,
     )
@@ -126,6 +127,16 @@ def main() -> None:
     ).count()
     results["pip_hotspot_40m_sec"] = round(time.time() - t0, 2)
 
+    # 100x embeddings (the parquet table is 2000 rows at sf0.1): the
+    # corpus-size-aware near-dup scale mode at the tight 0.9 threshold
+    emb = synthetic.embeddings_df(spark, 200_000, partitions=64).localCheckpoint()
+    t0 = time.time()
+    nd_pairs = similarity.near_dup_pairs_scaled(
+        emb, threshold=0.9, n_hint=200_000
+    ).count()
+    results["near_dup_scaled_200k_sec"] = round(time.time() - t0, 2)
+    results["near_dup_scaled_200k_pairs"] = nd_pairs
+
     mem_sp, disk_sp = _spill_bytes(ui_port)
     results["memory_spilled_gib"] = round(mem_sp / 1024**3, 2) if mem_sp >= 0 else None
     results["disk_spilled_gib"] = round(disk_sp / 1024**3, 2) if disk_sp >= 0 else None
@@ -141,7 +152,10 @@ bench runs 480k images / sf0.1 tables; this run is the 10x
 robustness check the 100x claim implies: {n_images} images
 (~{round(n_images * 4.8 / 1024 / 1024, 1)} GiB parquet) through the fused
 pipeline, a 20M-event OD chain with a viral uid owning 25% of all
-events, and a 40M-point PIP join with a 30% tower hotspot.
+events, a 40M-point PIP join with a 30% tower hotspot, and the
+corpus-size-aware near-dup scale mode over 200k embeddings (100x the
+sf0.1 table; banding_for_corpus picks rows ~ log2 N so candidates
+stay linear in N; 9999 seeded tight pairs).
 
 | metric | value |
 |---|---|
@@ -149,6 +163,7 @@ events, and a 40M-point PIP join with a 30% tower hotspot.
 | images/sec | {results['images_per_sec']} |
 | od chain, 20M events, hot uid | {results['od_hot_uid_20m_sec']} s |
 | PIP join, 40M points, hotspot | {results['pip_hotspot_40m_sec']} s |
+| near-dup scaled, 200k vectors @ 0.9 | {results['near_dup_scaled_200k_sec']} s ({results['near_dup_scaled_200k_pairs']} pairs; 9999 seeded pairs -> recall visible) |
 | shuffle memory spilled | {results['memory_spilled_gib']} GiB |
 | shuffle disk spilled | {results['disk_spilled_gib']} GiB |
 | JVM peak RSS (VmHWM) | {results['jvm_peak_rss_gib']} GiB |
