@@ -435,6 +435,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def _videos(s, n=200):
+        return synthetic.videos_df(s, n, partitions=8)
+
+    q["video_features"] = lambda s, d: multimodal.video_features(_videos(s))
+    q["video_frame_sample"] = lambda s, d: (
+        multimodal.frame_sample(_videos(s), 8).select(
+            "video_id", "frame_idx", "w", "h",
+            F.length("bytes").alias("blob_bytes"),
+        )
+    )
+
     # ------------------------------------------------------------------
     # Certification-priority ordering. The driver's correctness gate
     # records only the FIRST 50 entries in insertion order, so the

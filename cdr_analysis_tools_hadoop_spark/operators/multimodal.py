@@ -152,18 +152,130 @@ def transcode(images: DataFrame, to_fmt: str = "qnt4") -> DataFrame:
     return images.select("image_id", "bytes").mapInArrow(kernel, schema=schema)
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling plumbing: schema + batching are real; the
-    H264 decode raises NotImplementedError by design (no codec libs in
-    this environment). Kept as the documented extension point."""
+def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample every ``every_n``-th frame of each clip (plus the last
+    frame, keyframe-style) and emit one row PER SAMPLED FRAME with the
+    frame re-encoded as a rawz still — the standard video -> image
+    corpus expansion step before image-side dedup/filtering.
+
+    Real decode for the engine ``vidz`` codec; external formats
+    (H264/VP9/AV1) raise NotImplementedError inside the same kernel.
+    mapInArrow output cardinality is per-frame, not per-row — each
+    input batch explodes into its sampled frames with video_id
+    repeated, so the operator stays map-only (no join, no shuffle) and
+    scales with input partitioning."""
+    out_schema = StructType(
+        [
+            StructField("video_id", videos.schema["video_id"].dataType),
+            StructField("frame_idx", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
 
     def kernel(batches):
-        for rb in batches:
-            for v in _blob_views(rb):
-                codec.decode(v)  # raises NotImplementedError for H264
-            yield rb
+        import pyarrow as pa
 
-    return videos.mapInArrow(kernel, schema=videos.schema)
+        for rb in batches:
+            vids = rb.column(0).to_pylist()
+            out_ids: list = []
+            idxs: list = []
+            ws: list = []
+            hs: list = []
+            blobs: list = []
+            for vid, blob in zip(vids, _blob_views(rb)):
+                frames, _fps = codec.decode_video(blob)
+                n, h, w, _c = frames.shape
+                picks = list(range(0, n, every_n))
+                if picks[-1] != n - 1:
+                    picks.append(n - 1)
+                for fi in picks:
+                    out_ids.append(vid)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    blobs.append(codec.encode_rawz(frames[fi]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=rb.schema.field(0).type),
+                    pa.array(idxs, type=pa.int32()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                names=["video_id", "frame_idx", "w", "h", "bytes"],
+            )
+
+    return videos.select("video_id", "bytes").mapInArrow(
+        kernel, schema=out_schema
+    )
+
+
+def video_features(videos: DataFrame) -> DataFrame:
+    """Decode every clip and emit per-clip features: duration, frame
+    count, mean luma, and a motion score (mean absolute temporal
+    difference per frame pair) — the filter signals of a video
+    training-data sweep (drop static/black/degenerate clips)."""
+    out_schema = StructType(
+        [
+            StructField("video_id", videos.schema["video_id"].dataType),
+            StructField("n_frames", IntegerType()),
+            StructField("fps", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("duration_s", DoubleType()),
+            StructField("mean_luma", DoubleType()),
+            StructField("motion", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            decoded = [codec.decode_video(v) for v in _blob_views(rb)]
+            k = len(decoded)
+            nf = np.empty(k, dtype=np.int32)
+            fpss = np.empty(k, dtype=np.int32)
+            ws = np.empty(k, dtype=np.int32)
+            hs = np.empty(k, dtype=np.int32)
+            dur = np.empty(k)
+            ml = np.empty(k)
+            mo = np.empty(k)
+            for i, (frames, fps) in enumerate(decoded):
+                n, h, w, _c = frames.shape
+                nf[i], fpss[i], ws[i], hs[i] = n, fps, w, h
+                dur[i] = n / fps
+                csum = frames.sum(axis=(0, 1, 2), dtype=np.int64)
+                ml[i] = float(csum @ _LUMA_W) / (n * h * w)
+                if n > 1:
+                    d = np.abs(
+                        frames[1:].astype(np.int16) - frames[:-1]
+                    )
+                    mo[i] = float(d.mean())
+                else:
+                    mo[i] = 0.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # video_id passthrough, zero copy
+                    pa.array(nf, type=pa.int32()),
+                    pa.array(fpss, type=pa.int32()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(dur, type=pa.float64()),
+                    pa.array(ml, type=pa.float64()),
+                    pa.array(mo, type=pa.float64()),
+                ],
+                names=[
+                    "video_id", "n_frames", "fps", "w", "h",
+                    "duration_s", "mean_luma", "motion",
+                ],
+            )
+
+    return videos.select("video_id", "bytes").mapInArrow(
+        kernel, schema=out_schema
+    )
 
 
 def audio_features(audios: DataFrame) -> DataFrame:

@@ -254,6 +254,15 @@ def images_df(spark: SparkSession, num_images: int, partitions: int | None = Non
     return spark.range(0, num_images, 1, partitions).mapInPandas(gen, schema=schema)
 
 
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (matches vec._mix64)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def embeddings_df(
     spark: SparkSession,
     n: int,
@@ -271,18 +280,11 @@ def embeddings_df(
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
 
-    def _mix(x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            x = x + np.uint64(0x9E3779B97F4A7C15)
-            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return x ^ (x >> np.uint64(31))
-
     def _uniforms(ids: np.ndarray) -> np.ndarray:
         idx = ids.astype(np.uint64)[:, None] * np.uint64(dim) + np.arange(
             dim, dtype=np.uint64
         )
-        return _mix(idx).astype(np.float64) / 2.0**64 - 0.5
+        return _mix64_np(idx).astype(np.float64) / 2.0**64 - 0.5
 
     def gen(batches):
         for pdf in batches:
@@ -304,6 +306,80 @@ def embeddings_df(
 
     return spark.range(0, n, 1, partitions).mapInPandas(
         gen, schema="vec_id long, embedding array<float>, label int"
+    )
+
+
+# Realistic vocabulary size matters: with a small vocab, RANDOM doc
+# pairs share enough w=2 shingles that their Jaccard is ~0.02, and
+# LSH candidate count grows as N^2 * J^rows — a 50k-doc corpus over
+# 49 words produced ~3.6M false candidates (166 s verify). Real text
+# has 10k+ word vocabularies and near-zero random-pair Jaccard, so
+# the generator uses ~1k words: base words plus numbered derivates.
+_DOC_WORDS = np.array(
+    [
+        w + (str(i) if i else "")
+        for w in _CAPTION_WORDS
+        + (
+            "spark table query scan row batch window agg join merge sort filter "
+            "value key column line data stream group order part hash small big "
+            "fast slow customer the a"
+        ).split()
+        for i in range(21)
+    ]
+)
+
+
+def documents_df(
+    spark: SparkSession,
+    n: int,
+    dup_every: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic document corpus at ANY scale (the parquet
+    documents table stops at sf0.1 / 5000 rows). Same schema as the
+    driver table (doc_id, text, lang, source, n_chars); 30-180 word
+    docs over a ~1k-word vocab; every ``dup_every``-th doc is its
+    predecessor with ONE word replaced (shingle Jaccard ~0.9+) so
+    MinHash-LSH dedup has seeded ground truth."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    vocab = _DOC_WORDS
+    nv = np.uint64(len(vocab))
+
+    def _word_idx(i: int) -> np.ndarray:
+        length = 30 + (i * 7) % 150
+        seq = np.uint64(i) * np.uint64(1_000_003) + np.arange(
+            length, dtype=np.uint64
+        )
+        return (_mix64_np(seq) % nv).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            texts = []
+            for i in ids:
+                i = int(i)
+                isdup = i % dup_every == 0 and i > 0
+                idx = _word_idx(i - 1 if isdup else i)
+                if isdup:
+                    h = int(_mix64_np(np.array([i], dtype=np.uint64))[0])
+                    idx[h % len(idx)] = (h >> 8) % len(vocab)
+                texts.append(" ".join(vocab[idx]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": "en",
+                    "source": [f"src{i % 20}" for i in ids],
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
     )
 
 
@@ -358,6 +434,65 @@ def audio_df(
     schema = (
         "audio_id string, bytes binary, sr int, n_samples int, "
         "channels int, fmt string"
+    )
+    return spark.range(0, num_clips, 1, partitions).mapInPandas(gen, schema=schema)
+
+
+def videos_df(
+    spark: SparkSession, num_clips: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic video-clip table (vidz blobs).
+
+    Per-id clips at 12 fps, 32x24 RGB, 9-41 frames: an id-derived
+    diagonal gradient panned horizontally by (1 + id%3) px/frame, with
+    a luma ramp over time; every 5th clip is fully static (frame 0
+    repeated) so the motion score has signal for filter tests. Same
+    embarrassingly parallel shape as images_df/audio_df.
+    """
+    from ..functions import codec  # local import to keep module load light
+
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    fps, h, w = 12, 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            rows = {
+                "video_id": [], "bytes": [], "n_frames": [], "fps": [],
+                "w": [], "h": [], "fmt": [],
+            }
+            for i in ids:
+                i = int(i)
+                n = 9 + (i % 5) * 8
+                base = ((yy * (3 + i % 7) + xx * (2 + i % 5)) % 256).astype(
+                    np.uint8
+                )
+                frames = np.empty((n, h, w, 3), dtype=np.uint8)
+                static = i % 5 == 0
+                speed = 0 if static else 1 + i % 3
+                for t in range(n):
+                    f = np.roll(base, t * speed, axis=1)
+                    if not static:
+                        f = (f.astype(np.int32) + 2 * t) % 256
+                    frames[t, :, :, 0] = f
+                    frames[t, :, :, 1] = (f + 85) % 256
+                    frames[t, :, :, 2] = (f + 170) % 256
+                rows["video_id"].append(f"vid{i:010d}")
+                rows["bytes"].append(codec.encode_vidz(frames, fps))
+                rows["n_frames"].append(n)
+                rows["fps"].append(fps)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append("vidz")
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "video_id string, bytes binary, n_frames int, fps int, "
+        "w int, h int, fmt string"
     )
     return spark.range(0, num_clips, 1, partitions).mapInPandas(gen, schema=schema)
 

@@ -122,3 +122,30 @@ def test_ngram_max_df_prunes_hot_shingle(spark):
     assert len(uncapped) == 45
     capped = dedup.ngram_jaccard_pairs(docs, threshold=0.08, max_df=5).collect()
     assert capped == []
+
+
+def test_documents_df_deterministic_and_dups_found(spark):
+    """The scalable synthetic document corpus: identical text for any
+    partitioning, and the seeded one-word-edit dups are recovered by
+    the MinHash-LSH chain (>= 95% of the (i-1, i) ground truth)."""
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+    d4 = synthetic.documents_df(spark, 300, partitions=4)
+    d2 = synthetic.documents_df(spark, 300, partitions=2)
+    t4 = {r.doc_id: r.text for r in d4.collect()}
+    t2 = {r.doc_id: r.text for r in d2.collect()}
+    assert t4 == t2 and len(t4) == 300
+
+    pairs = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in dedup.minhash_lsh_pairs(d4).collect()
+    }
+    seeded = {(i - 1, i) for i in range(10, 300, 10)}
+    assert len(seeded & pairs) / len(seeded) >= 0.95
+    # clusters label each seeded dup with its predecessor's component
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(d4, pairs=dedup.minhash_lsh_pairs(d4)).collect()
+    }
+    hits = sum(1 for a, b in seeded if labels[a] == labels[b])
+    assert hits / len(seeded) >= 0.95

@@ -279,3 +279,88 @@ def test_hmesh_pyramid_counts_one_scan(spark):
         .executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+
+
+def test_video_codec_roundtrip_and_stubs():
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+    import numpy as np
+    import pytest as _pytest
+
+    rng_frames = (
+        np.cumsum(
+            np.arange(20 * 8 * 12 * 3, dtype=np.uint32).reshape(20, 8, 12, 3),
+            axis=0,
+        )
+        % 256
+    ).astype(np.uint8)
+    blob = codec.encode_vidz(rng_frames, 12)
+    back, fps = codec.decode_video(blob)
+    assert fps == 12 and back.shape == (20, 8, 12, 3)
+    assert (back == rng_frames).all()
+    # a static clip delta-compresses far below per-frame rawz stills
+    static = np.repeat(rng_frames[:1], 20, axis=0)
+    assert len(codec.encode_vidz(static, 12)) < 20 * len(
+        codec.encode_rawz(static[0])
+    ) / 4
+    with _pytest.raises(NotImplementedError):
+        codec.decode_video(b"H264" + blob[4:])
+    with _pytest.raises(ValueError):
+        codec.decode_video(b"XXXX" + blob[4:])
+
+
+def test_video_features_match_direct_numpy(spark):
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    videos = synthetic.videos_df(spark, 30, partitions=2)
+    feats = {r.video_id: r for r in multimodal.video_features(videos).collect()}
+    assert len(feats) == 30
+    blobs = {
+        r.video_id: bytes(r.bytes)
+        for r in videos.select("video_id", "bytes").collect()
+    }
+    # every 5th clip is static -> motion exactly 0; the rest pan
+    for vid, r in feats.items():
+        i = int(vid[3:])
+        assert (r.motion == 0.0) == (i % 5 == 0)
+    for vid in list(feats)[:5]:
+        frames, fps = codec.decode_video(blobs[vid])
+        r = feats[vid]
+        n, h, w, _ = frames.shape
+        assert (r.n_frames, r.fps, r.w, r.h) == (n, fps, w, h)
+        assert r.duration_s == n / fps
+        want_ml = float(
+            frames.sum(axis=(0, 1, 2), dtype=np.int64)
+            @ np.array([0.299, 0.587, 0.114])
+        ) / (n * h * w)
+        assert abs(r.mean_luma - want_ml) < 1e-9
+        if n > 1:
+            want_mo = float(
+                np.abs(frames[1:].astype(np.int16) - frames[:-1]).mean()
+            )
+            assert abs(r.motion - want_mo) < 1e-12
+
+
+def test_frame_sample_expands_rows_and_roundtrips(spark):
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    videos = synthetic.videos_df(spark, 12, partitions=3)
+    rows = multimodal.frame_sample(videos, every_n=8).collect()
+    blobs = {
+        r.video_id: bytes(r.bytes)
+        for r in videos.select("video_id", "bytes").collect()
+    }
+    by_vid: dict = {}
+    for r in rows:
+        by_vid.setdefault(r.video_id, []).append(r)
+    assert set(by_vid) == set(blobs)
+    for vid, samples in by_vid.items():
+        frames, _fps = codec.decode_video(blobs[vid])
+        n = frames.shape[0]
+        picks = list(range(0, n, 8))
+        if picks[-1] != n - 1:
+            picks.append(n - 1)
+        assert sorted(r.frame_idx for r in samples) == picks
+        for r in samples:
+            still = codec.decode(bytes(r.bytes))
+            assert still.shape == (r.h, r.w, 3)
+            assert (still == frames[r.frame_idx]).all()

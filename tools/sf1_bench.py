@@ -45,6 +45,41 @@ def _jvm_peak_rss_gib() -> float:
     return round(best, 2)
 
 
+def _cpu_counters() -> tuple[int, int]:
+    """(busy, steal) jiffies from /proc/stat, whole box."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:9]]
+    idle = vals[3] + vals[4]
+    steal = vals[7]
+    busy = sum(vals) - idle - steal
+    return busy, steal
+
+
+def _timed_clean(fn, repeats: int = 3, max_attempts: int = 8,
+                 steal_max_pct: float = 2.0):
+    """Run ``fn`` until ``repeats`` runs with hypervisor steal <=
+    ``steal_max_pct`` of busy time (same clean-window protocol as
+    tools/scaling_bench.py). Returns (attempts, clean_list, dirty)."""
+    attempts: list[dict] = []
+    while len([a for a in attempts if a["clean"]]) < repeats and len(
+        attempts
+    ) < max_attempts:
+        b0, s0 = _cpu_counters()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        b1, s1 = _cpu_counters()
+        steal_pct = 100.0 * (s1 - s0) / max((s1 - s0) + (b1 - b0), 1)
+        attempts.append(
+            {"sec": round(dt, 2), "steal_pct": round(steal_pct, 1),
+             "clean": steal_pct <= steal_max_pct}
+        )
+    clean = [a["sec"] for a in attempts if a["clean"]]
+    dirty = len(clean) < 2
+    return attempts, (clean or [a["sec"] for a in attempts]), dirty
+
+
 def _spill_bytes(ui_port: int) -> tuple[int, int]:
     """Sum (memoryBytesSpilled, diskBytesSpilled) over all stages via
     the Spark REST API."""
@@ -68,6 +103,7 @@ def main() -> None:
     import bench
     from cdr_analysis_tools_hadoop_spark import pipeline
     from cdr_analysis_tools_hadoop_spark.operators import (
+        dedup,
         similarity,
         spatial_join,
         trajectory,
@@ -97,13 +133,14 @@ def main() -> None:
     images = spark.read.parquet(img_path)
 
     pipeline.run_pipeline(spark, images).count()  # warm-up
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
-        pipeline.run_pipeline(spark, images).count()
-        runs.append(time.time() - t0)
-    results["image_pipeline_sec"] = round(statistics.median(runs), 2)
-    results["images_per_sec"] = round(n_images / statistics.median(runs), 1)
+    attempts, clean, dirty = _timed_clean(
+        lambda: pipeline.run_pipeline(spark, images).count()
+    )
+    med = statistics.median(clean)
+    results["image_pipeline_sec"] = round(med, 2)
+    results["images_per_sec"] = round(n_images / med, 1)
+    results["image_pipeline_attempts"] = attempts
+    results["image_pipeline_dirty"] = dirty
 
     # 10x synthetic analytics: 20M-event OD (hot uid) + 40M-point PIP
     sited = synthetic.sited_events_df(
@@ -137,6 +174,23 @@ def main() -> None:
     results["near_dup_scaled_200k_sec"] = round(time.time() - t0, 2)
     results["near_dup_scaled_200k_pairs"] = nd_pairs
 
+    # 10x documents (the parquet table is 5000 rows at sf0.1): the
+    # MinHash-LSH dedup chain end to end, clusters included
+    docs = synthetic.documents_df(spark, 50_000, partitions=64).localCheckpoint()
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint()
+    n_pairs = pairs.count()
+    results["minhash_lsh_50k_docs_sec"] = round(time.time() - t0, 2)
+    results["minhash_lsh_50k_docs_pairs"] = n_pairs
+    t0 = time.time()
+    n_clusters = (
+        dedup.dedup_clusters(docs, pairs=pairs)
+        .filter("cluster_id != doc_id")
+        .count()
+    )
+    results["dedup_clusters_50k_sec"] = round(time.time() - t0, 2)
+    results["dedup_clusters_50k_nonroot"] = n_clusters
+
     mem_sp, disk_sp = _spill_bytes(ui_port)
     results["memory_spilled_gib"] = round(mem_sp / 1024**3, 2) if mem_sp >= 0 else None
     results["disk_spilled_gib"] = round(disk_sp / 1024**3, 2) if disk_sp >= 0 else None
@@ -155,15 +209,19 @@ pipeline, a 20M-event OD chain with a viral uid owning 25% of all
 events, a 40M-point PIP join with a 30% tower hotspot, and the
 corpus-size-aware near-dup scale mode over 200k embeddings (100x the
 sf0.1 table; banding_for_corpus picks rows ~ log2 N so candidates
-stay linear in N; 9999 seeded tight pairs).
+stay linear in N; 9999 seeded tight pairs), and the MinHash-LSH dedup chain + connected
+components over 50k documents (10x; 4999 seeded one-word-edit dups).
 
 | metric | value |
 |---|---|
-| image_pipeline (median of 3) | {results['image_pipeline_sec']} s |
+| image_pipeline (median of steal-clean runs{' — DIRTY: <2 clean attempts' if results['image_pipeline_dirty'] else ''}) | {results['image_pipeline_sec']} s |
+| image_pipeline attempts (sec @ steal) | {', '.join(f"{a['sec']}s@{a['steal_pct']}%st" for a in results['image_pipeline_attempts'])} |
 | images/sec | {results['images_per_sec']} |
 | od chain, 20M events, hot uid | {results['od_hot_uid_20m_sec']} s |
 | PIP join, 40M points, hotspot | {results['pip_hotspot_40m_sec']} s |
 | near-dup scaled, 200k vectors @ 0.9 | {results['near_dup_scaled_200k_sec']} s ({results['near_dup_scaled_200k_pairs']} pairs; 9999 seeded pairs -> recall visible) |
+| minhash-LSH verified pairs, 50k docs | {results['minhash_lsh_50k_docs_sec']} s ({results['minhash_lsh_50k_docs_pairs']} pairs; 4999 seeded dups) |
+| dedup clusters (CC), 50k docs | {results['dedup_clusters_50k_sec']} s ({results['dedup_clusters_50k_nonroot']} non-root docs) |
 | shuffle memory spilled | {results['memory_spilled_gib']} GiB |
 | shuffle disk spilled | {results['disk_spilled_gib']} GiB |
 | JVM peak RSS (VmHWM) | {results['jvm_peak_rss_gib']} GiB |
