@@ -446,6 +446,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # fused one-pass curation verdict (quality + exact-dup + keep) —
+    # oracle-bearing, certified in the driver window
+    q["corpus_curation"] = lambda s, d: textops.corpus_curation(_docs(s, d))
+
+    # perceptual near-dup over seeded jittered corpora — rows-only
+    # (pixel hashing is not SQL-expressible); exactness vs brute-force
+    # popcount and seeded recall are pytest-certified
+    q["image_near_dup"] = lambda s, d: multimodal.image_near_dup(
+        synthetic.images_df(s, 500, partitions=8, dup_every=5)
+    )
+    q["video_near_dup"] = lambda s, d: multimodal.video_near_dup(
+        synthetic.videos_df(s, 200, partitions=8, dup_every=5)
+    )
+
     # ------------------------------------------------------------------
     # Certification-priority ordering. The driver's correctness gate
     # records only the FIRST 50 entries in insertion order, so the
@@ -471,7 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_records",
         "total_unique_uids",
         "data_statistics",
-        "daily_cdrs",
+        # daily_cdrs (driver-green r1+r2, subsumed by daily_statistics)
+        # yields its slot to the new fused curation query
+        "corpus_curation",
         "daily_statistics",
         "monthly_statistics",
         "summary_stats",
@@ -756,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality"] = textops.quality_scores_oracle()
     o["text_language_id"] = textops.language_id_oracle()
     o["text_fingerprints"] = textops.fingerprints_oracle()
+    o["corpus_curation"] = textops.corpus_curation_oracle()
 
     sited_cte = _with(
         _CDR_CTE,

@@ -25,8 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StructField,
-    StructType,
+    ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+    StructField, StructType,
 )
 
 from ..functions import codec
@@ -445,3 +445,127 @@ def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return images.select("image_id", "bytes").mapInArrow(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-duplicate detection (image + video)
+
+
+def image_near_dup(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by pixel perceptual hash.
+
+    decode_features computes the 64-bit average-hash inside its fused
+    Arrow kernel (one map-only decode pass); candidate generation and
+    verification are the EXACT pigeonhole Hamming banding of
+    similarity.hamming_near_dup — an equi-join on (band, key), never
+    all-pairs, with bit_count verification. The standard image-corpus
+    dedup sweep: re-encodes, slight crops/jitter, and recolor variants
+    land within a few hash bits of each other.
+    """
+    from . import similarity
+
+    feats = decode_features(images).select("image_id", "pixel_phash")
+    return similarity.hamming_near_dup(
+        feats, "image_id", "pixel_phash", max_hamming
+    )
+
+
+def video_signature(videos: DataFrame, slots: int = 8) -> DataFrame:
+    """Per-clip fingerprint: the average-hash of ``slots`` uniformly
+    spaced frames (first and last always included), as array<long>.
+    Map-only; clips shorter than ``slots`` repeat boundary frames so
+    every signature is slot-aligned."""
+    out_schema = StructType(
+        [
+            StructField("video_id", videos.schema["video_id"].dataType),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            sigs = []
+            for blob in _blob_views(rb):
+                frames, _fps = codec.decode_video(blob)
+                n = frames.shape[0]
+                idx = np.round(np.linspace(0, n - 1, slots)).astype(int)
+                sigs.append([codec.phash_ahash(frames[i]) for i in idx])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # video_id passthrough, zero copy
+                    pa.array(sigs, type=pa.list_(pa.int64())),
+                ],
+                names=["video_id", "sig"],
+            )
+
+    return videos.select("video_id", "bytes").mapInArrow(
+        kernel, schema=out_schema
+    )
+
+
+def video_near_dup(
+    videos: DataFrame,
+    slots: int = 8,
+    max_hamming: int = 6,
+    max_avg_hamming: float = 4.0,
+) -> DataFrame:
+    """Near-duplicate clip pairs by slot-aligned frame fingerprints.
+
+    Candidates: two clips collide if ANY aligned slot's frame hashes
+    are within ``max_hamming`` bits — pigeonhole banding per (slot,
+    band, key), an equi-join, never all-pairs (recall is exact at the
+    slot level: a true near-dup pair has every slot within a few
+    bits). Verify: mean slot-wise Hamming distance over the full
+    signatures <= ``max_avg_hamming``.
+
+    The signature frame is localCheckpoint-ed because three lineages
+    consume it (band explode + both verify sides) — the same
+    materialize-once pattern as the MinHash shingle table (dedup.py).
+    The verify join-backs keep the band shuffle narrow (id pairs
+    only) instead of dragging signatures through the explode.
+    """
+    sig = video_signature(videos, slots).localCheckpoint()
+    nb = max_hamming + 1
+    bounds = [(i * 64) // nb for i in range(nb + 1)]
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(
+                    f"shiftrightunsigned(frame_hash, {bounds[i]}) & "
+                    f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
+                ).alias("key"),
+            )
+            for i in range(nb)
+        ]
+    )
+    bands = (
+        sig.select("video_id", F.posexplode("sig").alias("slot", "frame_hash"))
+        .select("video_id", "slot", F.explode(band_arr).alias("bk"))
+        .select("video_id", "slot", "bk.band", "bk.key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["slot", "band", "key"])
+        .filter(F.col("a.video_id") < F.col("b.video_id"))
+        .select(
+            F.col("a.video_id").alias("id_a"),
+            F.col("b.video_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("video_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("video_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    avg = (
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), "
+        f"0, (acc, v) -> acc + v) / {slots}"
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("avg_hamming", F.expr(avg))
+        .filter(F.col("avg_hamming") <= max_avg_hamming)
+        .select("id_a", "id_b", "avg_hamming")
+    )

@@ -483,3 +483,66 @@ def cosine_topk_ivf_oracle(
         "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM scored) "
         f"SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-radius near-dup over 64-bit perceptual hashes
+
+
+def hamming_near_dup(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """All pairs of rows whose 64-bit ``hash_col`` values differ in at
+    most ``max_hamming`` bits — EXACT, never all-pairs.
+
+    Pigeonhole banding: the hash is cut into ``max_hamming + 1``
+    contiguous bit bands; d bit-differences can dirty at most d bands,
+    so every pair within the radius shares at least one band verbatim
+    (100% recall, unlike probabilistic LSH), and ``bit_count(a ^ b)``
+    on the candidates gives 100% precision. Candidates are an
+    equi-join on (band, key): linear scan + shuffle-on-key, the same
+    shape as the MinHash band join (dedup.py). All JVM built-ins —
+    nothing leaves codegen.
+
+    The multimodal near-dup ops (image/video) compose decode kernels
+    with this; it works over any integer fingerprint column.
+    """
+    nb = max_hamming + 1
+    if not 1 <= nb <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    bounds = [(i * 64) // nb for i in range(nb + 1)]
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(
+                    f"shiftrightunsigned({hash_col}, {bounds[i]}) & "
+                    f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
+                ).alias("key"),
+            )
+            for i in range(nb)
+        ]
+    )
+    bands = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_arr).alias("bk")
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(b, ["band", "key"]).filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    # verify BEFORE the distinct: popcount is one codegen op, and
+    # dropping misses early shrinks the dedup shuffle
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(
+                f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

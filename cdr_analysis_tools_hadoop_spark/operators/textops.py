@@ -221,3 +221,64 @@ def fingerprints_oracle(view: str = "documents", k: int = FINGERPRINT_K) -> str:
         "SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) "
         f"AS fp_rank FROM sh) WHERE fp_rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. fused corpus curation (one scan -> keep/drop decision)
+
+CURATION_MIN_QUALITY = 500
+
+
+def corpus_curation(docs: DataFrame) -> DataFrame:
+    """The end-to-end corpus-curation decision in ONE pass: per
+    document, quality features + milli-score (quality_scores), an
+    exact-dup flag (first doc_id per normalized-text hash survives,
+    as in dedup.exact_dedup), and the resulting keep verdict.
+
+    Plan shape: one scan computes every per-row expression map-side;
+    the only shuffle is the window on text_hash (md5 of normalized
+    text — effectively unique keys, so no skew at any scale). This is
+    the fused form of running quality_scores + exact_dedup + a filter
+    as separate jobs: same verdicts, one job, one shuffle.
+    """
+    e = _quality_exprs("spark")
+    norm = th.normalize_text_sql("text", "spark")
+    base = docs.select(
+        "doc_id",
+        F.expr(e["n_tokens"]).alias("n_tokens"),
+        F.expr(e["stopword_ratio"]).alias("stopword_ratio"),
+        F.expr(e["type_token_ratio"]).alias("type_token_ratio"),
+        F.md5(F.expr(norm)).alias("text_hash"),
+    ).withColumn("quality_millis", F.expr(_QUALITY_SCORE))
+    win = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        base.withColumn("dup_rank", F.row_number().over(win))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_millis",
+            (F.col("dup_rank") > 1).alias("is_exact_dup"),
+            (
+                (F.col("dup_rank") == 1)
+                & (F.col("quality_millis") >= CURATION_MIN_QUALITY)
+            ).alias("keep"),
+        )
+    )
+
+
+def corpus_curation_oracle(view: str = "documents") -> str:
+    e = _quality_exprs("duckdb")
+    norm = th.normalize_text_sql("text", "duckdb")
+    return (
+        f"WITH base AS (SELECT doc_id, {e['n_tokens']} AS n_tokens, "
+        f"{e['stopword_ratio']} AS stopword_ratio, "
+        f"{e['type_token_ratio']} AS type_token_ratio, "
+        f"md5({norm}) AS text_hash FROM {view}), "
+        f"q AS (SELECT *, {_QUALITY_SCORE} AS quality_millis, "
+        "row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS dup_rank "
+        "FROM base) "
+        "SELECT doc_id, n_tokens, quality_millis, "
+        "dup_rank > 1 AS is_exact_dup, "
+        f"(dup_rank = 1 AND quality_millis >= {CURATION_MIN_QUALITY}) AS keep "
+        "FROM q"
+    )

@@ -198,11 +198,23 @@ def generate_pixels(image_ids: np.ndarray, w: int, h: int) -> np.ndarray:
     return _pixels_for(np.asarray(image_ids, dtype=np.int64), w, h)
 
 
-def images_df(spark: SparkSession, num_images: int, partitions: int | None = None) -> DataFrame:
+def images_df(
+    spark: SparkSession,
+    num_images: int,
+    partitions: int | None = None,
+    dup_every: int = 0,
+) -> DataFrame:
     """Distributed deterministic images table.
 
     Each partition materializes its own rows from the range ids —
     embarrassingly parallel, no shuffle, no collected state.
+
+    ``dup_every`` > 0 seeds perceptual near-dups for the dedup ops:
+    every ``dup_every``-th image (id >= 3) renders id-3's pixels —
+    the previous id in the SAME size class — with a ~1% +1-jitter
+    mask, so its average-hash lands within a few bits of the source
+    (ground truth = the (i-3, i) pairs). Default 0 keeps the output
+    byte-identical to the historical table (bench layouts unchanged).
     """
     from ..functions import codec  # local import to keep module load light
 
@@ -223,7 +235,18 @@ def images_df(spark: SparkSession, num_images: int, partitions: int | None = Non
                 if not mask.any():
                     continue
                 sub = ids[mask]
-                pix = _pixels_for(sub, s, s)
+                isdup = (
+                    (sub % dup_every == 0) & (sub >= 3)
+                    if dup_every
+                    else np.zeros(len(sub), dtype=bool)
+                )
+                pix = _pixels_for(np.where(isdup, sub - 3, sub), s, s)
+                if isdup.any():
+                    yy, xx = np.mgrid[0:s, 0:s]
+                    jit = (
+                        (xx * 7 + yy * 11 + sub[:, None, None]) % 97 == 0
+                    ) & isdup[:, None, None]
+                    pix = pix + jit[..., None].astype(np.uint8)
                 blobs = [codec.encode_rawz(pix[i]) for i in range(len(sub))]
                 caps = [
                     " ".join(
@@ -439,7 +462,10 @@ def audio_df(
 
 
 def videos_df(
-    spark: SparkSession, num_clips: int, partitions: int | None = None
+    spark: SparkSession,
+    num_clips: int,
+    partitions: int | None = None,
+    dup_every: int = 0,
 ) -> DataFrame:
     """Distributed deterministic video-clip table (vidz blobs).
 
@@ -448,6 +474,12 @@ def videos_df(
     a luma ramp over time; every 5th clip is fully static (frame 0
     repeated) so the motion score has signal for filter tests. Same
     embarrassingly parallel shape as images_df/audio_df.
+
+    ``dup_every`` > 0 seeds perceptual near-dups: every
+    ``dup_every``-th clip (id >= 1) renders id-1's frames with a ~1%
+    +1-jitter mask — a "re-encode" whose per-frame average-hashes
+    land within a few bits of the source (ground truth = the (i-1, i)
+    pairs). Default 0 keeps the historical output byte-identical.
     """
     from ..functions import codec  # local import to keep module load light
 
@@ -455,6 +487,23 @@ def videos_df(
         partitions = max(8, spark.sparkContext.defaultParallelism)
     fps, h, w = 12, 24, 32
     yy, xx = np.mgrid[0:h, 0:w]
+
+    def _clip(i: int) -> np.ndarray:
+        n = 9 + (i % 5) * 8
+        base = ((yy * (3 + i % 7) + xx * (2 + i % 5)) % 256).astype(
+            np.uint8
+        )
+        frames = np.empty((n, h, w, 3), dtype=np.uint8)
+        static = i % 5 == 0
+        speed = 0 if static else 1 + i % 3
+        for t in range(n):
+            f = np.roll(base, t * speed, axis=1)
+            if not static:
+                f = (f.astype(np.int32) + 2 * t) % 256
+            frames[t, :, :, 0] = f
+            frames[t, :, :, 1] = (f + 85) % 256
+            frames[t, :, :, 2] = (f + 170) % 256
+        return frames
 
     def gen(batches):
         for pdf in batches:
@@ -467,20 +516,12 @@ def videos_df(
             }
             for i in ids:
                 i = int(i)
-                n = 9 + (i % 5) * 8
-                base = ((yy * (3 + i % 7) + xx * (2 + i % 5)) % 256).astype(
-                    np.uint8
-                )
-                frames = np.empty((n, h, w, 3), dtype=np.uint8)
-                static = i % 5 == 0
-                speed = 0 if static else 1 + i % 3
-                for t in range(n):
-                    f = np.roll(base, t * speed, axis=1)
-                    if not static:
-                        f = (f.astype(np.int32) + 2 * t) % 256
-                    frames[t, :, :, 0] = f
-                    frames[t, :, :, 1] = (f + 85) % 256
-                    frames[t, :, :, 2] = (f + 170) % 256
+                isdup = dup_every > 0 and i % dup_every == 0 and i >= 1
+                frames = _clip(i - 1 if isdup else i)
+                if isdup:
+                    jit = ((xx * 7 + yy * 11 + i) % 97 == 0).astype(np.uint8)
+                    frames = frames + jit[None, :, :, None]
+                n = frames.shape[0]
                 rows["video_id"].append(f"vid{i:010d}")
                 rows["bytes"].append(codec.encode_vidz(frames, fps))
                 rows["n_frames"].append(n)

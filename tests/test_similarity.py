@@ -282,3 +282,32 @@ def test_near_dup_plan_has_no_cross_join(emb):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_hamming_near_dup_exact_vs_bruteforce(spark):
+    """Pigeonhole banding is EXACT: result == brute-force popcount
+    pairs at the radius, including distance-boundary pairs."""
+    import itertools
+
+    hashes = [
+        0,
+        1,                      # d(0,1)=1
+        (1 << 6) - 1,           # 6 bits -> exactly at the radius
+        (1 << 7) - 1,           # 7 bits from 0 -> outside
+        -1,                     # all 64 bits set
+        -2,                     # d(-1,-2)=1
+        0x5555555555555555 - 2**63,  # sign-bit patterns
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.hamming_near_dup(df, "id", "h", 6).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin((a ^ b) & (2**64 - 1)).count("1")
+        if d <= 6:
+            want.add((i, j, d))
+    assert got == want and (0, 2, 6) in got and (0, 1, 1) in got

@@ -364,3 +364,65 @@ def test_frame_sample_expands_rows_and_roundtrips(spark):
             still = codec.decode(bytes(r.bytes))
             assert still.shape == (r.h, r.w, 3)
             assert (still == frames[r.frame_idx]).all()
+
+
+def test_image_near_dup_exact_and_seeded(spark):
+    """image_near_dup == brute-force popcount over the real pixel
+    hashes (the banding is exact, not probabilistic), and every
+    seeded jittered copy is recovered."""
+    imgs = synthetic.images_df(spark, 300, partitions=4, dup_every=5)
+    feats = {
+        r.image_id: r.pixel_phash
+        for r in multimodal.decode_features(imgs).collect()
+    }
+    ids = sorted(feats)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(feats[ids[i]] ^ feats[ids[j]]).count("1")
+            if d <= 6:
+                want.add((ids[i], ids[j]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in multimodal.image_near_dup(imgs, 6).collect()
+    }
+    assert got == want
+    seeded = {
+        (f"img{i - 3:010d}", f"img{i:010d}") for i in range(5, 300, 5)
+    }
+    assert seeded <= got
+
+
+def test_video_near_dup_seeded_and_verified(spark):
+    """Every seeded jittered clip pairs with its source, and the
+    reported avg_hamming matches direct numpy over the signatures."""
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    vids = synthetic.videos_df(spark, 150, partitions=4, dup_every=5)
+    rows = multimodal.video_near_dup(vids).collect()
+    got = {(r.id_a, r.id_b): r.avg_hamming for r in rows}
+    seeded = {
+        (f"vid{i - 1:010d}", f"vid{i:010d}") for i in range(5, 150, 5)
+    }
+    assert seeded <= set(got)
+    # recompute one seeded pair's distance from the raw blobs
+    sigs = {
+        r.video_id: list(r.sig)
+        for r in multimodal.video_signature(vids).collect()
+    }
+    a, b = sorted(seeded)[0]
+    d = np.mean(
+        [bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(sigs[a], sigs[b])]
+    )
+    assert abs(got[(a, b)] - d) < 1e-12
+    # jittered copies are CLOSE (avg under 2 bits), non-pairs are not all-pairs
+    assert all(got[p] <= 2.0 for p in seeded)
+
+
+def test_video_near_dup_plan_has_no_cross_join(spark):
+    vids = synthetic.videos_df(spark, 60, partitions=2, dup_every=5)
+    plan = (
+        multimodal.video_near_dup(vids)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -50,3 +50,50 @@ def test_fingerprints_are_sorted_kmin(docs):
         hashes = [h for _, h in fps]
         assert hashes == sorted(hashes)
         assert len(fps) <= textops.FINGERPRINT_K
+
+
+def test_corpus_curation_fuses_quality_and_exact_dedup(spark):
+    """The fused verdict equals composing quality_scores + exact_dedup
+    by hand, on a frame with genuine exact dups and a junk doc."""
+    rich = "the " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, rich), (2, "x"), (3, rich), (7, rich + " tail")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.corpus_curation(df).collect()}
+    assert set(out) == {1, 2, 3, 7}
+    # doc 3 duplicates doc 1; the smaller doc_id survives
+    assert not out[1].is_exact_dup and out[3].is_exact_dup
+    assert not out[3].keep
+    # junk doc: unique but below the quality bar
+    assert not out[2].is_exact_dup and not out[2].keep
+    assert out[1].keep and out[7].keep
+    # verdict parity with the standalone operators
+    from cdr_analysis_tools_hadoop_spark.operators import dedup
+
+    quality = {
+        r.doc_id: r.quality_millis
+        for r in textops.quality_scores(df).collect()
+    }
+    keepers = {
+        r.keeper_doc_id for r in dedup.exact_dedup(df).collect()
+    }
+    for i, r in out.items():
+        assert r.quality_millis == quality[i]
+        assert r.is_exact_dup == (i not in keepers)
+        assert r.keep == (
+            i in keepers and quality[i] >= textops.CURATION_MIN_QUALITY
+        )
+
+
+def test_corpus_curation_single_shuffle_plan(docs):
+    """One scan + one exchange (the text_hash window): the fused plan
+    must not re-read the table per feature family."""
+    plan = (
+        textops.corpus_curation(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ") == 1
+    assert plan.count("Exchange") == 1
