@@ -451,22 +451,30 @@ def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
 # Perceptual near-duplicate detection (image + video)
 
 
-def image_near_dup(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+def image_near_dup(
+    images: DataFrame,
+    max_hamming: int = 6,
+    n_hint: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-duplicate image pairs by pixel perceptual hash.
 
     decode_features computes the 64-bit average-hash inside its fused
     Arrow kernel (one map-only decode pass); candidate generation and
     verification are the EXACT pigeonhole Hamming banding of
-    similarity.hamming_near_dup — an equi-join on (band, key), never
-    all-pairs, with bit_count verification. The standard image-corpus
-    dedup sweep: re-encodes, slight crops/jitter, and recolor variants
-    land within a few hash bits of each other.
+    similarity.hamming_near_dup — an equi-join on (combo, key), never
+    all-pairs, with bit_count verification. Pass ``n_hint`` at scale
+    so the combination banding keeps bucket occupancy O(1). The
+    standard image-corpus dedup sweep: re-encodes, slight
+    crops/jitter, and recolor variants land within a few hash bits of
+    each other.
     """
     from . import similarity
 
     feats = decode_features(images).select("image_id", "pixel_phash")
     return similarity.hamming_near_dup(
-        feats, "image_id", "pixel_phash", max_hamming
+        feats, "image_id", "pixel_phash", max_hamming,
+        n_hint=n_hint, max_bucket=max_bucket,
     )
 
 
@@ -510,15 +518,18 @@ def video_near_dup(
     slots: int = 8,
     max_hamming: int = 6,
     max_avg_hamming: float = 4.0,
+    n_hint: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate clip pairs by slot-aligned frame fingerprints.
 
     Candidates: two clips collide if ANY aligned slot's frame hashes
     are within ``max_hamming`` bits — pigeonhole banding per (slot,
-    band, key), an equi-join, never all-pairs (recall is exact at the
-    slot level: a true near-dup pair has every slot within a few
-    bits). Verify: mean slot-wise Hamming distance over the full
-    signatures <= ``max_avg_hamming``.
+    combo, key), an equi-join, never all-pairs (recall is exact at
+    the slot level: a true near-dup pair has every slot within a few
+    bits); ``n_hint`` widens the combination keys at scale exactly as
+    in similarity.hamming_near_dup. Verify: mean slot-wise Hamming
+    distance over the full signatures <= ``max_avg_hamming``.
 
     The signature frame is localCheckpoint-ed because three lineages
     consume it (band explode + both verify sides) — the same
@@ -526,27 +537,32 @@ def video_near_dup(
     The verify join-backs keep the band shuffle narrow (id pairs
     only) instead of dragging signatures through the explode.
     """
+    from .similarity import _hamming_key_structs
+
     sig = video_signature(videos, slots).localCheckpoint()
-    nb = max_hamming + 1
-    bounds = [(i * 64) // nb for i in range(nb + 1)]
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.expr(
-                    f"shiftrightunsigned(frame_hash, {bounds[i]}) & "
-                    f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
-                ).alias("key"),
-            )
-            for i in range(nb)
-        ]
-    )
+    band_arr = _hamming_key_structs("frame_hash", max_hamming, n_hint)
     bands = (
         sig.select("video_id", F.posexplode("sig").alias("slot", "frame_hash"))
         .select("video_id", "slot", F.explode(band_arr).alias("bk"))
         .select("video_id", "slot", "bk.band", "bk.key")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    if max_bucket:
+        # degenerate-hash guard, same shape as hamming_near_dup (e.g.
+        # black frames: every clip's slot hashes collide)
+        hot = (
+            bands.groupBy("slot", "band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("slot", "band", "key")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["slot", "band", "key"], "left_anti"
+        )
+    # merge hint for the same reason as similarity.hamming_near_dup:
+    # synthetic/mapInArrow lineage under-estimates the exploded band
+    # table (static broadcast would OOM) and a shuffled-hash build
+    # map is unspillable — sort-merge survives any size
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(b, ["slot", "band", "key"])
         .filter(F.col("a.video_id") < F.col("b.video_id"))

@@ -489,47 +489,109 @@ def cosine_topk_ivf_oracle(
 # Hamming-radius near-dup over 64-bit perceptual hashes
 
 
+def hamming_banding(max_hamming: int, n_hint: int | None) -> tuple[int, int]:
+    """Pick (k bands, combo size c = k - max_hamming) for an exact
+    Hamming-radius join at corpus size ``n_hint``.
+
+    Pigeonhole: d bit-differences dirty at most d of k bands, so any
+    in-radius pair matches verbatim on SOME (k-d)-subset of bands —
+    joining on ALL C(k, k-d) subsets as composite keys keeps recall
+    exact at any k > d (the multi-block simhash scheme of Manku,
+    Jain & Das Sarma, WWW'07). The tradeoff: larger k widens the
+    composite key (occupancy per bucket ~ N / 2^bits, so candidate
+    count stays LINEAR in N) but explodes each row into C(k, c)
+    keys. This picks the smallest k whose worst-case composite key
+    still bounds expected bucket occupancy at ~4 rows, capped at
+    1024 combos per row (past that a permuted multi-table layout is
+    the right tool)."""
+    d = max_hamming
+    if not 0 <= d <= 62:
+        raise ValueError("max_hamming must be in [0, 62]")
+    if not n_hint:
+        return d + 1, 1
+    import math
+
+    need = max(0.0, math.log2(max(n_hint, 2)) - 2)
+    k = d + 1
+    while True:
+        c = k - d
+        widths = sorted(
+            ((i + 1) * 64) // k - (i * 64) // k for i in range(k)
+        )
+        bits = sum(widths[:c])  # worst-case (narrowest) combo
+        if bits >= need or math.comb(k + 1, c + 1) > 1024 or k >= 32:
+            return k, c
+        k += 1
+
+
 def hamming_near_dup(
     df: DataFrame,
     id_col: str,
     hash_col: str,
     max_hamming: int = 6,
+    n_hint: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit ``hash_col`` values differ in at
     most ``max_hamming`` bits — EXACT, never all-pairs.
 
-    Pigeonhole banding: the hash is cut into ``max_hamming + 1``
-    contiguous bit bands; d bit-differences can dirty at most d bands,
-    so every pair within the radius shares at least one band verbatim
-    (100% recall, unlike probabilistic LSH), and ``bit_count(a ^ b)``
-    on the candidates gives 100% precision. Candidates are an
-    equi-join on (band, key): linear scan + shuffle-on-key, the same
-    shape as the MinHash band join (dedup.py). All JVM built-ins —
-    nothing leaves codegen.
+    Pigeonhole banding: the hash is cut into k contiguous bit bands
+    and rows are joined on every (k - max_hamming)-band combination
+    key — every in-radius pair shares one such key verbatim (100%
+    recall, unlike probabilistic LSH), and ``bit_count(a ^ b)`` on
+    the candidates gives 100% precision. Candidates are an equi-join
+    on (combo, key): linear scan + shuffle-on-key, the same shape as
+    the MinHash band join (dedup.py). All JVM built-ins — nothing
+    leaves codegen.
+
+    Pass ``n_hint`` (approximate corpus size) to let hamming_banding
+    widen the composite keys: without it k = max_hamming + 1 single
+    bands (9-bit keys at the default radius — fine to ~10^4 rows),
+    with it bucket occupancy stays O(1) so candidates stay linear in
+    N — the same corpus-size-aware scale mode as
+    near_dup_pairs_scaled.
+
+    ``max_bucket`` is the guard for DEGENERATE hash distributions
+    (real corpora have them: flat/black images all land on a handful
+    of average-hash values, so their bucket alone is quadratic). Keys
+    with more than ``max_bucket`` members are dropped from candidate
+    generation — the same guard-first anti-join shape as the OD
+    500-event cap (trajectory.py) and the max_df stop-shingle cap
+    (dedup.py). Recall caveat: pairs ONLY reachable through a dropped
+    bucket are missed; with combination banding a pair has several
+    independent keys, so only hash-cluster members lose recall — and
+    those are exactly the pairs a dedup sweep treats as a cluster,
+    not pairwise.
 
     The multimodal near-dup ops (image/video) compose decode kernels
     with this; it works over any integer fingerprint column.
     """
-    nb = max_hamming + 1
-    if not 1 <= nb <= 64:
-        raise ValueError("max_hamming must be in [0, 63]")
-    bounds = [(i * 64) // nb for i in range(nb + 1)]
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.expr(
-                    f"shiftrightunsigned({hash_col}, {bounds[i]}) & "
-                    f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
-                ).alias("key"),
-            )
-            for i in range(nb)
-        ]
-    )
+    band_arr = _hamming_key_structs(hash_col, max_hamming, n_hint)
+    if max_bucket:
+        # the bucket census adds a second consumer of the band
+        # lineage; materialize the NARROW (id, hash) frame once so an
+        # expensive upstream (image decode) never runs twice
+        df = df.select(id_col, hash_col).localCheckpoint()
     bands = df.select(
         F.col(id_col), F.col(hash_col), F.explode(band_arr).alias("bk")
     ).select(id_col, hash_col, "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    if max_bucket:
+        hot = (
+            bands.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "key")
+        )
+        # two-phase count is map-side partial (skew-immune); the hot
+        # set is tiny by construction -> broadcast anti-join
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # merge hint: the band table behind a mapInArrow/range source
+    # carries the SOURCE's size estimate (bytes, not rows), so the
+    # static planner would broadcast a multi-GiB exploded table and
+    # die at scale; shuffled-hash is no better (the per-task build
+    # map is unspillable and OOMs at ~10^8 band rows). Sort-merge
+    # spills gracefully at any size and AQE still splits skewed keys
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     cand = a.join(b, ["band", "key"]).filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
@@ -546,3 +608,32 @@ def hamming_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _hamming_key_structs(
+    hash_col: str, max_hamming: int, n_hint: int | None
+) -> F.Column:
+    """array<struct<band, key>> of the C(k, c) combination keys for
+    one 64-bit hash column (see hamming_banding). Shared by the
+    image (flat) and video (per-slot) near-dup joins."""
+    import itertools
+
+    k, c = hamming_banding(max_hamming, n_hint)
+    bounds = [(i * 64) // k for i in range(k + 1)]
+
+    def band(i: int) -> str:
+        return (
+            f"(shiftrightunsigned({hash_col}, {bounds[i]}) & "
+            f"{(1 << (bounds[i + 1] - bounds[i])) - 1})"
+        )
+
+    structs = []
+    for ci, combo in enumerate(itertools.combinations(range(k), c)):
+        assert sum(bounds[i + 1] - bounds[i] for i in combo) <= 63
+        expr = band(combo[0])
+        for i in combo[1:]:
+            expr = f"(({expr}) << {bounds[i + 1] - bounds[i]} | {band(i)})"
+        structs.append(
+            F.struct(F.lit(ci).alias("band"), F.expr(expr).alias("key"))
+        )
+    return F.array(*structs)

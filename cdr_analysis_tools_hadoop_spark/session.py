@@ -51,6 +51,12 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # start every shuffle wide and let AQE coalesce DOWN by
+        # measured size: tiny aggregations still end at a handful of
+        # partitions, while a multi-10-GiB band/explode shuffle (e.g.
+        # hamming_near_dup at 10^7 rows) gets ~64 MiB sort tasks
+        # instead of spilling 500 MiB sorts at the static default
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -311,3 +311,55 @@ def test_hamming_near_dup_exact_vs_bruteforce(spark):
         if d <= 6:
             want.add((i, j, d))
     assert got == want and (0, 2, 6) in got and (0, 1, 1) in got
+
+
+@pytest.mark.parametrize("n_hint", [None, 50_000, 5_000_000])
+def test_hamming_near_dup_combo_banding_exact(spark, n_hint):
+    """Combination banding (n_hint set -> k > d+1 bands, C(k, k-d)
+    composite keys) returns the identical exact pair set: d dirtied
+    bands leave k-d clean ones, which always form one enumerated
+    combo."""
+    import itertools
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(-2**63, 2**63, size=60, dtype=np.int64)
+    # seed tight pairs: flip <=6 random bits of the predecessor
+    hashes = list(base)
+    for i in range(5, 60, 5):
+        v = int(base[i - 1])
+        for b in rng.choice(64, size=rng.randint(0, 7), replace=False):
+            v ^= 1 << int(b)
+        hashes[i] = np.int64(np.uint64(v % 2**64) - 2**63 if v >= 2**63 else v)
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.hamming_near_dup(df, "id", "h", 6, n_hint=n_hint).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin(int(a ^ b) & (2**64 - 1)).count("1")
+        if d <= 6:
+            want.add((i, j, d))
+    assert got == want and len(want) >= 5
+
+
+def test_hamming_near_dup_max_bucket_guard(spark):
+    """A degenerate cluster (many rows with the IDENTICAL hash) is
+    dropped by the hot-bucket guard while normal pairs survive."""
+    rows = [(i, 42) for i in range(50)]          # quadratic cluster
+    rows += [(100, 1 << 40), (101, (1 << 40) | 3)]  # a normal pair (d=2)
+    df = spark.createDataFrame(rows, "id long, h long")
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in similarity.hamming_near_dup(
+            df, "id", "h", 6, max_bucket=10
+        ).collect()
+    }
+    assert guarded == {(100, 101)}
+    # without the guard the cluster contributes all C(50,2) pairs,
+    # plus 100 cross pairs: hamming(42, 1<<40) = 4 and
+    # hamming(42, (1<<40)|3) = 4, both within the radius
+    full = similarity.hamming_near_dup(df, "id", "h", 6).count()
+    assert full == 50 * 49 // 2 + 1 + 100

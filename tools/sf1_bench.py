@@ -191,6 +191,37 @@ def main() -> None:
     results["dedup_clusters_50k_sec"] = round(time.time() - t0, 2)
     results["dedup_clusters_50k_nonroot"] = n_clusters
 
+    # EXACT Hamming-radius near-dup at 2M fingerprints: combination
+    # banding (n_hint) keeps candidates linear; every 10th hash is its
+    # predecessor with <=3 flipped bits (200k seeded pairs, all of
+    # which the exact join MUST return)
+    from pyspark.sql import functions as F
+
+    n_h = 2_000_000
+    hashes = (
+        spark.range(0, n_h, 1, 64)
+        .withColumn(
+            "src",
+            F.expr("case when id % 10 = 0 and id > 0 then id - 1 else id end"),
+        )
+        .withColumn("h0", F.expr("xxhash64(src)"))
+        .withColumn(
+            "h",
+            F.expr(
+                "case when src != id then h0"
+                " ^ shiftleft(1L, cast(pmod(xxhash64(id, 1L), 64) as int))"
+                " ^ shiftleft(1L, cast(pmod(xxhash64(id, 2L), 64) as int))"
+                " ^ shiftleft(1L, cast(pmod(xxhash64(id, 3L), 64) as int))"
+                " else h0 end"
+            ),
+        )
+        .select("id", "h")
+    ).localCheckpoint()
+    t0 = time.time()
+    n_hd = similarity.hamming_near_dup(hashes, "id", "h", 6, n_hint=n_h).count()
+    results["hamming_near_dup_2m_sec"] = round(time.time() - t0, 2)
+    results["hamming_near_dup_2m_pairs"] = n_hd
+
     mem_sp, disk_sp = _spill_bytes(ui_port)
     results["memory_spilled_gib"] = round(mem_sp / 1024**3, 2) if mem_sp >= 0 else None
     results["disk_spilled_gib"] = round(disk_sp / 1024**3, 2) if disk_sp >= 0 else None
@@ -222,6 +253,7 @@ components over 50k documents (10x; 4999 seeded one-word-edit dups).
 | near-dup scaled, 200k vectors @ 0.9 | {results['near_dup_scaled_200k_sec']} s ({results['near_dup_scaled_200k_pairs']} pairs; 9999 seeded pairs -> recall visible) |
 | minhash-LSH verified pairs, 50k docs | {results['minhash_lsh_50k_docs_sec']} s ({results['minhash_lsh_50k_docs_pairs']} pairs; 4999 seeded dups) |
 | dedup clusters (CC), 50k docs | {results['dedup_clusters_50k_sec']} s ({results['dedup_clusters_50k_nonroot']} non-root docs) |
+| EXACT hamming near-dup, 2M fingerprints @ d<=6 | {results['hamming_near_dup_2m_sec']} s ({results['hamming_near_dup_2m_pairs']} pairs; 200k seeded, recall exact by construction) |
 | shuffle memory spilled | {results['memory_spilled_gib']} GiB |
 | shuffle disk spilled | {results['disk_spilled_gib']} GiB |
 | JVM peak RSS (VmHWM) | {results['jvm_peak_rss_gib']} GiB |
