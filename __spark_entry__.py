@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["video_near_dup"] = lambda s, d: multimodal.video_near_dup(
         synthetic.videos_df(s, 200, partitions=8, dup_every=5)
     )
+    q["audio_near_dup"] = lambda s, d: multimodal.audio_near_dup(
+        synthetic.audio_df(s, 300, partitions=8, dup_every=5)
+    )
 
     # ------------------------------------------------------------------
     # Certification-priority ordering. The driver's correctness gate

@@ -407,7 +407,10 @@ def documents_df(
 
 
 def audio_df(
-    spark: SparkSession, num_clips: int, partitions: int | None = None
+    spark: SparkSession,
+    num_clips: int,
+    partitions: int | None = None,
+    dup_every: int = 0,
 ) -> DataFrame:
     """Distributed deterministic audio-clip table (pcmz blobs).
 
@@ -417,12 +420,31 @@ def audio_df(
     (amplitude 1.25 of full scale) so clip_ratio has signal. Same
     embarrassingly parallel shape as images_df — each partition
     synthesizes its own range ids, no shuffle.
+
+    ``dup_every`` > 0 seeds perceptual near-dups: every
+    ``dup_every``-th clip (id >= 1) is id-1's waveform at 0.6x gain,
+    resampled to 12 kHz, with -46 dBFS white-ish noise — the classic
+    "same recording, different master" pair whose spectral
+    fingerprints must land within a few bits. Default 0 keeps the
+    historical output byte-identical.
     """
     from ..functions import codec  # local import to keep module load light
 
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
     sr = 16_000
+
+    def _wave(i: int) -> np.ndarray:
+        n = 8_000 + int(i % 5) * 4_000
+        freq = 110.0 * (1 + int(i % 17))
+        amp = 1.25 if i % 7 == 0 else 0.2 + 0.12 * int(i % 6)
+        t = np.arange(n, dtype=np.float64) / sr
+        wave = amp * np.sin(2 * np.pi * freq * t)
+        wave += 0.1 * np.sin(2 * np.pi * 3 * freq * t)
+        ch = 2 if i % 4 == 0 else 1
+        if ch == 2:
+            return np.stack([wave, np.roll(wave, 7)], axis=1)
+        return wave[:, None]
 
     def gen(batches):
         for pdf in batches:
@@ -434,23 +456,37 @@ def audio_df(
                 "channels": [], "fmt": [],
             }
             for i in ids:
-                n = 8_000 + int(i % 5) * 4_000
-                freq = 110.0 * (1 + int(i % 17))
-                amp = 1.25 if i % 7 == 0 else 0.2 + 0.12 * int(i % 6)
-                t = np.arange(n, dtype=np.float64) / sr
-                wave = amp * np.sin(2 * np.pi * freq * t)
-                wave += 0.1 * np.sin(2 * np.pi * 3 * freq * t)
-                ch = 2 if i % 4 == 0 else 1
-                if ch == 2:
-                    wave = np.stack([wave, np.roll(wave, 7)], axis=1)
+                i = int(i)
+                isdup = dup_every > 0 and i % dup_every == 0 and i >= 1
+                clip_sr = sr
+                if isdup:
+                    # re-master the predecessor's RENDERED signal
+                    # (post-clipping), as a real re-encode would
+                    src = np.clip(_wave(i - 1), -1.0, 1.0)
+                    clip_sr = 12_000
+                    # linear resample 16k -> 12k, per channel
+                    n2 = int(len(src) * clip_sr / sr)
+                    xs = np.arange(n2) * (len(src) - 1) / max(n2 - 1, 1)
+                    wave = np.stack(
+                        [
+                            np.interp(xs, np.arange(len(src)), src[:, c])
+                            for c in range(src.shape[1])
+                        ],
+                        axis=1,
+                    ) * 0.6
+                    noise_ph = _mix64_np(
+                        np.arange(wave.size, dtype=np.uint64)
+                        + np.uint64(i) * np.uint64(7_777_777)
+                    ).astype(np.float64) / 2.0**64 - 0.5
+                    wave = wave + 0.01 * noise_ph.reshape(wave.shape)
                 else:
-                    wave = wave[:, None]
+                    wave = _wave(i)
                 pcm = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
-                rows["audio_id"].append(f"aud{int(i):010d}")
-                rows["bytes"].append(codec.encode_pcmz(pcm, sr))
-                rows["sr"].append(sr)
-                rows["n_samples"].append(n)
-                rows["channels"].append(ch)
+                rows["audio_id"].append(f"aud{i:010d}")
+                rows["bytes"].append(codec.encode_pcmz(pcm, clip_sr))
+                rows["sr"].append(clip_sr)
+                rows["n_samples"].append(len(pcm))
+                rows["channels"].append(pcm.shape[1])
                 rows["fmt"].append("pcmz")
             yield pd.DataFrame(rows)
 

@@ -426,3 +426,23 @@ def test_video_near_dup_plan_has_no_cross_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_audio_near_dup_seeded_remasters(spark):
+    """Seeded re-masters (0.6x gain + 16k->12k resample + -46 dBFS
+    noise) are recovered by the spectral fingerprint at the default
+    radius; fingerprints are gain/resample robust by construction."""
+    auds = synthetic.audio_df(spark, 300, partitions=4, dup_every=5)
+    got = {(r.id_a, r.id_b) for r in multimodal.audio_near_dup(auds).collect()}
+    seeded = {(f"aud{i - 1:010d}", f"aud{i:010d}") for i in range(5, 300, 5)}
+    # one legitimate outlier: a clipped (harmonic-rich) source
+    # resampled without anti-alias filtering genuinely aliases
+    assert len(seeded & got) / len(seeded) >= 0.95
+    # default table (no seeded dups) stays identical for any partitioning
+    a = {r.audio_id: r.fingerprint
+         for r in multimodal.audio_signature(
+             synthetic.audio_df(spark, 60, partitions=2)).collect()}
+    b = {r.audio_id: r.fingerprint
+         for r in multimodal.audio_signature(
+             synthetic.audio_df(spark, 60, partitions=5)).collect()}
+    assert a == b and len(a) == 60
