@@ -622,14 +622,19 @@ def _hamming_key_structs(
     bounds = [(i * 64) // k for i in range(k + 1)]
 
     def band(i: int) -> str:
+        width = bounds[i + 1] - bounds[i]
+        if width == 64:  # max_hamming=0: exact join on the full hash
+            return f"({hash_col})"
         return (
             f"(shiftrightunsigned({hash_col}, {bounds[i]}) & "
-            f"{(1 << (bounds[i + 1] - bounds[i])) - 1})"
+            f"{(1 << width) - 1})"
         )
 
     structs = []
     for ci, combo in enumerate(itertools.combinations(range(k), c)):
-        assert sum(bounds[i + 1] - bounds[i] for i in combo) <= 63
+        assert len(combo) == 1 or (
+            sum(bounds[i + 1] - bounds[i] for i in combo) <= 63
+        )
         expr = band(combo[0])
         for i in combo[1:]:
             expr = f"(({expr}) << {bounds[i + 1] - bounds[i]} | {band(i)})"
