@@ -187,6 +187,8 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
             for vid, blob in zip(vids, _blob_views(rb)):
                 frames, _fps = codec.decode_video(blob)
                 n, h, w, _c = frames.shape
+                if n == 0:  # degenerate zero-frame clip: nothing to emit
+                    continue
                 picks = list(range(0, n, every_n))
                 if picks[-1] != n - 1:
                     picks.append(n - 1)
@@ -539,6 +541,16 @@ def video_near_dup(
     """
     from .similarity import _hamming_key_structs
 
+    if max_avg_hamming > max_hamming:
+        # a pair with avg slot distance a has SOME slot <= a, so
+        # avg <= max_hamming guarantees a candidate key (exact
+        # recall); a larger avg threshold would accept pairs the
+        # candidate stage can silently miss
+        raise ValueError(
+            "max_avg_hamming must be <= max_hamming "
+            f"({max_avg_hamming} > {max_hamming}): verified pairs could "
+            "fall outside the candidate guarantee"
+        )
     sig = video_signature(videos, slots).localCheckpoint()
     band_arr = _hamming_key_structs("frame_hash", max_hamming, n_hint)
     bands = (

@@ -218,6 +218,11 @@ def images_df(
     """
     from ..functions import codec  # local import to keep module load light
 
+    if dup_every in (1, 3):
+        # source id i-3 would itself be a dup (3 % dup_every == 0),
+        # rendering from a different pattern than the stored row —
+        # the (i-3, i) ground truth would silently break
+        raise ValueError("images_df dup_every must not be 1 or 3")
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
     sizes = np.array([16, 32, 64], dtype=np.int64)
@@ -364,6 +369,8 @@ def documents_df(
     docs over a ~1k-word vocab; every ``dup_every``-th doc is its
     predecessor with ONE word replaced (shingle Jaccard ~0.9+) so
     MinHash-LSH dedup has seeded ground truth."""
+    if dup_every == 1:
+        raise ValueError("documents_df dup_every must not be 1")
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
     vocab = _DOC_WORDS
@@ -384,7 +391,7 @@ def documents_df(
             texts = []
             for i in ids:
                 i = int(i)
-                isdup = i % dup_every == 0 and i > 0
+                isdup = dup_every > 0 and i % dup_every == 0 and i > 0
                 idx = _word_idx(i - 1 if isdup else i)
                 if isdup:
                     h = int(_mix64_np(np.array([i], dtype=np.uint64))[0])
@@ -432,6 +439,9 @@ def audio_df(
 
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
+    if dup_every == 1:
+        # every row would be a dup of a dup — no clean sources
+        raise ValueError("audio_df dup_every must not be 1")
     sr = 16_000
 
     def _wave(i: int) -> np.ndarray:
@@ -521,6 +531,9 @@ def videos_df(
 
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
+    if dup_every == 1:
+        # every row would be a dup of a dup — no clean sources
+        raise ValueError("videos_df dup_every must not be 1")
     fps, h, w = 12, 24, 32
     yy, xx = np.mgrid[0:h, 0:w]
 

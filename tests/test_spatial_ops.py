@@ -446,3 +446,24 @@ def test_audio_near_dup_seeded_remasters(spark):
          for r in multimodal.audio_signature(
              synthetic.audio_df(spark, 60, partitions=5)).collect()}
     assert a == b and len(a) == 60
+
+
+def test_near_dup_parameter_guards(spark):
+    """Misuse guards: dup chains in the seeded generators and a video
+    verify threshold outside the candidate guarantee raise instead of
+    silently losing recall."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dup_every"):
+        synthetic.images_df(spark, 10, dup_every=3)
+    with _pytest.raises(ValueError, match="dup_every"):
+        synthetic.videos_df(spark, 10, dup_every=1)
+    with _pytest.raises(ValueError, match="dup_every"):
+        synthetic.audio_df(spark, 10, dup_every=1)
+    with _pytest.raises(ValueError, match="max_avg_hamming"):
+        multimodal.video_near_dup(
+            synthetic.videos_df(spark, 4), max_hamming=2, max_avg_hamming=4.0
+        )
+    # documents_df dup_every=0 is the documented no-dups mode
+    from cdr_analysis_tools_hadoop_spark.sources.synthetic import documents_df
+    assert documents_df(spark, 30, dup_every=0, partitions=2).count() == 30

@@ -289,7 +289,7 @@ by pigeonhole so all 200k seeded pairs MUST appear).
 | shuffle disk spilled | {results['disk_spilled_gib']} GiB |
 | JVM peak RSS (VmHWM) | {results['jvm_peak_rss_gib']} GiB |
 
-{'Zero spill' if (results['memory_spilled_gib'] or 0) == 0 else 'The only spill is the 2M-fingerprint hamming sort (168M band rows per side, the one deliberately shuffle-heavy entry; sort-merge spills gracefully by design, never an unspillable hash build)'}; peak RSS sits well under the session heap, so the
+{'Spill was UNMEASURED (REST API unavailable)' if results['memory_spilled_gib'] is None else 'Zero spill' if results['memory_spilled_gib'] == 0 else 'The only spill is the 2M-fingerprint hamming sort (168M band rows per side, the one deliberately shuffle-heavy entry; sort-merge spills gracefully by design, never an unspillable hash build)'}; peak RSS sits well under the session heap, so the
 partition sizing (256 image files, 128-partition synthetic frames,
 AQE target-size coalescing from 512 initial partitions) leaves
 headroom at 10x. Throughput at 10x is
