@@ -29,6 +29,7 @@ reports + the 7 graphs; ``od`` writes origin_destination.tsv.
 from __future__ import annotations
 
 import glob
+import shutil
 import json
 import os
 import sys
@@ -307,6 +308,8 @@ def run_od(spark: SparkSession, cfg: dict) -> str:
                 for line in src:
                     out.write(line)
                     n += 1
+    # the part files duplicate the (zones^2 x days) matrix — drop them
+    shutil.rmtree(parts_dir, ignore_errors=True)
     print(f"od: wrote {n} rows to {path}")
     return path
 

@@ -122,6 +122,20 @@ def _mix64(x: int) -> int:
     return (x ^ (x >> 31)) & _M64
 
 
+def mix64_np(x):
+    """Vectorized splitmix64 (bit-identical to _mix64) — the ONE
+    shared copy; nd_plane_matrix and the synthetic generators must
+    stay bit-for-bit in sync with the scalar/SQL streams."""
+    import numpy as np
+
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def nd_plane_coeff(p: int, i: int) -> int:
     """Deterministic well-mixed integer coefficient in [-1000, 1000]."""
     return _mix64(p * DIM + i) % 2001 - 1000
@@ -136,12 +150,7 @@ def nd_plane_matrix(n_planes: int, dim: int = DIM):
         np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(DIM)
         + np.arange(dim, dtype=np.uint64)[None, :]
     )
-    with np.errstate(over="ignore"):
-        x = (idx + np.uint64(0x9E3779B97F4A7C15))
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
-    return (x % np.uint64(2001)).astype(np.float64) - 1000.0
+    return (mix64_np(idx) % np.uint64(2001)).astype(np.float64) - 1000.0
 
 
 def banding_for_corpus(
@@ -172,6 +181,17 @@ def banding_for_corpus(
     if pr >= 1.0:
         return 1, rows
     bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    if bands > max_bands:
+        achieved = 1.0 - (1.0 - pr) ** max_bands
+        if achieved < 0.9:
+            # the cap binding a little (e.g. 95% at a 99% target) is a
+            # sane cost tradeoff; an achieved recall collapse (loose
+            # threshold x huge N -> sub-1%) must never be silent
+            raise ValueError(
+                f"banding_for_corpus: {max_bands}-band cap yields recall "
+                f"{achieved:.3f} < 0.9 at threshold {threshold}, n={n}; "
+                "shard the corpus or raise max_bands"
+            )
     return min(bands, max_bands), rows
 
 

@@ -124,9 +124,15 @@ def nearest_site_within(
                 tie_id = np.where(
                     close, ids_c[None, :], np.iinfo(np.int64).max
                 ).min(axis=1)
+                # report the CHOSEN site's own distance (not the row
+                # minimum): the emitted (site_id, dist) pair must
+                # belong to one site, as the oracle's ORDER BY
+                # (distance, site_id) row does
+                sel = close & (ids_c[None, :] == tie_id[:, None])
+                chosen_d = d[np.arange(d.shape[0]), sel.argmax(axis=1)]
                 ok = dm <= radius_m
                 best_id[rows[ok]] = tie_id[ok]
-                best_d[rows[ok]] = dm[ok]
+                best_d[rows[ok]] = chosen_d[ok]
             out = pdf.copy()
             out["__site_id"] = best_id
             out["__site_d"] = np.where(np.isfinite(best_d), best_d, np.nan)

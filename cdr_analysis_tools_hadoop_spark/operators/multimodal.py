@@ -328,7 +328,8 @@ def audio_features(audios: DataFrame) -> DataFrame:
                 rms[i] = (
                     10.0 * np.log10(ms / (32768.0**2)) if ms > 0 else -np.inf
                 )
-                peak[i] = int(np.max(np.abs(pcm)))
+                # int32 first: np.abs(-32768) overflows int16
+                peak[i] = int(np.max(np.abs(pcm.astype(np.int32))))
                 # sign changes per second, averaged over channels
                 sgn = np.signbit(pcm)
                 zcr[i] = float(np.mean(sgn[1:] != sgn[:-1])) * sr

@@ -74,15 +74,15 @@ class RoadGraph:
         g.lat = np.asarray(lat, dtype=np.float64)
         g.lon = np.asarray(lon, dtype=np.float64)
         adj: list[list[tuple[int, float]]] = [[] for _ in range(len(g.lat))]
-        for a, b in edges:
-            w = float(
-                geo.haversine_np(
-                    np.array([g.lat[a]]), np.array([g.lon[a]]),
-                    np.array([g.lat[b]]), np.array([g.lon[b]]),
-                )[0]
-            )
-            adj[a].append((b, w))
-            adj[b].append((a, w))
+        if edges:
+            # one vectorized haversine over the whole edge list — a
+            # per-edge call costs ~100x more on planet-size extracts
+            ea = np.fromiter((a for a, _ in edges), dtype=np.int64)
+            eb = np.fromiter((b for _, b in edges), dtype=np.int64)
+            ws = geo.haversine_np(g.lat[ea], g.lon[ea], g.lat[eb], g.lon[eb])
+            for a, b, w in zip(ea.tolist(), eb.tolist(), ws.tolist()):
+                adj[a].append((b, w))
+                adj[b].append((a, w))
         g.adj = adj
         return g
 
@@ -248,10 +248,21 @@ def shortest_paths(pairs: DataFrame, graph_bc) -> DataFrame:
     return pairs.mapInPandas(kernel, schema=_PATH_SCHEMA)
 
 
-def osm_node_snapper(graph: RoadGraph, radius_m: float = 200_000.0):
+def osm_node_snapper(graph: RoadGraph, radius_m: float = 25_000.0):
     """Node snapper for arbitrary (e.g. OSM-extract) graphs: nearest
     graph node via the Arrow cell-ring kNN kernel (knn.py) — the
-    closed-form grid snap only exists for the synthetic grid."""
+    closed-form grid snap only exists for the synthetic grid.
+
+    ``radius_m`` must stay at or below the coarsest cell edge
+    (~111 km): past that, pick_res_for_radius floors at resolution 0,
+    the ring-1 coverage guarantee breaks AND every batch brute-forces
+    a (rows x all-nodes) distance matrix — the failure mode a planet
+    extract would hit. 25 km covers any realistic node spacing."""
+    if radius_m > 100_000.0:
+        raise ValueError(
+            "osm_node_snapper radius_m > 100 km defeats the cell-ring "
+            "index (resolution floors at 0); use a smaller snap radius"
+        )
     from . import knn
 
     sites = np.column_stack(

@@ -84,7 +84,7 @@ def collect_trajectories(sited: DataFrame) -> DataFrame:
         .select("uid", "pdt")
     )
     return (
-        day.join(F.broadcast(bad), ["uid", "pdt"], "left_anti")
+        day.join(bad, ["uid", "pdt"], "left_anti")
         .groupBy("uid", "pdt")
         .agg(F.array_sort(F.collect_list("pt")).alias("arr"))
     )
@@ -109,9 +109,11 @@ def od_edges(sited: DataFrame, home: DataFrame) -> DataFrame:
     # the guard runs before the window: a groupBy count is two-phase
     # (map-side partials collapse the hot key to one row per input
     # partition), over-cap groups are by construction RARE (each has
-    # > MAX_TRAJECTORY rows), and a broadcast ANTI join drops their
-    # rows in the scan stage — zero extra fact shuffles, so every
-    # window partition has <= MAX_TRAJECTORY rows. Identical output:
+    # > MAX_TRAJECTORY rows), and the ANTI join drops their rows
+    # early. No broadcast HINT: AQE broadcasts from the MEASURED
+    # size when the set is small (the normal case) but an M2M-heavy
+    # corpus where most groups are over-cap degrades to a shuffled
+    # anti join instead of a driver-OOM broadcast. Identical output:
     # the guard drops whole groups, so lag/lead over survivors match
     # the filter-after-window form row for row.
     bad = (
@@ -122,7 +124,7 @@ def od_edges(sited: DataFrame, home: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("uid", "pdt").orderBy("call_time", "event_id")
     df = (
-        df.join(F.broadcast(bad), ["uid", "pdt"], "left_anti")
+        df.join(bad, ["uid", "pdt"], "left_anti")
         .withColumn("prev_site", F.lag("site").over(w))
         .withColumn("prev_zone", F.lag("zone_id").over(w))
         .withColumn("next_time", F.lead("call_time").over(w))

@@ -283,12 +283,10 @@ def images_df(
 
 
 def _mix64_np(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (matches vec._mix64)."""
-    with np.errstate(over="ignore"):
-        x = x + np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+    """Vectorized splitmix64 finalizer — the one shared copy."""
+    from ..functions.vec import mix64_np
+
+    return mix64_np(x)
 
 
 def embeddings_df(

@@ -208,10 +208,11 @@ def test_banding_for_corpus_scaling_rule():
         p = 1.0 - math.acos(0.9) / math.pi
         if b < 192:  # cap not binding -> design recall met
             assert 1 - (1 - p**r) ** b >= 0.99
-    # loose thresholds are not the scale mode's territory, but the
-    # derivation must still respect its caps rather than explode
-    b, r = vec.banding_for_corpus(0.4, 1_000_000)
-    assert b <= 192 and r <= 24
+    # loose thresholds at huge N would need more bands than the cap
+    # allows; the achieved recall collapses (<1%) so the derivation
+    # must REFUSE rather than silently return near-zero pairs
+    with pytest.raises(ValueError, match="recall"):
+        vec.banding_for_corpus(0.4, 1_000_000)
 
 
 def test_band_keys_gemm_matches_sql_on_integer_fixture(spark):

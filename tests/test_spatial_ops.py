@@ -195,7 +195,7 @@ def test_audio_features_match_direct_numpy(spark):
         assert r.duration_s == pcm.shape[0] / sr
         x = pcm.astype(np.float64)
         assert abs(r.rms_dbfs - 10 * np.log10(np.mean(x * x) / 32768.0**2)) < 1e-9
-        assert r.peak == int(np.max(np.abs(pcm)))
+        assert r.peak == int(np.max(np.abs(pcm.astype(np.int32))))
 
 
 def test_audio_resample_preserves_pitch(spark):

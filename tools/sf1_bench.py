@@ -26,8 +26,11 @@ sys.path.insert(0, ROOT)
 
 
 def _jvm_peak_rss_gib() -> float:
-    """VmHWM of the py4j JVM (single-JVM local mode = the whole
-    executor+driver heap)."""
+    """VmHWM of THIS process's py4j JVM (single-JVM local mode = the
+    whole executor+driver heap). Children of this python only — a
+    foreign or stale JVM on the shared host must not be reported as
+    this run's peak."""
+    me = str(os.getpid())
     best = 0.0
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
@@ -36,6 +39,10 @@ def _jvm_peak_rss_gib() -> float:
             with open(f"/proc/{pid}/comm") as f:
                 if f.read().strip() != "java":
                     continue
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = f.read().split()[3]
+            if ppid != me:
+                continue
             with open(f"/proc/{pid}/status") as f:
                 for line in f:
                     if line.startswith("VmHWM"):
