@@ -254,29 +254,44 @@ def _band_keys_arrow(v: DataFrame, bands_n: int, rows_n: int) -> DataFrame:
     janino compilation and per-element lambda interpretation the
     bottleneck; a (k, dim) x (dim, planes) GEMM is one BLAS call).
 
-    BLAS accumulation order differs from the SQL fold, so a dot
-    within FP noise of 0 may flip a sign bit vs band_key_sql — that
-    perturbs candidate RECALL by a vanishing amount and never the
-    verified values (the verify stage recomputes exact cosines). With
-    integer-valued embeddings every order is exact, which is how the
+    float32 + chunking is deliberate: the float64 GEMM materialized a
+    (batch x planes) 102 MB intermediate per worker, and 32 concurrent
+    workers saturated this box's shared memory bandwidth — the stage
+    ran at 3% CPU, each 0.3 s batch taking 20 s (measured). Halving
+    the element width and keeping each chunk's output cache-resident
+    cut the 32-way concurrent kernel 14x (10.1 s -> 0.7 s). The
+    weight-dot stays EXACT in float32: its terms are distinct powers
+    of two summing below 2^20 << 2^24. BLAS accumulation order (and
+    float32) differs from the SQL fold, so a dot within FP noise of 0
+    may flip a sign bit vs band_key_sql — that perturbs candidate
+    RECALL by a vanishing amount and never the verified values (the
+    verify stage recomputes exact cosines). With small-integer
+    embeddings every sum is exact in float32 too, which is how the
     SQL-vs-GEMM parity test pins the packing."""
     import numpy as np
     import pyarrow as pa
 
-    planes_t = np.ascontiguousarray(vec.nd_plane_matrix(bands_n * rows_n).T)
-    weights = (1 << np.arange(rows_n, dtype=np.int64))
+    planes_t = np.ascontiguousarray(
+        vec.nd_plane_matrix(bands_n * rows_n).T, dtype=np.float32
+    )
+    weights32 = (1 << np.arange(rows_n)).astype(np.float32)
+    chunk = 1024
 
     def kernel(batches):
         for rb in batches:
             k = rb.num_rows
             if k == 0:
                 continue
-            x = np.asarray(rb.column("embedding").flatten(), dtype=np.float64)
+            x = np.asarray(rb.column("embedding").flatten(), dtype=np.float32)
             x = x.reshape(k, -1)
-            bits = (x @ planes_t) > 0
-            keys = (
-                bits.reshape(k, bands_n, rows_n).astype(np.int64) * weights
-            ).sum(axis=2)
+            keys = np.empty((k, bands_n), dtype=np.int64)
+            for s in range(0, k, chunk):
+                e = min(s + chunk, k)
+                bits = (x[s:e] @ planes_t) > 0
+                keys[s:e] = (
+                    bits.reshape(e - s, bands_n, rows_n).astype(np.float32)
+                    @ weights32
+                ).astype(np.int64)
             ids = np.asarray(rb.column("vec_id"))
             yield pa.RecordBatch.from_arrays(
                 [
