@@ -112,15 +112,25 @@ def nearest_site_within(
                     lat[rows, None], lon[rows, None],
                     idx.lat[cand_idx][None, :], idx.lon[cand_idx][None, :],
                 )
-                dm = d.min(axis=1)
+                # Emulate the oracle's `WHERE dist <= radius ORDER BY
+                # (dist, site_id) LIMIT 1` exactly: the radius filter
+                # applies to each SITE's own distance BEFORE ordering,
+                # so mask out-of-radius candidates first, then take the
+                # minimum over the survivors.
+                in_r = d <= radius_m
+                d_masked = np.where(in_r, d, np.inf)
+                dm = d_masked.min(axis=1)
                 # tie-break like the oracle's ORDER BY (distance,
-                # site_id): among candidates within 1e-6 m of the row
-                # minimum take the SMALLEST site id. A bare argmin
-                # picks first-in-candidate-order, which flips on
-                # duplicate-coordinate sites or ulp-level numpy-vs-
-                # libm differences between near-equidistant sites.
+                # site_id): among in-radius candidates within a
+                # RELATIVE (FP-noise-scale) epsilon of the row minimum
+                # take the SMALLEST site id. A bare argmin picks
+                # first-in-candidate-order, which flips on duplicate-
+                # coordinate sites or ulp-level numpy-vs-libm
+                # differences; an absolute epsilon (r2's 1e-6 m) would
+                # also collapse DISTINCT sites a micron apart and could
+                # emit a distance a hair past the radius.
                 ids_c = idx.ids[cand_idx]
-                close = d <= dm[:, None] + 1e-6
+                close = in_r & (d_masked <= dm[:, None] * (1.0 + 1e-12))
                 tie_id = np.where(
                     close, ids_c[None, :], np.iinfo(np.int64).max
                 ).min(axis=1)
@@ -130,7 +140,7 @@ def nearest_site_within(
                 # (distance, site_id) row does
                 sel = close & (ids_c[None, :] == tie_id[:, None])
                 chosen_d = d[np.arange(d.shape[0]), sel.argmax(axis=1)]
-                ok = dm <= radius_m
+                ok = np.isfinite(dm)
                 best_id[rows[ok]] = tie_id[ok]
                 best_d[rows[ok]] = chosen_d[ok]
             out = pdf.copy()

@@ -176,9 +176,14 @@ def load_osm_extract(path: str) -> RoadGraph:
         tags = {t.get("k"): t.get("v") for t in way.findall("tag")}
         if tags.get("highway") not in _OSM_HIGHWAYS:
             continue
-        refs = [int(n.get("ref")) for n in way.findall("nd") if int(n.get("ref")) in coords]
+        # split the way at unresolved <nd> refs (common at clipped-
+        # extract boundaries): only CONSECUTIVE resolved refs form an
+        # edge — filtering the refs first and then re-pairing would
+        # bridge the gap with a phantom direct edge, understating
+        # route distance
+        refs = [int(n.get("ref")) for n in way.findall("nd")]
         for a, b in zip(refs, refs[1:]):
-            if a != b:
+            if a != b and a in coords and b in coords:
                 raw_edges.append((a, b))
                 used.add(a)
                 used.add(b)

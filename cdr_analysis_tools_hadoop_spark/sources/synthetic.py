@@ -251,7 +251,12 @@ def images_df(
                     jit = (
                         (xx * 7 + yy * 11 + sub[:, None, None]) % 97 == 0
                     ) & isdup[:, None, None]
-                    pix = pix + jit[..., None].astype(np.uint8)
+                    # saturating add: a plain uint8 + would wrap 255->0
+                    # (a -255 spike instead of +1) and could push a
+                    # seeded dup past the Hamming radius
+                    pix = np.minimum(
+                        pix.astype(np.int16) + jit[..., None], 255
+                    ).astype(np.uint8)
                 blobs = [codec.encode_rawz(pix[i]) for i in range(len(sub))]
                 caps = [
                     " ".join(
@@ -303,6 +308,11 @@ def embeddings_df(
     (cosine ~0.95-0.99) so tight-threshold near-dup search has seeded
     ground truth. Embarrassingly parallel — each partition
     synthesizes its own range ids."""
+    if dup_every == 1:
+        # with dup_every=1 every vector would derive from the RAW
+        # uniforms of its predecessor (not the stored, already-
+        # perturbed row) — the seeded ground truth silently breaks
+        raise ValueError("embeddings_df dup_every must not be 1")
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
 
@@ -567,7 +577,10 @@ def videos_df(
                 frames = _clip(i - 1 if isdup else i)
                 if isdup:
                     jit = ((xx * 7 + yy * 11 + i) % 97 == 0).astype(np.uint8)
-                    frames = frames + jit[None, :, :, None]
+                    # saturating add (see images_df): avoid 255->0 wrap
+                    frames = np.minimum(
+                        frames.astype(np.int16) + jit[None, :, :, None], 255
+                    ).astype(np.uint8)
                 n = frames.shape[0]
                 rows["video_id"].append(f"vid{i:010d}")
                 rows["bytes"].append(codec.encode_vidz(frames, fps))

@@ -467,3 +467,85 @@ def test_near_dup_parameter_guards(spark):
     # documents_df dup_every=0 is the documented no-dups mode
     from cdr_analysis_tools_hadoop_spark.sources.synthetic import documents_df
     assert documents_df(spark, 30, dup_every=0, partitions=2).count() == 30
+
+
+def test_knn_epsilon_slivers_match_duckdb_oracle(spark):
+    """r3 verdict item 5 / advice: duplicate-coordinate sites plus
+    sub-micron boundary/tie slivers must match the oracle's exact
+    `WHERE dist <= radius ORDER BY (dist, site_id) LIMIT 1` — the old
+    absolute 1e-6 m tie epsilon collapsed DISTINCT sites a micron
+    apart (picking the farther, smaller-id one) and could emit a
+    chosen distance a hair past the radius."""
+    import duckdb
+
+    radius = 300.0
+
+    def lon_at(dist_m: float, lat: float = 0.0, lon0: float = 0.0) -> float:
+        # invert haversine_np along a parallel by bisection so site
+        # distances land EXACTLY where the fixture wants them
+        lo, hi = lon0, lon0 + 1.0
+        for _ in range(80):
+            mid = (lo + hi) / 2.0
+            if float(geo.haversine_np(lat, lon0, lat, mid)) < dist_m:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2.0
+
+    # point 1: site 10 at ~299.9999995 m, site 5 at +5e-7 m farther —
+    #   distinct sites inside the old 1e-6 window; oracle picks 10.
+    # point 2: site 20 just inside the radius, site 4 (smaller id)
+    #   ~4e-7 m OUTSIDE it; oracle picks 20, never 4.
+    # point 3: duplicate-coordinate sites 7 and 3 — oracle picks 3.
+    # point 4: only site 40, ~1e-6 m outside the radius -> NULL.
+    sites = np.array(
+        [
+            (10, 0.0, lon_at(299.9999995)),
+            (5, 0.0, lon_at(299.9999995 + 5e-7)),
+            (20, 2.0, lon_at(299.99999950, lat=2.0, lon0=2.0)),
+            (4, 2.0, lon_at(300.0000004, lat=2.0, lon0=2.0)),
+            (7, 4.0, 4.0001),
+            (3, 4.0, 4.0001),
+            (40, 6.0, lon_at(300.000001, lat=6.0, lon0=6.0)),
+        ],
+        dtype=np.float64,
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 2.0, 2.0), (3, 4.0, 4.0), (4, 6.0, 6.0)],
+        "pid long, lat double, lon double",
+    )
+    got = {
+        r["pid"]: (r["site_id"], r["site_dist_m"])
+        for r in knn.nearest_site_within(pts, sites, radius_m=radius).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(site_id BIGINT, tlat DOUBLE, tlon DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(int(s), float(a), float(o)) for s, a, o in sites],
+    )
+    con.execute("CREATE TABLE c(pid BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany(
+        "INSERT INTO c VALUES (?, ?, ?)",
+        [(1, 0.0, 0.0), (2, 2.0, 2.0), (3, 4.0, 4.0), (4, 6.0, 6.0)],
+    )
+    hav = geo.haversine_sql("c.lat", "c.lon", "t.tlat", "t.tlon")
+    oracle = {
+        pid: (sid, d)
+        for pid, sid, d in con.execute(
+            f"SELECT pid, site_id, d FROM ("
+            f"SELECT c.pid, t.site_id, {hav} AS d, "
+            f"row_number() OVER (PARTITION BY c.pid ORDER BY {hav}, t.site_id) rn "
+            f"FROM c CROSS JOIN t WHERE {hav} <= {radius!r}) WHERE rn = 1"
+        ).fetchall()
+    }
+    assert got[1][0] == oracle[1][0] == 10
+    assert got[2][0] == oracle[2][0] == 20
+    assert got[3][0] == oracle[3][0] == 3
+    assert got[4] == (None, None) and 4 not in oracle
+    for pid in (1, 2, 3):
+        assert got[pid][1] == pytest.approx(oracle[pid][1], rel=1e-9)
+        assert got[pid][1] <= radius
