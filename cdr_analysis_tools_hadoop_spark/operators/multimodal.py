@@ -459,6 +459,7 @@ def image_near_dup(
     max_hamming: int = 6,
     n_hint: int | None = None,
     max_bucket: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate image pairs by pixel perceptual hash.
 
@@ -477,7 +478,7 @@ def image_near_dup(
     feats = decode_features(images).select("image_id", "pixel_phash")
     return similarity.hamming_near_dup(
         feats, "image_id", "pixel_phash", max_hamming,
-        n_hint=n_hint, max_bucket=max_bucket,
+        n_hint=n_hint, max_bucket=max_bucket, mode=mode,
     )
 
 
@@ -540,7 +541,7 @@ def video_near_dup(
     The verify join-backs keep the band shuffle narrow (id pairs
     only) instead of dragging signatures through the explode.
     """
-    from .similarity import _hamming_key_structs
+    from .similarity import _hamming_key_structs, hamming_banding
 
     if max_avg_hamming > max_hamming:
         # a pair with avg slot distance a has SOME slot <= a, so
@@ -553,7 +554,9 @@ def video_near_dup(
             "fall outside the candidate guarantee"
         )
     sig = video_signature(videos, slots).localCheckpoint()
-    band_arr = _hamming_key_structs("frame_hash", max_hamming, n_hint)
+    band_arr = _hamming_key_structs(
+        "frame_hash", *hamming_banding(max_hamming, n_hint)
+    )
     bands = (
         sig.select("video_id", F.posexplode("sig").alias("slot", "frame_hash"))
         .select("video_id", "slot", F.explode(band_arr).alias("bk"))
@@ -671,6 +674,7 @@ def audio_near_dup(
     max_hamming: int = 2,
     n_hint: int | None = None,
     max_bucket: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate clip pairs by spectral fingerprint — gain- and
     resample-robust by construction of the hash; candidates + verify
@@ -687,5 +691,5 @@ def audio_near_dup(
     sig = audio_signature(audios)
     return similarity.hamming_near_dup(
         sig, "audio_id", "fingerprint", max_hamming,
-        n_hint=n_hint, max_bucket=max_bucket,
+        n_hint=n_hint, max_bucket=max_bucket, mode=mode,
     )

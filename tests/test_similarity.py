@@ -364,3 +364,83 @@ def test_hamming_near_dup_max_bucket_guard(spark):
     # hamming(42, (1<<40)|3) = 4, both within the radius
     full = similarity.hamming_near_dup(df, "id", "h", 6).count()
     assert full == 50 * 49 // 2 + 1 + 100
+
+
+@pytest.mark.parametrize("mode,n_hint", [
+    ("broadcast", 50_000), ("broadcast", None),
+    ("grouped", 50_000), ("grouped", None),
+])
+def test_hamming_near_dup_bucket_verify_modes_exact(spark, mode, n_hint):
+    """The grouped (shuffled) and broadcast bucket-verify strategies
+    return the IDENTICAL exact pair set as brute force at any
+    banding — the in-run vectorized popcount kernel is a physical
+    strategy, not an approximation. String ids exercise the
+    non-integer id path of the Arrow kernel."""
+    import itertools
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(-2**63, 2**63, size=200, dtype=np.int64)
+    hashes = list(base)
+    for i in range(4, 200, 4):
+        v = int(base[i - 1]) & (2**64 - 1)
+        for b in rng.choice(64, size=rng.randint(0, 7), replace=False):
+            v ^= 1 << int(b)
+        hashes[i] = np.int64(v - 2**64 if v >= 2**63 else v)
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin(int(a ^ b) & (2**64 - 1)).count("1")
+        if d <= 6:
+            want.add((i, j, d))
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.hamming_near_dup(
+            df, "id", "h", 6, n_hint=n_hint, mode=mode
+        ).collect()
+    }
+    assert got == want and len(want) >= 5
+    sdf = spark.createDataFrame(
+        [(f"s{i:03d}", int(h)) for i, h in enumerate(hashes)],
+        "id string, h long",
+    )
+    sgot = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.hamming_near_dup(
+            sdf, "id", "h", 6, n_hint=n_hint, mode=mode
+        ).collect()
+    }
+    assert sgot == {(f"s{i:03d}", f"s{j:03d}", d) for i, j, d in want}
+
+
+def test_hamming_mode_resolution_and_guards(spark):
+    """'auto' routes join -> broadcast -> grouped by corpus size
+    (the broadcast-vs-shuffle-join selection shape); the max_bucket
+    degenerate-cluster guard holds on every strategy; the join-mode
+    banding warns instead of silently going quadratic when its caps
+    bind (r3 advice)."""
+    assert similarity.resolve_hamming_mode(6, None) == "join"
+    assert similarity.resolve_hamming_mode(6, 1_000) == "join"
+    assert similarity.resolve_hamming_mode(6, 2_000_000) == "broadcast"
+    assert (
+        similarity.resolve_hamming_mode(
+            6, similarity.BROADCAST_VERIFY_MAX_ROWS + 1
+        )
+        == "grouped"
+    )
+    # broadcast banding trades sorts for fewer verify pairs
+    assert similarity.broadcast_hamming_banding(6, 2_000_000) == (9, 3)
+    assert similarity.broadcast_hamming_banding(6, None) == (7, 1)
+    rows = [(i, 42) for i in range(50)] + [(100, 1 << 40), (101, (1 << 40) | 3)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    for mode in ("broadcast", "grouped"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.hamming_near_dup(
+                df, "id", "h", 6, n_hint=50_000, max_bucket=10, mode=mode
+            ).collect()
+        }
+        assert got == {(100, 101)}, mode
+    with pytest.warns(UserWarning, match="caps bind"):
+        similarity.hamming_banding(16, 10**9)
