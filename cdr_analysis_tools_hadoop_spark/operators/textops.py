@@ -144,11 +144,11 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
     tok = th.tokens_sql("text", "spark")
     # spread before the explode: a single-file corpus would otherwise
-    # run the whole tokenize+hash stage on one core
-    spread = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
-    toks = spread.select("doc_id", F.explode(F.expr(tok)).alias("token"))
+    # run the whole tokenize+hash stage on one core (conditional —
+    # no exchange for a well-partitioned input, r3 verdict item 3)
+    from ..plans.partitioning import spread
+
+    toks = spread(docs).select("doc_id", F.explode(F.expr(tok)).alias("token"))
     w = th.md5_int_sql("concat(lang_cand, '|', token)", "spark")
     scored = (
         toks.crossJoin(F.broadcast(langs))
@@ -190,9 +190,11 @@ def fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     """k smallest distinct shingle hashes per document — a compact
     winnowing-style signature; sharing any fingerprint row flags two
     documents as near-identical candidates."""
+    from ..plans.partitioning import spread
+
     tok = th.tokens_sql("text", "spark")
     sh = (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        spread(docs)
         .select(
             "doc_id",
             F.explode(

@@ -162,3 +162,51 @@ def test_stream_zone_counts_match_batch(spark, sf_dir, tmp_path):
         (str(r.window_start), r.zone_id): r.n_events for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_spread_is_conditional(spark):
+    """r3 verdict item 3: the corpus-spread helper must NOT bolt a
+    full exchange onto a well-partitioned input — it returns the
+    frame untouched (plan-identical, zero Exchange) when partitions
+    >= the session parallelism, and still widens a single-file read."""
+    from cdr_analysis_tools_hadoop_spark.plans.partitioning import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, par * 2)
+    assert spread(wide) is wide  # identity: no Exchange possible
+    narrow = spark.range(0, 1000, 1, 1)
+    widened = spread(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == par
+    # operator-level: a pre-partitioned corpus flows into the dedup
+    # shingle stage with no RoundRobin repartition in the plan
+    from cdr_analysis_tools_hadoop_spark.operators.dedup import _spread
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i}") for i in range(50)],
+        "doc_id long, text string",
+    ).repartition(par * 2)
+    assert _spread(docs) is docs  # identity: dedup adds no Exchange
+
+
+def test_estimate_rows_and_scaled_near_dup_default_hint(spark, sf_dir):
+    """r3 verdict item 7: near_dup_pairs_scaled's default n_hint comes
+    from plan statistics, not a planning-time count() job. The
+    estimate is order-of-magnitude (recall-safe: banding re-derives
+    bands from the recall curve), and the no-hint path still finds
+    the seeded tight pairs."""
+    from cdr_analysis_tools_hadoop_spark.operators import similarity
+    from cdr_analysis_tools_hadoop_spark.plans.partitioning import estimate_rows
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    est = estimate_rows(emb)
+    actual = emb.count()
+    assert est is not None and actual / 50 <= est <= actual * 50
+    seeded = synthetic.embeddings_df(spark, 2_000, dup_every=10)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.near_dup_pairs_scaled(seeded, 0.9).collect()
+    }
+    want = {(i - 1, i) for i in range(10, 2_000, 10)}
+    assert len(want & got) / len(want) >= 0.95
