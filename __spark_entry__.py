@@ -319,6 +319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     q["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(_docs(s, d))
+    # r4: end-to-end oracle certification of the exact Hamming
+    # strategy family — mode='broadcast' pins the zero-shuffle path
+    # against the DuckDB brute-force bit_count(xor) twin
+    q["simhash_near_dup"] = lambda s, d: dedup.simhash_near_dup(_docs(s, d))
 
     # --- similarity search (embeddings; ANN baseline + LSH scale path) ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d))
@@ -469,14 +473,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in insertion order; the contract has 59 oracle-backed queries, so
     # 9 oracle queries necessarily sit past the window each round.
     # Rotation invariant (r3 verdict item 2): the window is
-    #   [9 rotating-in] + [41 always-in core]  = 50,
+    #   [9 rotating-in] + [always-in core] = 50,
     # and the two 9-query rotation sets SWAP every round, so every
     # oracle-backed query gets a fresh driver row at least every other
     # round. Round 4 parity: SET_A (the A7 daily-grain / night-variant
     # stats, rotated out in r3) leads; SET_B (the interpolation chain,
     # driver-certified green in r3 on code unchanged since) rotates
     # out. Any query whose SEMANTICS change in a round overrides the
-    # rotation and must be placed in-window that round. Rows-only
+    # rotation and must be placed in-window that round — r4 adds
+    # simhash_near_dup (NEW: oracle row for the Hamming broadcast
+    # strategy), displacing the last core entry (text_language_id,
+    # r1+r2+r3-green, unchanged) past the gate this round. Rows-only
     # queries (pixel/PCM/frame codecs, graph routing, the adaptive
     # BHTT histogram) stay past the window by design; their coverage
     # lives in pytest exactness/recall tests.
@@ -536,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_clusters",
+        "simhash_near_dup",  # NEW r4 semantics -> in-window this round
         # similarity / ANN (near_dup banding re-derived in r3)
         "ann_cosine_topk",
         "ann_cosine_topk_lsh",
@@ -776,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_oracle()
     o["dedup_clusters"] = dedup.dedup_clusters_oracle()
+    o["simhash_near_dup"] = dedup.simhash_near_dup_oracle()
 
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle()
     o["ann_cosine_topk_lsh"] = similarity.cosine_topk_lsh_oracle()

@@ -136,18 +136,18 @@ def exact_dedup_oracle(view: str = "documents") -> str:
 # 2. SimHash
 
 
-def _simhash_votes(h: str, dialect: str) -> list[str]:
+def _simhash_votes(h: str, dialect: str, bits: int = th.SIMHASH_BITS) -> list[str]:
     return [
         f"sum(case when ({th.shiftright_sql(h, b, dialect)} & 1) = 1 "
         f"then 1 else -1 end) AS v{b}"
-        for b in range(th.SIMHASH_BITS)
+        for b in range(bits)
     ]
 
 
-def _simhash_combine() -> str:
+def _simhash_combine(bits: int = th.SIMHASH_BITS) -> str:
     terms = " + ".join(
         f"(case when v{b} > 0 then {1 << b} else 0 end)"
-        for b in range(th.SIMHASH_BITS)
+        for b in range(bits)
     )
     return f"({terms})"
 
@@ -174,6 +174,66 @@ def simhash_oracle(view: str = "documents") -> str:
         f"WITH tokd AS (SELECT doc_id, unnest({tok}) AS token FROM {view}), "
         f"v AS (SELECT doc_id, {votes} FROM tokd GROUP BY doc_id) "
         f"SELECT doc_id, {_simhash_combine()} AS simhash FROM v"
+    )
+
+
+#: 60-bit SimHash width — every bit of the md5-derived token hash
+#: (texthash.md5_int_sql is 60-bit), so the fingerprint is wide
+#: enough for the 64-bit Hamming join machinery to band usefully.
+SIMHASH64_BITS = 60
+SIMHASH_NEAR_DUP_RADIUS = 8
+
+
+def simhash64_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document — the wide-fingerprint twin of
+    simhash_signatures, produced for the Hamming-radius near-dup
+    join (one-word edits move only the bits voted by the changed
+    token, a few of 60)."""
+    tok = th.tokens_sql("text", "spark")
+    h = th.md5_int_sql("token", "spark")
+    toks = _spread(docs).select("doc_id", F.explode(F.expr(tok)).alias("token"))
+    votes = toks.groupBy("doc_id").agg(
+        *[F.expr(v) for v in _simhash_votes(h, "spark", SIMHASH64_BITS)]
+    )
+    return votes.select(
+        "doc_id", F.expr(_simhash_combine(SIMHASH64_BITS)).alias("simhash")
+    )
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_NEAR_DUP_RADIUS,
+    n_hint: int | None = None,
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Document near-dup pairs by 60-bit SimHash Hamming radius —
+    the oracle-certified end-to-end exercise of the exact Hamming
+    strategy family (similarity.hamming_near_dup): the DuckDB twin
+    brute-forces bit_count(xor) over all pairs, so the strategy's
+    EXACTNESS gets a driver hash row, not just a pytest pin. Default
+    mode 'broadcast' certifies the r4 zero-shuffle strategy; any
+    mode returns the identical pair set."""
+    from . import similarity
+
+    sig = simhash64_signatures(docs)
+    return similarity.hamming_near_dup(
+        sig, "doc_id", "simhash", max_hamming, n_hint=n_hint, mode=mode
+    )
+
+
+def simhash_near_dup_oracle(
+    view: str = "documents", max_hamming: int = SIMHASH_NEAR_DUP_RADIUS
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    h = th.md5_int_sql("token", "duckdb")
+    votes = ", ".join(_simhash_votes(h, "duckdb", SIMHASH64_BITS))
+    d = "bit_count(xor(a.simhash, b.simhash))"
+    return (
+        f"WITH tokd AS (SELECT doc_id, unnest({tok}) AS token FROM {view}), "
+        f"v AS (SELECT doc_id, {votes} FROM tokd GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {_simhash_combine(SIMHASH64_BITS)} AS simhash FROM v) "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({d} AS INT) AS hamming "
+        f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE {d} <= {max_hamming}"
     )
 
 

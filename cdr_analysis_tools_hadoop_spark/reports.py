@@ -220,14 +220,23 @@ def _render_builtin(g: dict, path: str, w: int = 700, h: int = 500) -> None:
 
 
 def _render_matplotlib(g: dict, path: str) -> None:
+    """Mirror the reference's make_graph layout exactly
+    (Common/helper.py:83-141): figsize (14, 11), bold 21 pt title,
+    subplots_adjust(top=0.75), grid, 90-degree x ticks, and up to
+    four descriptor stats rendered as text labels over disabled
+    TextBox widgets along the 0.87 figure row at x = 0.1/0.3/0.5/0.7
+    in the reference's orange/blue/green/red order, value text
+    right-padded by the reference's 60 - 2*len(value) space rule."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib.widgets import TextBox
 
     fig = plt.figure(figsize=(14, 11))
-    fig.add_subplot(111)
+    ax = fig.add_subplot(111)
     plt.title(g["title"], fontdict={"fontsize": 21, "fontweight": "bold"})
+    plt.subplots_adjust(top=0.75)
     plt.grid(True)
     for label, ys in sorted(g["series"].items()):
         if g["kind"] == "bar":
@@ -239,9 +248,15 @@ def _render_matplotlib(g: dict, path: str) -> None:
     plt.ylabel(g["ylabel"])
     plt.xticks(rotation=90)
     plt.xlabel("Date")
-    for i, (k, v) in enumerate(g["des"].items()):
-        plt.text(0.02 + 0.25 * i, 1.05, f"{k}: {v:,.2f}",
-                 transform=fig.axes[0].transAxes)
+    colors = ["orange", "blue", "green", "red"]
+    box_x = [0.1, 0.3, 0.5, 0.7]
+    for i, (k, v) in enumerate(list(g["des"].items())[:4]):
+        value = f"{v:,.2f}"
+        plt.text(0.02 + 0.25 * i, 1.27, k, transform=ax.transAxes)
+        axbox = plt.axes([box_x[i], 0.87, 0.2, 0.04])
+        pad = " " * max(0, 60 - 2 * len(value))
+        tb = TextBox(axbox, "", initial=pad + value, color=colors[i])
+        tb.disconnect_events()
     plt.savefig(path)
     plt.close(fig)
 

@@ -149,3 +149,19 @@ def test_documents_df_deterministic_and_dups_found(spark):
     }
     hits = sum(1 for a, b in seeded if labels[a] == labels[b])
     assert hits / len(seeded) >= 0.95
+
+
+def test_simhash_near_dup_strategy_equivalence(spark, docs):
+    """The oracle-certified simhash Hamming query returns the same
+    exact pair set under every physical strategy — broadcast (the
+    contract default), grouped, and the combination join."""
+    from cdr_analysis_tools_hadoop_spark.operators import dedup as dd
+
+    outs = {}
+    for mode in ("broadcast", "grouped", "join"):
+        outs[mode] = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dd.simhash_near_dup(docs, mode=mode).collect()
+        }
+    assert outs["broadcast"] == outs["grouped"] == outs["join"]
+    assert len(outs["broadcast"]) > 0

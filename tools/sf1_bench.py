@@ -277,9 +277,12 @@ corpus-size-aware near-dup scale mode over 200k embeddings (100x the
 sf0.1 table; banding_for_corpus picks rows ~ log2 N so candidates
 stay linear in N; 9999 seeded tight pairs), the MinHash-LSH dedup
 chain + connected components over 50k documents (10x; 4999 seeded
-one-word-edit dups), and the EXACT combination-banded Hamming join
-over 2M fingerprints (radius 6; 84 combo keys/row; recall is exact
-by pigeonhole so all 200k seeded pairs MUST appear).
+one-word-edit dups), and the EXACT pigeonhole Hamming near-dup over
+2M fingerprints (radius 6; auto strategy = BROADCAST bucket verify
+since r4 — 84 local sort+popcount tasks over a 32 MB broadcast, zero
+shuffle, replacing the r3 336M-row exploded self-join that took 98 s
+with 21 GiB spill; recall is exact by pigeonhole so all 200k seeded
+pairs MUST appear).
 
 | metric | value |
 |---|---|
@@ -296,16 +299,18 @@ by pigeonhole so all 200k seeded pairs MUST appear).
 | shuffle disk spilled | {results['disk_spilled_gib']} GiB |
 | JVM peak RSS (VmHWM) | {results['jvm_peak_rss_gib']} GiB |
 
-{'Spill was UNMEASURED (REST API unavailable)' if results['memory_spilled_gib'] is None else 'Zero spill' if results['memory_spilled_gib'] == 0 else 'The only spill is the 2M-fingerprint hamming sort (168M band rows per side, the one deliberately shuffle-heavy entry; sort-merge spills gracefully by design, never an unspillable hash build)'}; peak RSS sits well under the session heap, so the
+{'Spill was UNMEASURED (REST API unavailable)' if results['memory_spilled_gib'] is None else 'Zero spill' if results['memory_spilled_gib'] == 0 else 'Residual spill is the OD collect_list sort and the MinHash band join at 10x volumes (graceful sort-merge, never an unspillable hash build); the Hamming entry itself no longer shuffles at all'}; peak RSS sits well under the session heap, so the
 partition sizing (256 image files, 128-partition synthetic frames,
 AQE target-size coalescing from 512 initial partitions) leaves
-headroom at 10x. Throughput at 10x is
-HIGHER than the 480k-image per-round number because the ~2 s of
-fixed per-run cost (job setup, Arrow worker spawn) is ~25% of an
-8 s run but ~6% of a 30 s run — the marginal per-image cost is flat,
-which is the linear-scaling evidence the 100x claim needs (one scan
--> one fused Arrow stage -> tiny exchange; no stage grows
-super-linearly with rows).
+headroom at 10x. Per-image throughput at 10x matches or beats the
+480k-image per-round number (the ~2 s fixed per-run cost amortizes;
+attempt-to-attempt spread at clean CPU steal is page-cache warming
+of the {round(n_images * 4.8 / 1024 / 1024, 1)} GiB table, visible
+in the attempts row) — the marginal per-image cost is flat, which is
+the linear-scaling evidence the 100x claim needs (one scan -> one
+fused Arrow stage -> tiny exchange; no stage grows super-linearly
+with rows). BENCH/SF10_PROJECTION.md extends this to three measured
+scale points per axis.
 """)
     print(json.dumps(results))
 
