@@ -64,6 +64,44 @@ def _cpu_jiffies() -> list[int]:
         return list(map(int, f.readline().split()[1:]))
 
 
+#: steal/(steal+busy) per timed run above which the run is DIRTY —
+#: same clean-window rule as tools/scaling_bench.py / sf1_bench.py
+STEAL_MAX_PCT = 2.5
+
+
+def _timed_clean(fn, repeats: int, max_attempts: int) -> tuple[float, bool]:
+    """(seconds, dirty) for a query under co-tenant noise.
+
+    This shared host gets multi-minute hypervisor-steal bursts that
+    slow identical runs 2-10x (a whole r4 bench run once recorded
+    18.7% host steal and a 10x-inflated flagship), so each timed run
+    carries its own /proc/stat steal reading: sample until `repeats`
+    CLEAN runs (steal <= STEAL_MAX_PCT) or `max_attempts`, report the
+    median of clean runs; when a burst outlasts the attempt budget,
+    fall back to the MINIMUM over all attempts (the least-contaminated
+    observation — for a deterministic job, noise only ever adds time)
+    and say so via the dirty flag."""
+    samples: list[tuple[float, bool]] = []
+    n_clean = 0
+    while n_clean < repeats and len(samples) < max_attempts:
+        a = _cpu_jiffies()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        b = _cpu_jiffies()
+        d = [y - x for x, y in zip(a, b)]
+        busy = d[0] + d[1] + d[2] + d[5] + d[6]
+        steal_pct = 100.0 * d[7] / max(d[7] + busy, 1)
+        clean = steal_pct <= STEAL_MAX_PCT
+        samples.append((dt, clean))
+        if clean:
+            n_clean += 1
+    clean_runs = [s for s, c in samples if c]
+    if len(clean_runs) >= min(2, repeats):
+        return statistics.median(clean_runs), False
+    return min(s for s, _ in samples), True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -84,12 +122,11 @@ def main() -> None:
     # half-warm level wrecks the N vs 4N efficiency comparison.
     for _ in range(2):
         pipeline.run_pipeline(spark, images).count()
-    runs = []
-    for _ in range(repeats):
-        t0 = time.time()
-        pipeline.run_pipeline(spark, images).count()
-        runs.append(time.time() - t0)
-    pipe_sec = statistics.median(runs)
+    pipe_sec, pipe_dirty = _timed_clean(
+        lambda: pipeline.run_pipeline(spark, images).count(),
+        repeats,
+        max_attempts=2 * repeats,
+    )
 
     # --- headline analytics queries ---
     import __spark_entry__ as entrymod
@@ -97,19 +134,28 @@ def main() -> None:
     cpu0 = _cpu_jiffies()
     qs = entrymod.queries()
     q_times: dict[str, float] = {}
+    dirty_queries: list[str] = []
     q_times["image_pipeline"] = round(pipe_sec, 3)
+    if pipe_dirty:
+        dirty_queries.append("image_pipeline")
     for name in HEADLINE:
         if name not in qs:
             continue
-        # one warm-up execution, then the timed one: the first action
-        # of a query shape pays JIT/codegen-compile/worker-spawn that
-        # a resident engine would not (each run builds a FRESH plan —
-        # re-collecting the same DataFrame would reuse AQE stages and
-        # measure nothing)
+        # one warm-up execution (the first action of a query shape
+        # pays JIT/codegen-compile/worker-spawn that a resident engine
+        # would not), then steal-gated clean-median timing — see
+        # _timed_clean. Each run builds a FRESH plan: re-collecting
+        # the same DataFrame would reuse AQE stages and measure
+        # nothing.
         qs[name](spark, sf_dir).count()
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        q_times[name] = round(time.time() - t0, 3)
+        sec, dirty = _timed_clean(
+            lambda: qs[name](spark, sf_dir).count(),
+            repeats,
+            max_attempts=2 * repeats,
+        )
+        q_times[name] = round(sec, 3)
+        if dirty:
+            dirty_queries.append(name)
 
     # --- skew evidence (r2 verdict #3): same-size uniform vs hot
     # fixtures through the OD chain (guard-first cap) and the PIP
@@ -123,11 +169,14 @@ def main() -> None:
     )
     import numpy as _np
 
-    def _od_time(frame):
-        home = _traj.user_home_site(frame)
-        t0 = time.time()
+    def _od_run(frame, home):
         _traj.od_sum(_traj.od_edges(frame, home)).count()
-        return round(time.time() - t0, 3)
+
+    def _skew_entry(key: str, fn) -> None:
+        sec, dirty = _timed_clean(fn, repeats, max_attempts=2 * repeats)
+        skew[key] = round(sec, 3)
+        if dirty:
+            dirty_queries.append(key)
 
     skew: dict[str, float] = {}
     n_sk = 2_000_000
@@ -135,29 +184,29 @@ def main() -> None:
     hot = synthetic.sited_events_df(
         spark, n_sk, hot_uid_frac=0.25
     ).localCheckpoint()
-    _od_time(uni)  # warm-up (JIT/codegen for the shape)
-    skew["od_uniform_2m_sec"] = _od_time(uni)
-    skew["od_hot_uid_2m_sec"] = _od_time(hot)
+    uni_home = _traj.user_home_site(uni)
+    hot_home = _traj.user_home_site(hot)
+    _od_run(uni, uni_home)  # warm-up (JIT/codegen for the shape)
+    _skew_entry("od_uniform_2m_sec", lambda: _od_run(uni, uni_home))
+    _skew_entry("od_hot_uid_2m_sec", lambda: _od_run(hot, hot_home))
 
     towers_np = synthetic.towers_np()
     polys = list(
         zip(towers_np[:, 0].astype(_np.int64), synthetic.voronoi_polygons(towers_np))
     )
 
-    def _pip_time(pts):
-        t0 = time.time()
+    def _pip_run(pts):
         _sj.pip_join(pts, polys, out_col="zone").filter(
             "zone is not null"
         ).count()
-        return round(time.time() - t0, 3)
 
     p_uni = synthetic.points_df(spark, 4_000_000).localCheckpoint()
     p_hot = synthetic.points_df(
         spark, 4_000_000, hotspot_frac=0.5
     ).localCheckpoint()
-    _pip_time(p_uni)  # warm-up
-    skew["pip_uniform_4m_sec"] = _pip_time(p_uni)
-    skew["pip_hotspot_4m_sec"] = _pip_time(p_hot)
+    _pip_run(p_uni)  # warm-up
+    _skew_entry("pip_uniform_4m_sec", lambda: _pip_run(p_uni))
+    _skew_entry("pip_hotspot_4m_sec", lambda: _pip_run(p_hot))
     skew["od_hot_over_uniform"] = round(
         skew["od_hot_uid_2m_sec"] / skew["od_uniform_2m_sec"], 3
     )
@@ -186,6 +235,11 @@ def main() -> None:
                 "cpus": cpus,
                 "skew": skew,
                 "host_steal_pct": steal_pct,
+                # entries that never got 2 steal-clean runs within the
+                # attempt budget: their value is the MIN over attempts
+                # (least-contaminated), not a clean median — discount
+                # accordingly when comparing across rounds
+                "dirty_queries": dirty_queries,
             }
         )
     )

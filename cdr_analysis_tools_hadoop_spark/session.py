@@ -21,6 +21,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def engine_conf(shuffle_partitions: int) -> dict[str, str]:
+    """The engine's Spark conf as a plain dict — shared by
+    build_session (in-process sessions: tests, bench, tools) and the
+    spark-submit entry points (tools/submit_pipeline.py,
+    tools/scale_level.py), where the master and driver memory come
+    from the spark-submit command line instead."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # start every shuffle wide and let AQE coalesce DOWN by
+        # measured size: tiny aggregations still end at a handful of
+        # partitions, while a multi-10-GiB band/explode shuffle (e.g.
+        # hamming_near_dup at 10^7 rows) gets ~64 MiB sort tasks
+        # instead of spilling 500 MiB sorts at the static default
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.sql.parquet.compression.codec": "zstd",
+        # split small-but-CPU-heavy inputs (binary image blobs) finer
+        # than the 128m default so map stages use every core
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.files.openCostInBytes": "1m",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 def build_session(
     app_name: str = "cdr-spark-engine",
     master: str | None = None,
@@ -47,27 +76,10 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # start every shuffle wide and let AQE coalesce DOWN by
-        # measured size: tiny aggregations still end at a handful of
-        # partitions, while a multi-10-GiB band/explode shuffle (e.g.
-        # hamming_near_dup at 10^7 rows) gets ~64 MiB sort tasks
-        # instead of spilling 500 MiB sorts at the static default
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.sql.parquet.compression.codec", "zstd")
-        # split small-but-CPU-heavy inputs (binary image blobs) finer
-        # than the 128m default so map stages use every core
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.sql.session.timeZone", "UTC")
     )
+    for k, v in engine_conf(shuffle_partitions).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

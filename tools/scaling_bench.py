@@ -41,43 +41,22 @@ STEAL_MAX_PCT = 2.0      # steal / (steal + busy) per timed run
 MAX_ATTEMPTS = 12
 DIRTY_BACKOFF_S = 20
 
-RUN_TEMPLATE = r"""
-import json, sys, time
-sys.path.insert(0, {root!r})
-from cdr_analysis_tools_hadoop_spark.session import build_session
-from cdr_analysis_tools_hadoop_spark import pipeline
+def _spark_submit() -> str:
+    """The spark-submit that matches the installed pyspark (version-
+    consistent with the library the engine zip was built against)."""
+    import pyspark
 
-def cpu():
-    with open("/proc/stat") as f:
-        return list(map(int, f.readline().split()[1:]))
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
-spark = build_session("scale-bench", master="local[{cores}]",
-                      extra_conf={{"spark.ui.enabled": "false"}})
-spark.sparkContext.setLogLevel("ERROR")
-images = spark.read.parquet({img_path!r})
-for _ in range(2):
-    pipeline.run_pipeline(spark, images).count()
-attempts = []
-n_clean = 0
-while n_clean < {repeats} and len(attempts) < {max_attempts}:
-    a = cpu()
-    t0 = time.time()
-    pipeline.run_pipeline(spark, images).count()
-    dt = time.time() - t0
-    b = cpu()
-    d = [y - x for x, y in zip(a, b)]
-    busy = d[0] + d[1] + d[2] + d[5] + d[6]   # user nice sys irq softirq
-    steal = d[7]
-    steal_pct = 100.0 * steal / max(steal + busy, 1)
-    clean = steal_pct <= {steal_max}
-    attempts.append({{"sec": round(dt, 2), "steal_pct": round(steal_pct, 1),
-                      "clean": clean}})
-    if clean:
-        n_clean += 1
-    else:
-        time.sleep({backoff})
-print("RESULT " + json.dumps(attempts))
-"""
+
+def build_engine_zip() -> str:
+    """Package the engine for --py-files (tools/make_pyfiles.sh)."""
+    subprocess.run(
+        ["sh", os.path.join(ROOT, "tools", "make_pyfiles.sh")],
+        check=True,
+        capture_output=True,
+    )
+    return os.path.join(ROOT, "dist", "engine.zip")
 
 
 def robust_median(runs: list[float]) -> float:
@@ -86,24 +65,44 @@ def robust_median(runs: list[float]) -> float:
     return statistics.median(kept)
 
 
-def run_level(cores: int, pinned: bool, img_path: str, repeats: int) -> dict:
+def run_level(
+    cores: int, pinned: bool, img_path: str, repeats: int, zip_path: str
+) -> dict:
+    """One level = one spark-submit --py-files run (the north rule's
+    deployment shape): fresh JVM, master from the command line, the
+    engine imported from dist/engine.zip (tools/scale_level.py asserts
+    the import origin and prints it)."""
     cmd = []
     if pinned:
         cmd += ["taskset", "-c", f"0-{cores - 1}"]
     cmd += [
-        sys.executable,
-        "-c",
-        RUN_TEMPLATE.format(
-            root=ROOT, cores=cores, img_path=img_path, repeats=repeats,
-            max_attempts=MAX_ATTEMPTS, steal_max=STEAL_MAX_PCT,
-            backoff=DIRTY_BACKOFF_S,
-        ),
+        _spark_submit(),
+        "--master",
+        f"local[{cores}]",
+        "--driver-memory",
+        "24g",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--py-files",
+        zip_path,
+        os.path.join(ROOT, "tools", "scale_level.py"),
+        img_path,
+        str(repeats),
+        str(MAX_ATTEMPTS),
+        str(STEAL_MAX_PCT),
+        str(DIRTY_BACKOFF_S),
     ]
-    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True
+    ).stdout
     attempts = json.loads(
         [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1][7:]
     )
+    origin = [
+        ln.split(" ", 1)[1]
+        for ln in out.splitlines()
+        if ln.startswith("ENGINE_ORIGIN ")
+    ][-1]
     clean = [a["sec"] for a in attempts if a["clean"]]
     # honesty rule: the report claims "median of clean runs", so never
     # silently widen the basis to steal-contaminated attempts. With
@@ -118,6 +117,7 @@ def run_level(cores: int, pinned: bool, img_path: str, repeats: int) -> dict:
         "n_clean": len(clean),
         "dirty": dirty,
         "sec": round(robust_median(basis), 2),
+        "engine_origin": origin,
     }
 
 
@@ -137,7 +137,8 @@ def main() -> None:
         bench.ensure_images(spark, n_images, img_path)
         spark.stop()
 
-    levels = {c: run_level(c, p, img_path, repeats) for c, p in LEVELS}
+    zip_path = build_engine_zip()
+    levels = {c: run_level(c, p, img_path, repeats, zip_path) for c, p in LEVELS}
     for lv in levels.values():
         lv["images_per_sec"] = round(n_images / lv["sec"], 1)
         print(json.dumps(lv))
@@ -172,7 +173,11 @@ def main() -> None:
 Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
 `python tools/scaling_bench.py {n_images} {repeats}`. Identical input
 for every level: {n_images} deterministic synthetic images (seeded,
-256 uncompressed parquet files, written once). Fresh JVM per level;
+256 uncompressed parquet files, written once). Each level is ONE
+`spark-submit --master local[cores] --py-files dist/engine.zip
+tools/scale_level.py` run — the north rule's deployment shape — with
+the engine imported from the zip, asserted and recorded per level
+(import origin: `{levels[2]['engine_origin']}`); fresh JVM per level,
 2 warm-up runs, then timed runs with per-run hypervisor-steal
 telemetry (/proc/stat): this shared host gets multi-minute co-tenant
 bursts that slow identical runs 2-4x, so a run counts as CLEAN when

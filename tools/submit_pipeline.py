@@ -27,16 +27,18 @@ from pyspark.sql import SparkSession
 
 from cdr_analysis_tools_hadoop_spark import pipeline
 from cdr_analysis_tools_hadoop_spark.plans import checkpoint
+from cdr_analysis_tools_hadoop_spark.session import engine_conf
 
 
 def main(images_path: str, out_path: str) -> None:
-    spark = (
-        SparkSession.builder.appName("spatial-image-rollup")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    builder = SparkSession.builder.appName("spatial-image-rollup")
+    spark = builder.getOrCreate()
+    # master + memory come from spark-submit; the engine's SQL conf
+    # (AQE, Arrow, dynamic overwrite, scan sizing) follows the granted
+    # parallelism exactly as build_session does for in-process runs
+    cores = int(spark.sparkContext.defaultParallelism)
+    for k, v in engine_conf(max(2 * cores, 8)).items():
+        spark.conf.set(k, v)
     images = spark.read.parquet(images_path)
     rollup = pipeline.run_pipeline(spark, images)
     summary = checkpoint.write_partitioned(rollup, out_path, "zone_id")
