@@ -68,31 +68,65 @@ def graph_series(cdr: DataFrame) -> dict[str, dict]:
     cdr = _norm(cdr)
     out: dict[str, dict] = {}
 
+    def _pairs(*specs):
+        # (text, text_x, value) -> the reference's des_pair dicts
+        # (helper.py:83-141); text_y is 1.27 at every call site.
+        return [
+            {"text": t, "text_x": x, "text_y": 1.27, "value": v}
+            for t, x, v in specs
+        ]
+
     daily = statistics.daily_cdrs(cdr).collect()
     xs, ys = _xy(daily, "day", "total_records")
     out["daily_cdrs"] = {
         "xs": xs,
         "series": {"ALL": ys},
+        "xlabel": "Day",  # cdr_statistics.py:575 — the one 'Day' axis
         "des": {
             "MIN": min(ys), "MAX": max(ys),
             "AVG": sum(ys) / len(ys), "Total Records": sum(ys),
         },
+        "des_pairs": _pairs(
+            ("MIN", 0.090, min(ys)),
+            ("MAX", 0.345, max(ys)),
+            ("AVG", 0.595, sum(ys) / len(ys)),
+            ("Total Records", 0.83, sum(ys)),
+        ),
     }
 
+    total_uids = float(
+        statistics.total_unique_uids(cdr).collect()[0]["total_unique_uids"]
+    )
     uu = statistics.daily_unique_uids(cdr).collect()
     xs, ys = _xy(uu, "day", "total_uids")
     out["daily_unique_users"] = {
         "xs": xs,
         "series": {"ALL": ys},
         "des": {"MIN": min(ys), "MAX": max(ys), "AVG": sum(ys) / len(ys)},
+        "des_pairs": _pairs(
+            ("MIN", 0.090, min(ys)),
+            ("MAX", 0.345, max(ys)),
+            ("AVG", 0.595, sum(ys) / len(ys)),
+            ("Total Unique IDs", 0.805, total_uids),
+        ),
     }
 
+    total_locs = float(
+        statistics.total_unique_locations(cdr)
+        .collect()[0]["count_unique_locations"]
+    )
     ul = statistics.daily_unique_locations(cdr).collect()
     xs, ys = _xy(ul, "day", "unique_locations")
     out["daily_unique_locations"] = {
         "xs": xs,
         "series": {"ALL": ys},
         "des": {"MIN": min(ys), "MAX": max(ys), "AVG": sum(ys) / len(ys)},
+        "des_pairs": _pairs(
+            ("MIN", 0.090, min(ys)),
+            ("MAX", 0.345, max(ys)),
+            ("AVG", 0.595, sum(ys) / len(ys)),
+            ("Total Unique Locations", 0.805, total_locs),
+        ),
     }
 
     av = statistics.daily_average_cdrs(cdr).collect()
@@ -101,14 +135,25 @@ def graph_series(cdr: DataFrame) -> dict[str, dict]:
         "xs": xs,
         "series": {"ALL": ys},
         "des": {"MIN": min(ys), "MAX": max(ys), "AVG": sum(ys) / len(ys)},
+        "des_pairs": _pairs(
+            ("Total Daily Avg CDRs", 0.035, sum(ys) / len(ys)),
+        ),
     }
 
     al = statistics.daily_average_unique_locations(cdr).collect()
     xs, ys = _xy(al, "date", "daily_avg_locations")
+    cell_ys = [float(r["daily_avg_cell_ids"]) for r in al]
     out["daily_unique_avg_locations"] = {
         "xs": xs,
         "series": {"ALL": ys},
         "des": {"MIN": min(ys), "MAX": max(ys), "AVG": sum(ys) / len(ys)},
+        # cdr_statistics.py:764-767 — cell-id average first; the
+        # trailing space in the first text is the reference's own
+        "des_pairs": _pairs(
+            ("Avg Daily Unique Cell IDs ", 0.00,
+             sum(cell_ys) / len(cell_ys)),
+            ("Avg Daily Unique Locations", 0.28, sum(ys) / len(ys)),
+        ),
     }
 
     # multi-series: one line per call_type plus the ALL grain
@@ -121,6 +166,10 @@ def graph_series(cdr: DataFrame) -> dict[str, dict]:
         "xs": days,
         "series": {t: [by_key.get((d, t), 0.0) for d in days] for t in types},
         "des": {},
+        # cdr_statistics.py:144-161: this graph keeps the default
+        # header band (top=0.95) and carries the 3-entry legend
+        "top": 0.95,
+        "title": "Daily CDR by call type",
     }
 
     hist = statistics.user_activity_histogram_adaptive(cdr).collect()
@@ -129,6 +178,10 @@ def graph_series(cdr: DataFrame) -> dict[str, dict]:
         "series": {"users": [float(r.num_users) for r in hist]},
         "kind": "bar",
         "des": {},
+        # cdr_statistics.py:324-329: untitled bar chart, left=0.15
+        "xlabel": "Active Day Bins",
+        "left": 0.15,
+        "untitled": True,
     }
 
     for name, g in out.items():
@@ -144,7 +197,27 @@ def graph_series(cdr: DataFrame) -> dict[str, dict]:
         g.setdefault("kind", "line")
         g.setdefault("ylabel", ylabel)
         g.setdefault("title", title)
+        g.setdefault("xlabel", "Date")
     return out
+
+
+def _plot_series(g: dict) -> list[tuple[str, list[float]]]:
+    """Series in the reference's plot order. For the by-call-type
+    graph the reference draws exactly three lines — ALL, DATA, and
+    VOICE+SMS combined (cdr_statistics.py:136-159) — so when the type
+    set maps onto that vocabulary, fold it; otherwise plot the generic
+    per-type series sorted by label."""
+    s = g["series"]
+    if "ALL" in s and set(s) <= {"ALL", "DATA", "VOICE", "SMS"} and len(s) > 1:
+        n = len(g["xs"])
+        zero = [0.0] * n
+        voice, sms = s.get("VOICE", zero), s.get("SMS", zero)
+        return [
+            ("ALL", s["ALL"]),
+            ("DATA", s.get("DATA", zero)),
+            ("VOICE and SMS", [v + m for v, m in zip(voice, sms)]),
+        ]
+    return sorted(s.items())
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +274,7 @@ def _render_builtin(g: dict, path: str, w: int = 700, h: int = 500) -> None:
     for gy in range(1, 5):  # horizontal gridlines
         yy = mt + (h - mt - mb) * gy // 5
         img[yy, ml + 1 : w - mr] = 230
-    for si, (label, ys) in enumerate(sorted(g["series"].items())):
+    for si, (label, ys) in enumerate(_plot_series(g)):
         color = np.array(_PALETTE[si % len(_PALETTE)], dtype=np.uint8)
         if g["kind"] == "bar":
             bw = max((w - ml - mr) // (2 * n), 1)
@@ -220,13 +293,22 @@ def _render_builtin(g: dict, path: str, w: int = 700, h: int = 500) -> None:
 
 
 def _render_matplotlib(g: dict, path: str) -> None:
-    """Mirror the reference's make_graph layout exactly
-    (Common/helper.py:83-141): figsize (14, 11), bold 21 pt title,
-    subplots_adjust(top=0.75), grid, 90-degree x ticks, and up to
-    four descriptor stats rendered as text labels over disabled
-    TextBox widgets along the 0.87 figure row at x = 0.1/0.3/0.5/0.7
-    in the reference's orange/blue/green/red order, value text
-    right-padded by the reference's 60 - 2*len(value) space rule."""
+    """Mirror the reference's layouts call-for-call.
+
+    - make_graph class (the five daily line graphs,
+      Common/helper.py:83-141): figsize (14, 11), bold 21 pt title,
+      subplots_adjust(top=0.75), grid, one unlabeled plot() per the
+      default color cycle, 90-degree x ticks, per-call-site xlabel,
+      then each des_pair as plt.text at its exact (text_x, 1.27) axes
+      coordinate over a disabled TextBox on the 0.87 figure row at
+      x = 0.1/0.3/0.5/0.7 in orange/blue/green/red, the value
+      right-aligned by the reference's 60 - 2*len(value) space pad
+      and label_pad=0.005 on the first box only.
+    - daily_cdr_by_call_type (cdr_statistics.py:144-161): top=0.95,
+      three lines in ALL / DATA / VOICE-and-SMS order, legend upper
+      left with those exact labels.
+    - user_data_histogram (cdr_statistics.py:324-329): untitled bar
+      chart, align='center', subplots_adjust(left=0.15)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -235,27 +317,36 @@ def _render_matplotlib(g: dict, path: str) -> None:
 
     fig = plt.figure(figsize=(14, 11))
     ax = fig.add_subplot(111)
-    plt.title(g["title"], fontdict={"fontsize": 21, "fontweight": "bold"})
-    plt.subplots_adjust(top=0.75)
-    plt.grid(True)
-    for label, ys in sorted(g["series"].items()):
+    if not g.get("untitled"):
+        plt.title(g["title"], fontdict={"fontsize": 21, "fontweight": "bold"})
+    plt.subplots_adjust(top=g.get("top", 0.75))
+    if "left" in g:
+        plt.subplots_adjust(left=g["left"])
+    if g["kind"] != "bar":
+        plt.grid(True)
+    series = _plot_series(g)
+    for label, ys in series:
         if g["kind"] == "bar":
             plt.bar(g["xs"], ys, align="center")
         else:
-            plt.plot(g["xs"], ys, label=label)
-    if len(g["series"]) > 1:
-        plt.legend(loc="upper left")
+            plt.plot(g["xs"], ys)
     plt.ylabel(g["ylabel"])
     plt.xticks(rotation=90)
-    plt.xlabel("Date")
+    plt.xlabel(g["xlabel"])
+    if len(series) > 1:
+        plt.legend([label for label, _ in series], loc="upper left")
     colors = ["orange", "blue", "green", "red"]
     box_x = [0.1, 0.3, 0.5, 0.7]
-    for i, (k, v) in enumerate(list(g["des"].items())[:4]):
-        value = f"{v:,.2f}"
-        plt.text(0.02 + 0.25 * i, 1.27, k, transform=ax.transAxes)
+    for i, pair in enumerate(g.get("des_pairs", [])[:4]):
+        value = f"{pair['value']:,.2f}"
+        plt.text(
+            pair["text_x"], pair["text_y"], pair["text"],
+            transform=ax.transAxes,
+        )
         axbox = plt.axes([box_x[i], 0.87, 0.2, 0.04])
         pad = " " * max(0, 60 - 2 * len(value))
-        tb = TextBox(axbox, "", initial=pad + value, color=colors[i])
+        kw = {"label_pad": 0.005} if i == 0 else {}
+        tb = TextBox(axbox, "", initial=pad + value, color=colors[i], **kw)
         tb.disconnect_events()
     plt.savefig(path)
     plt.close(fig)

@@ -120,3 +120,60 @@ def test_all_seven_graphs_written_as_valid_png(sample_cdr, tmp_path):
         (length,) = struct.unpack(">I", blob[idat_at - 4 : idat_at])
         raw = zlib.decompress(blob[idat_at + 4 : idat_at + 4 + length])
         assert len(raw) == h * (1 + w * 3)
+
+
+def test_descriptor_pairs_match_reference_call_sites(series):
+    """Each graph's des_pairs reproduce the reference make_graph call
+    sites exactly — texts (incl. the reference's own trailing space),
+    transAxes x positions, and value semantics
+    (Common/cdr_statistics.py:575-581, 625-631, 679-688, 721-724,
+    761-767)."""
+    def spec(name):
+        return [(p["text"], p["text_x"], p["text_y"])
+                for p in series[name]["des_pairs"]]
+
+    assert spec("daily_cdrs") == [
+        ("MIN", 0.090, 1.27), ("MAX", 0.345, 1.27), ("AVG", 0.595, 1.27),
+        ("Total Records", 0.83, 1.27)]
+    assert spec("daily_unique_users") == [
+        ("MIN", 0.090, 1.27), ("MAX", 0.345, 1.27), ("AVG", 0.595, 1.27),
+        ("Total Unique IDs", 0.805, 1.27)]
+    assert spec("daily_unique_locations") == [
+        ("MIN", 0.090, 1.27), ("MAX", 0.345, 1.27), ("AVG", 0.595, 1.27),
+        ("Total Unique Locations", 0.805, 1.27)]
+    assert spec("daily_avg_cdr") == [("Total Daily Avg CDRs", 0.035, 1.27)]
+    assert spec("daily_unique_avg_locations") == [
+        ("Avg Daily Unique Cell IDs ", 0.00, 1.27),
+        ("Avg Daily Unique Locations", 0.28, 1.27)]
+
+    # value semantics: totals are whole-period distincts, not sums of
+    # the daily series; the averaging graphs carry series means
+    ys = series["daily_unique_users"]["series"]["ALL"]
+    total_ids = series["daily_unique_users"]["des_pairs"][3]["value"]
+    assert total_ids <= sum(ys)  # distinct-over-period <= sum of dailies
+    avg_pair = series["daily_avg_cdr"]["des_pairs"][0]["value"]
+    assert avg_pair == pytest.approx(sum(series["daily_avg_cdr"]["series"]["ALL"])
+                                     / len(series["daily_avg_cdr"]["series"]["ALL"]))
+    # per-graph axis labels (Day on daily_cdrs, Date elsewhere,
+    # Active Day Bins on the histogram)
+    assert series["daily_cdrs"]["xlabel"] == "Day"
+    assert series["daily_unique_users"]["xlabel"] == "Date"
+    assert series["user_data_histogram"]["xlabel"] == "Active Day Bins"
+
+
+def test_by_call_type_plot_order_matches_reference(series):
+    """The rendered line order folds VOICE+SMS into the reference's
+    third legend entry (cdr_statistics.py:152-159)."""
+    plot = reports._plot_series(series["daily_cdr_by_call_type"])
+    labels = [label for label, _ in plot]
+    if set(series["daily_cdr_by_call_type"]["series"]) <= {
+        "ALL", "DATA", "VOICE", "SMS"
+    }:
+        assert labels == ["ALL", "DATA", "VOICE and SMS"]
+        # folded series preserves the per-day sum
+        s = series["daily_cdr_by_call_type"]["series"]
+        folded = dict(plot)
+        for i in range(len(series["daily_cdr_by_call_type"]["xs"])):
+            assert folded["DATA"][i] + folded["VOICE and SMS"][i] == s["ALL"][i]
+    else:  # generic corpora keep per-type lines
+        assert labels == sorted(series["daily_cdr_by_call_type"]["series"])
