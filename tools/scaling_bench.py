@@ -38,7 +38,7 @@ from datetime import datetime, timezone
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [(2, True), (8, True), (32, False)]  # (cores, pinned?)
 STEAL_MAX_PCT = 2.0      # steal / (steal + busy) per timed run
-MAX_ATTEMPTS = 12
+MAX_ATTEMPTS = int(os.environ.get("SCALING_MAX_ATTEMPTS", "12"))
 DIRTY_BACKOFF_S = 20
 
 def _spark_submit() -> str:
