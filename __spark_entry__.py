@@ -28,6 +28,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     interpolation,
     multimodal,
     prepare,
+    sampling,
     similarity,
     statistics,
     textops,
@@ -337,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_language_id"] = lambda s, d: textops.language_id(_docs(s, d))
     q["text_fingerprints"] = lambda s, d: textops.fingerprints(_docs(s, d))
 
+    # --- sampling / split (documents; axes-B curation ops, NEW r4) ---
+    q["dataset_split"] = lambda s, d: sampling.dataset_split(_docs(s, d))
+    q["quota_sample_by_source"] = lambda s, d: sampling.quota_sample(_docs(s, d))
+
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
     q["poi_reallocation"] = lambda s, d: interpolation.poi_reallocation(
@@ -482,7 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out. Any query whose SEMANTICS change in a round overrides the
     # rotation and must be placed in-window that round — r4 adds
     # simhash_near_dup (NEW: oracle row for the Hamming broadcast
-    # strategy), displacing the last core entry (text_language_id,
+    # strategy), dataset_split and quota_sample_by_source (NEW r4
+    # sampling ops), displacing the last three core entries
+    # (text_token_stats, text_quality, text_language_id — all
     # r1+r2+r3-green, unchanged) past the gate this round. Rows-only
     # queries (pixel/PCM/frame codecs, graph routing, the adaptive
     # BHTT histogram) stay past the window by design; their coverage
@@ -550,7 +557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf",
         "embedding_near_dup",
         "knn_label_vote",
-        # text analysis
+        # sampling / split (NEW r4 -> in-window this round)
+        "dataset_split",
+        "quota_sample_by_source",
+        # text analysis (past the 50-gate this round: unchanged,
+        # driver-green r1+r2+r3)
         "text_token_stats",
         "text_quality",
         "text_language_id",
@@ -796,6 +807,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality"] = textops.quality_scores_oracle()
     o["text_language_id"] = textops.language_id_oracle()
     o["text_fingerprints"] = textops.fingerprints_oracle()
+    o["dataset_split"] = sampling.dataset_split_oracle()
+    o["quota_sample_by_source"] = sampling.quota_sample_oracle()
     o["corpus_curation"] = textops.corpus_curation_oracle()
 
     sited_cte = _with(

@@ -1,0 +1,181 @@
+"""Deterministic dataset splitting + quota sampling over ``documents``.
+
+The two curation steps every training-data pipeline runs after dedup
+and quality scoring:
+
+- ``dataset_split``: assign every document to train/val/test by a
+  seeded deterministic hash of its id — stable across reruns, cluster
+  sizes, and partitionings (the property ``df.sample()`` does NOT
+  give you: its split moves when partitioning changes).
+- ``quota_sample``: keep at most ``per_group`` documents per group
+  (source/domain), ranked by quality — the per-source cap used to
+  stop one crawl dominating the mixture.
+
+Reference parity: the reference has no sampling operators (its
+payloads are opaque — SURVEY.md §1.2); these are axes-B additions,
+like operators/textops.py.
+
+Scale notes (100 TB):
+
+- The split is a stateless map-only projection — zero shuffles, zero
+  state, no skew surface; it survives any scale by construction.
+- The quota sampler's naive form (one window over
+  ``partitionBy(group)``) sorts whole groups on single reducers — a
+  700-source corpus where one source owns 40% of rows puts 40 TB
+  through one task. This implementation is two-phase instead: a
+  per-(group, shard) local top-k first (shard = doc_id mod S, so the
+  hot group fans out over S tasks), then the exact top-k over the
+  ≤ S·k survivors per group. Because the ranking order is TOTAL
+  (quality desc, doc_id asc — no tie ambiguity), the union of local
+  top-ks provably contains the global top-k, so the result is
+  bit-identical to the naive form (pinned by a pytest equivalence
+  test) while the heavy pass never sorts more than one shard.
+
+The hash is MINSTD (Lehmer 1988, Park-Miller): h' = 48271·h mod
+(2³¹−1) — chosen over splitmix/xxhash not for statistical strength
+but because both engines can evaluate it EXACTLY in 64-bit integer
+SQL (no overflow: (2³¹−2)·48271 < 2⁶³), so the DuckDB oracle twin is
+bit-identical. For split assignment (a few coarse buckets) its
+uniformity is ample; it is NOT a content fingerprint (texthash.py's
+md5 family covers that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINSTD_MOD = 2147483647  # 2^31 - 1 (prime)
+MINSTD_MULT = 48271
+DEFAULT_SEED = 7
+DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+DEFAULT_PER_GROUP = 10
+
+
+def split_u_sql(id_col: str, seed: int) -> str:
+    """u in [0, 1): seeded 3-step MINSTD hash of an integer id —
+    identical SQL text evaluates identically in Spark and DuckDB
+    (int64 arithmetic, max intermediate (M−1)·48271 < 2⁶³, then one
+    exact int→double division).
+
+    THREE Lehmer steps, not one: a single step maps SEQUENTIAL ids
+    (the common case) to u ≈ 48271·i/2³¹ — every id below ~44k lands
+    in the first split. Step two's stride is 48271² mod M ≈ 0.085·M
+    and step three's wraps many times per increment, so consecutive
+    ids equidistribute across [0, 1) (pinned by the fraction test)."""
+    h = f"(({id_col} + {seed}) % {MINSTD_MOD})"
+    for _ in range(3):
+        h = f"(({h}) * {MINSTD_MULT} % {MINSTD_MOD})"
+    return f"(({h}) / {MINSTD_MOD}.0)"
+
+
+def split_case_sql(
+    id_col: str,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """CASE expression assigning the split label by cumulative weight."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = split_u_sql(id_col, seed)
+    cases, cum = [], 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    return f"CASE {' '.join(cases)} ELSE '{splits[-1][0]}' END"
+
+
+def dataset_split(
+    docs: DataFrame,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """(doc_id, split): deterministic seeded train/val/test assignment.
+
+    Map-only (no shuffle, no state): the assignment depends only on
+    (doc_id, seed), so reruns, resumes from checkpoint, and different
+    cluster sizes all produce the same membership — the reproducibility
+    contract a training pipeline needs from its split."""
+    return docs.select(
+        "doc_id",
+        F.expr(split_case_sql("doc_id", splits, seed)).alias("split"),
+    )
+
+
+def dataset_split_oracle(
+    view: str = "documents",
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    return (
+        f"SELECT doc_id, {split_case_sql('doc_id', splits, seed)} AS split "
+        f"FROM {view}"
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    per_group: int = DEFAULT_PER_GROUP,
+    group_col: str = "source",
+    shards: int = 32,
+) -> DataFrame:
+    """Top-``per_group`` documents per group by quality milli-score.
+
+    Two-phase exact top-k (see module docstring): phase 1 ranks
+    within (group, doc_id mod ``shards``) and keeps the local top-k —
+    a hot group spreads over ``shards`` tasks instead of one reducer —
+    then phase 2 ranks the ≤ shards·k survivors per group exactly.
+    Output is independent of ``shards`` (total order: quality desc,
+    doc_id asc). ``shards=1`` degenerates to the naive single window.
+    """
+    from cdr_analysis_tools_hadoop_spark.operators.textops import quality_scores
+
+    if per_group < 1 or shards < 1:
+        raise ValueError("per_group and shards must be >= 1")
+    scored = (
+        docs.join(
+            quality_scores(docs).select("doc_id", "quality_millis"), "doc_id"
+        )
+        .select("doc_id", group_col, "quality_millis")
+    )
+    order = [F.desc("quality_millis"), F.asc("doc_id")]
+    if shards > 1:
+        local = Window.partitionBy(
+            group_col, F.col("doc_id") % shards
+        ).orderBy(*order)
+        scored = scored.withColumn(
+            "_lrk", F.row_number().over(local)
+        ).filter(F.col("_lrk") <= per_group).drop("_lrk")
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= per_group)
+        .select("doc_id", group_col, "quality_millis", "rk")
+    )
+
+
+def quota_sample_oracle(
+    view: str = "documents",
+    per_group: int = DEFAULT_PER_GROUP,
+    group_col: str = "source",
+) -> str:
+    from cdr_analysis_tools_hadoop_spark.operators.textops import (
+        _QUALITY_SCORE,
+        _quality_exprs,
+    )
+
+    e = _quality_exprs("duckdb")
+    return (
+        f"WITH scored AS (SELECT doc_id, {group_col}, "
+        f"{e['n_tokens']} AS n_tokens, {e['stopword_ratio']} AS stopword_ratio, "
+        f"{e['type_token_ratio']} AS type_token_ratio FROM {view}), "
+        f"q AS (SELECT doc_id, {group_col}, {_QUALITY_SCORE} AS quality_millis "
+        "FROM scored), "
+        "r AS (SELECT doc_id, "
+        f"{group_col}, quality_millis, CAST(row_number() OVER "
+        f"(PARTITION BY {group_col} ORDER BY quality_millis DESC, doc_id ASC) "
+        "AS INT) AS rk FROM q) "
+        f"SELECT doc_id, {group_col}, quality_millis, rk FROM r "
+        f"WHERE rk <= {per_group}"
+    )
