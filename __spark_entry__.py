@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- sampling / split (documents; axes-B curation ops, NEW r4) ---
     q["dataset_split"] = lambda s, d: sampling.dataset_split(_docs(s, d))
     q["quota_sample_by_source"] = lambda s, d: sampling.quota_sample(_docs(s, d))
+    q["split_contamination"] = lambda s, d: sampling.split_contamination(_docs(s, d))
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
@@ -487,10 +488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out. Any query whose SEMANTICS change in a round overrides the
     # rotation and must be placed in-window that round — r4 adds
     # simhash_near_dup (NEW: oracle row for the Hamming broadcast
-    # strategy), dataset_split and quota_sample_by_source (NEW r4
-    # sampling ops), displacing the last three core entries
-    # (text_token_stats, text_quality, text_language_id — all
-    # r1+r2+r3-green, unchanged) past the gate this round. Rows-only
+    # strategy) plus dataset_split / quota_sample_by_source /
+    # split_contamination (NEW r4 sampling + decontamination ops),
+    # displacing the last four core entries (knn_label_vote,
+    # text_token_stats, text_quality, text_language_id — all prior-
+    # round driver-green, unchanged; they rejoin the window with the
+    # r5 rotation swap) past the gate this round. Rows-only
     # queries (pixel/PCM/frame codecs, graph routing, the adaptive
     # BHTT histogram) stay past the window by design; their coverage
     # lives in pytest exactness/recall tests.
@@ -556,12 +559,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
         "embedding_near_dup",
-        "knn_label_vote",
-        # sampling / split (NEW r4 -> in-window this round)
+        # sampling / split / decontamination (NEW r4 -> in-window)
         "dataset_split",
         "quota_sample_by_source",
-        # text analysis (past the 50-gate this round: unchanged,
-        # driver-green r1+r2+r3)
+        "split_contamination",
+        # past the 50-gate this round: unchanged, driver-green in
+        # r1+r2+r3 (knn_label_vote r3); they rejoin the window with
+        # the r5 rotation swap
+        "knn_label_vote",
         "text_token_stats",
         "text_quality",
         "text_language_id",
@@ -809,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprints"] = textops.fingerprints_oracle()
     o["dataset_split"] = sampling.dataset_split_oracle()
     o["quota_sample_by_source"] = sampling.quota_sample_oracle()
+    o["split_contamination"] = sampling.split_contamination_oracle()
     o["corpus_curation"] = textops.corpus_curation_oracle()
 
     sited_cte = _with(

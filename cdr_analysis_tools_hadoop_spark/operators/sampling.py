@@ -155,6 +155,92 @@ def quota_sample(
     )
 
 
+CONTAMINATION_PPM = 500000  # flag eval docs with >= 50% shingles in train
+
+
+def split_contamination(
+    docs: DataFrame,
+    threshold_ppm: int = CONTAMINATION_PPM,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Eval-set contamination report: val/test documents whose distinct
+    shingles overlap the train split's shingle union by at least
+    ``threshold_ppm`` parts-per-million (the GPT-3-style n-gram
+    decontamination check, run BEFORE training instead of after).
+
+    Composition of the split with dedup's materialized shingle table:
+    the train side collapses to DISTINCT shingle hashes, the eval side
+    equi-joins on the hash — linear scans plus one hash-keyed join,
+    never doc-by-doc comparison, so a 100 TB corpus with a 0.1% eval
+    slice costs one pass over train shingles and a join keyed on the
+    (uniform, md5-derived) 60-bit hash: no skew surface. All output
+    columns are INTEGERS — the overlap ratio is reported as
+    floor-ppm via exact integer division — so the DuckDB twin is
+    FP-free (no rounding-mode edge at threshold boundaries).
+    """
+    from cdr_analysis_tools_hadoop_spark.operators.dedup import _hashed_shingles
+
+    sh = _hashed_shingles(docs)
+    sp = dataset_split(docs, splits, seed)
+    shs = sh.join(sp, "doc_id")
+    train_h = (
+        shs.filter(F.col("split") == "train").select("h").distinct()
+    )
+    ev = shs.filter(F.col("split") != "train")
+    # ONE pass over the eval side: left-join the (distinct, so never
+    # multiplying) train hash set, then count total and matched
+    # shingles in the same aggregation — no second groupBy, no
+    # re-join of two aggregates.
+    marked = ev.join(
+        train_h.withColumn("_m", F.lit(1)), "h", "left"
+    )
+    return (
+        marked.groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_m").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("n_hit * 1000000 div n_shingles"),
+        )
+        .filter(F.col("contamination_ppm") >= threshold_ppm)
+        .select("doc_id", "split", "n_shingles", "n_hit", "contamination_ppm")
+    )
+
+
+def split_contamination_oracle(
+    view: str = "documents",
+    threshold_ppm: int = CONTAMINATION_PPM,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    from cdr_analysis_tools_hadoop_spark.operators.dedup import _hashed_shingle_cte
+
+    case = split_case_sql("doc_id", splits, seed)
+    return (
+        f"WITH {_hashed_shingle_cte(view)}, "
+        f"sp AS (SELECT doc_id, {case} AS split FROM {view}), "
+        "shs AS (SELECT dh.doc_id, sp.split, dh.h FROM dh "
+        "JOIN sp ON dh.doc_id = sp.doc_id), "
+        "tr AS (SELECT DISTINCT h FROM shs WHERE split = 'train'), "
+        "ev AS (SELECT * FROM shs WHERE split <> 'train'), "
+        "tot AS (SELECT doc_id, split, count(*) AS n_shingles FROM ev "
+        "GROUP BY 1, 2), "
+        "hit AS (SELECT ev.doc_id, ev.split, count(*) AS n_hit FROM ev "
+        "JOIN tr ON ev.h = tr.h GROUP BY 1, 2) "
+        "SELECT tot.doc_id, tot.split, tot.n_shingles, "
+        "coalesce(hit.n_hit, 0) AS n_hit, "
+        "coalesce(hit.n_hit, 0) * 1000000 // tot.n_shingles "
+        "AS contamination_ppm "
+        "FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id "
+        "AND tot.split = hit.split "
+        f"WHERE coalesce(hit.n_hit, 0) * 1000000 // tot.n_shingles "
+        f">= {threshold_ppm}"
+    )
+
+
 def quota_sample_oracle(
     view: str = "documents",
     per_group: int = DEFAULT_PER_GROUP,

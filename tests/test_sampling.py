@@ -119,3 +119,32 @@ def test_quota_rejects_bad_params(docs):
         sampling.quota_sample(docs, per_group=0)
     with pytest.raises(ValueError):
         sampling.quota_sample(docs, shards=0)
+
+
+# ---------------------------------------------------------------------------
+# split_contamination
+
+
+def test_contamination_flags_seeded_near_dups(docs, spark):
+    """The synthetic corpus seeds every 10th doc as a one-word edit of
+    its predecessor; when a seeded dup and its source land in
+    different splits, the eval copy must be flagged (its shingle set
+    is ~identical to a train doc's)."""
+    out = sampling.split_contamination(docs, threshold_ppm=500000)
+    rows = out.collect()
+    assert len(rows) > 0  # seeded dups guarantee cross-split overlap
+    splits = dict(sampling.dataset_split(docs).collect())
+    for r in rows:
+        assert splits[r["doc_id"]] in ("val", "test")
+        assert r["split"] != "train"
+        assert 0 <= r["n_hit"] <= r["n_shingles"]
+        assert r["contamination_ppm"] == r["n_hit"] * 1000000 // r["n_shingles"]
+        assert r["contamination_ppm"] >= 500000
+
+
+def test_contamination_zero_threshold_covers_all_eval(docs):
+    """At threshold 0 every non-train doc appears exactly once."""
+    out = sampling.split_contamination(docs, threshold_ppm=0)
+    splits = sampling.dataset_split(docs).filter("split <> 'train'")
+    assert out.count() == splits.count()
+    assert out.select("doc_id").distinct().count() == splits.count()
