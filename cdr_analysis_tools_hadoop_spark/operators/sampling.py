@@ -62,8 +62,13 @@ def split_u_sql(id_col: str, seed: int) -> str:
     (the common case) to u ≈ 48271·i/2³¹ — every id below ~44k lands
     in the first split. Step two's stride is 48271² mod M ≈ 0.085·M
     and step three's wraps many times per increment, so consecutive
-    ids equidistribute across [0, 1) (pinned by the fraction test)."""
-    h = f"(({id_col} + {seed}) % {MINSTD_MOD})"
+    ids equidistribute across [0, 1) (pinned by the fraction test).
+
+    The leading double-mod canonicalizes negative ids: both engines'
+    ``%`` keeps the dividend's sign (identically, so parity would
+    hold either way), but a plain mod would send EVERY negative id to
+    the first split instead of hashing it."""
+    h = f"((({id_col} % {MINSTD_MOD}) + {MINSTD_MOD} + {seed}) % {MINSTD_MOD})"
     for _ in range(3):
         h = f"(({h}) * {MINSTD_MULT} % {MINSTD_MOD})"
     return f"(({h}) / {MINSTD_MOD}.0)"

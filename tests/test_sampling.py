@@ -148,3 +148,15 @@ def test_contamination_zero_threshold_covers_all_eval(docs):
     splits = sampling.dataset_split(docs).filter("split <> 'train'")
     assert out.count() == splits.count()
     assert out.select("doc_id").distinct().count() == splits.count()
+
+
+def test_split_handles_negative_ids(spark):
+    """Negative ids must hash across splits, not all land in 'train'
+    (both engines' % keeps the dividend sign; the canonical double-mod
+    folds them into [0, M) first)."""
+    df = spark.range(-2000, 0).withColumnRenamed("id", "doc_id")
+    counts = dict(
+        sampling.dataset_split(df).groupBy("split").count().collect()
+    )
+    assert len(counts) >= 2  # not all in one split
+    assert sum(counts.values()) == 2000
