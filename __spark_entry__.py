@@ -27,6 +27,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     dedup,
     interpolation,
     multimodal,
+    packing,
     prepare,
     sampling,
     similarity,
@@ -342,6 +343,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_split"] = lambda s, d: sampling.dataset_split(_docs(s, d))
     q["quota_sample_by_source"] = lambda s, d: sampling.quota_sample(_docs(s, d))
     q["split_contamination"] = lambda s, d: sampling.split_contamination(_docs(s, d))
+    # pack-and-chop sequence layout (late r4): per-doc pack coordinates
+    q["sequence_packing"] = lambda s, d: packing.sequence_packing(_docs(s, d))
+    # PII scrub (late r4): the corpus has no PII, so the contract query
+    # plants deterministic emails/phones/IPs keyed on doc_id — both
+    # engines plant identically (planted_pii_sql) and the md5 of the
+    # redacted text is hash-compared, proving the replacement output
+    # matches byte-for-byte
+    q["pii_redaction"] = lambda s, d: textops.pii_redaction(
+        _docs(s, d), textops.planted_pii_sql("text", "doc_id", "spark")
+    )
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
@@ -488,12 +499,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out. Any query whose SEMANTICS change in a round overrides the
     # rotation and must be placed in-window that round — r4 adds
     # simhash_near_dup (NEW: oracle row for the Hamming broadcast
-    # strategy) plus dataset_split / quota_sample_by_source /
-    # split_contamination (NEW r4 sampling + decontamination ops),
-    # displacing the last four core entries (knn_label_vote,
-    # text_token_stats, text_quality, text_language_id — all prior-
-    # round driver-green, unchanged; they rejoin the window with the
-    # r5 rotation swap) past the gate this round. Rows-only
+    # strategy), dataset_split / quota_sample_by_source /
+    # split_contamination (NEW r4 sampling + decontamination ops) and
+    # sequence_packing / pii_redaction (NEW late-r4 curation ops),
+    # displacing six core entries (ann_cosine_topk_lsh,
+    # ann_cosine_topk_ivf, knn_label_vote, text_token_stats,
+    # text_quality, text_language_id — all prior-round driver-green,
+    # unchanged; they rejoin the window with the r5 rotation swap)
+    # past the gate this round. Rows-only
     # queries (pixel/PCM/frame codecs, graph routing, the adaptive
     # BHTT histogram) stay past the window by design; their coverage
     # lives in pytest exactness/recall tests.
@@ -556,16 +569,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup",  # NEW r4 semantics -> in-window this round
         # similarity / ANN (near_dup banding re-derived in r3)
         "ann_cosine_topk",
-        "ann_cosine_topk_lsh",
-        "ann_cosine_topk_ivf",
         "embedding_near_dup",
         # sampling / split / decontamination (NEW r4 -> in-window)
         "dataset_split",
         "quota_sample_by_source",
         "split_contamination",
+        # packing + PII scrub (NEW late-r4 -> in-window, displacing
+        # the two prior-green unchanged ANN variants below)
+        "sequence_packing",
+        "pii_redaction",
         # past the 50-gate this round: unchanged, driver-green in
-        # r1+r2+r3 (knn_label_vote r3); they rejoin the window with
-        # the r5 rotation swap
+        # r1+r2+r3 (knn_label_vote, ann lsh/ivf variants r3); they
+        # rejoin the window with the r5 rotation swap
+        "ann_cosine_topk_lsh",
+        "ann_cosine_topk_ivf",
         "knn_label_vote",
         "text_token_stats",
         "text_quality",
@@ -815,6 +832,10 @@ def oracle_sql() -> dict[str, str]:
     o["dataset_split"] = sampling.dataset_split_oracle()
     o["quota_sample_by_source"] = sampling.quota_sample_oracle()
     o["split_contamination"] = sampling.split_contamination_oracle()
+    o["sequence_packing"] = packing.sequence_packing_oracle()
+    o["pii_redaction"] = textops.pii_redaction_oracle(
+        "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
+    )
     o["corpus_curation"] = textops.corpus_curation_oracle()
 
     sited_cte = _with(

@@ -268,6 +268,99 @@ def corpus_curation(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 6. PII redaction
+
+# Backslash-free regexes (``[.]`` / ``[+]`` instead of ``\.`` / ``\+``)
+# so the SAME pattern text is valid in Spark SQL string literals
+# (backslash-escaped) and DuckDB string literals (raw): the two
+# engines must compile byte-identical patterns or the clean-text md5
+# gate below fails. None of the patterns uses alternation or
+# backreferences, so Java-regex (Spark) and RE2 (DuckDB) agree on
+# every match span.
+PII_PATTERNS = (
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}", "<EMAIL>"),
+    ("phone", "[+][0-9][0-9 -]{6,14}[0-9]", "<PHONE>"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+)
+
+
+def _redact_exprs(text_expr: str, dialect: str) -> dict[str, str]:
+    """Per-kind match counts + the fully-redacted text expression.
+
+    Replacement is sequential in PII_PATTERNS order (email first:
+    its local-part may contain digits a later pattern could clip).
+    Counts are taken on the ORIGINAL text, before any replacement.
+    """
+    size = "size" if dialect == "spark" else "len"
+    extract_tail = ", 0" if dialect == "spark" else ""
+    rep_tail = "" if dialect == "spark" else ", 'g'"
+    out: dict[str, str] = {}
+    clean = text_expr
+    for kind, pat, token in PII_PATTERNS:
+        out[f"n_{kind}"] = (
+            f"cast({size}(regexp_extract_all({text_expr}, '{pat}'"
+            f"{extract_tail})) as bigint)"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{token}'{rep_tail})"
+    out["clean"] = clean
+    return out
+
+
+def planted_pii_sql(text_expr: str, id_col: str, dialect: str) -> str:
+    """Deterministic PII augmentation for the contract query: the
+    synthetic corpus contains no emails/phones/IPs, so the query
+    plants some (keyed on doc_id) to exercise real matches. Both
+    dialects build byte-identical strings (`||` concat + the id cast
+    is the only dialect split), so the oracle plants the same PII."""
+    ids = (
+        f"cast({id_col} as string)"
+        if dialect == "spark"
+        else f"({id_col}::VARCHAR)"
+    )
+    return (
+        f"({text_expr}"
+        f" || (CASE WHEN {id_col} % 3 = 0 THEN ' mail u' || {ids} ||"
+        f" '@ex-ample.com now' ELSE '' END)"
+        f" || (CASE WHEN {id_col} % 5 = 0 THEN ' call +1 555 01' ||"
+        f" {ids} || ' 23 ok' ELSE '' END)"
+        f" || (CASE WHEN {id_col} % 7 = 0 THEN ' from 10.0.' ||"
+        f" cast({id_col} % 256 as {'string' if dialect == 'spark' else 'VARCHAR'})"
+        f" || '.7 end' ELSE '' END))"
+    )
+
+
+def pii_redaction(docs: DataFrame, text_expr: str = "text") -> DataFrame:
+    """Per-document PII scrub report: match counts per kind, redacted
+    length, and md5 of the redacted text (the hash proves the
+    replacement output itself matches the oracle byte-for-byte, not
+    just the counts).
+
+    Map-only — zero shuffles, zero state: regexp count + replace are
+    JVM-side codegen'd expressions over one scan, so this survives
+    any scale by construction (same shape as sampling.dataset_split).
+    """
+    e = _redact_exprs(text_expr, "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(e["n_email"]).alias("n_email"),
+        F.expr(e["n_phone"]).alias("n_phone"),
+        F.expr(e["n_ip"]).alias("n_ip"),
+        F.expr(f"cast(length({e['clean']}) as bigint)").alias("clean_len"),
+        F.expr(f"md5({e['clean']})").alias("clean_hash"),
+    )
+
+
+def pii_redaction_oracle(view: str = "documents", text_expr: str = "text") -> str:
+    e = _redact_exprs(text_expr, "duckdb")
+    return (
+        f"SELECT doc_id, {e['n_email']} AS n_email, "
+        f"{e['n_phone']} AS n_phone, {e['n_ip']} AS n_ip, "
+        f"CAST(length({e['clean']}) AS BIGINT) AS clean_len, "
+        f"md5({e['clean']}) AS clean_hash FROM {view}"
+    )
+
+
 def corpus_curation_oracle(view: str = "documents") -> str:
     e = _quality_exprs("duckdb")
     norm = th.normalize_text_sql("text", "duckdb")
