@@ -237,6 +237,136 @@ def run_pipeline(
     )
 
 
+def run_pipeline_resumable(
+    spark: SparkSession,
+    images_path: str,
+    out_path: str,
+    chunks: int = 8,
+    max_chunks: int | None = None,
+    base_zoom: int = 14,
+    pip_res: int = 8,
+    allow_lineage_change: bool = False,
+) -> dict:
+    """Input-side resumable form of run_pipeline: the image table's
+    files are deterministically grouped into ``chunks`` chunks (file
+    ``i`` of the sorted listing -> chunk ``i % chunks`` — the
+    stand-in for "one chunk per Iceberg input partition"); each chunk
+    runs the fused pipeline as its OWN action and commits its partial
+    rollup under ``chunk=<i>/`` plus a manifest row (images, seconds,
+    images/sec, per-chunk file-list lineage, app id). A killed job
+    rerun skips every committed chunk — work lost is bounded by one
+    chunk, and completed cells are never recomputed (the north rule's
+    resume clause, input side; plans/checkpoint.write_partitioned is
+    the output-side complement used by tools/submit_pipeline.py).
+
+    Valid because the rollup's aggregates (count, two sums) are
+    decomposable: re-aggregating per-chunk partials with
+    ``resumable_result`` is exactly the single-shot rollup
+    (pytest-pinned against run_pipeline). Reference parity: the
+    operator rerunning per-day INSERT OVERWRITE jobs by hand
+    (queries/cdr_and_mapping/insert_consolidate_cdr.sql:1-3), made
+    engine-owned.
+
+    ``max_chunks`` bounds how many chunks this invocation commits
+    (tests use it to simulate a kill between chunk commits).
+    Returns a summary dict; read the final aggregate with
+    ``resumable_result``.
+    """
+    from .plans import checkpoint
+
+    if chunks < 1:
+        raise ValueError("chunks must be >= 1")
+    # dynamic overwrite: rewriting chunk=<i> must not clobber other
+    # committed chunk directories under a vanilla session
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    files = sorted(spark.read.parquet(images_path).inputFiles())
+    assign = {i: files[i::chunks] for i in range(chunks)}
+    fps = {i: checkpoint.files_fingerprint(assign[i]) for i in assign}
+
+    manifest = checkpoint.read_manifest(out_path)
+    done: dict[str, dict] = {
+        m["partition"]: m for m in manifest if m.get("status") == "committed"
+    }
+    for part, m in done.items():
+        i = int(part.split("=", 1)[1])
+        if i in fps and m.get("lineage") != fps[i] and not allow_lineage_change:
+            raise ValueError(
+                f"{part} was committed from different input files "
+                f"({m.get('lineage')} != {fps[i]}); the chunking is no "
+                "longer aligned — clear the output or pass "
+                "allow_lineage_change=True"
+            )
+
+    todo = [i for i in range(chunks) if f"chunk={i}" not in done]
+    summary = {
+        "chunks": chunks,
+        "written": 0,
+        "skipped": chunks - len(todo),
+        "images": 0,
+        "seconds": 0.0,
+        "partitions": [],
+    }
+    app_id = spark.sparkContext.applicationId
+    import time
+
+    for i in todo:
+        if max_chunks is not None and summary["written"] >= max_chunks:
+            break
+        t0 = time.time()
+        n_images = 0
+        if assign[i]:
+            part = run_pipeline(
+                spark, spark.read.parquet(*assign[i]), base_zoom, pip_res
+            ).withColumn("chunk", F.lit(i))
+            part.write.mode("overwrite").partitionBy("chunk").parquet(out_path)
+            # per-chunk metric from the tiny committed rollup, not a
+            # second pass over the input
+            n_images = (
+                spark.read.parquet(f"{out_path}/chunk={i}")
+                .agg(F.sum("n_images"))
+                .collect()[0][0]
+                or 0
+            )
+        elapsed = time.time() - t0
+        checkpoint.append_manifest(
+            out_path,
+            [
+                {
+                    "partition": f"chunk={i}",
+                    "status": "committed",
+                    "rows": int(n_images),
+                    "n_files": len(assign[i]),
+                    "seconds": round(elapsed, 3),
+                    "rows_per_sec": round(n_images / elapsed, 1)
+                    if elapsed > 0
+                    else 0.0,
+                    "lineage": fps[i],
+                    "app_id": app_id,
+                    "committed_at": time.time(),
+                }
+            ],
+        )
+        summary["written"] += 1
+        summary["images"] += int(n_images)
+        summary["seconds"] = round(summary["seconds"] + elapsed, 3)
+        summary["partitions"].append(f"chunk={i}")
+    return summary
+
+
+def resumable_result(spark: SparkSession, out_path: str) -> DataFrame:
+    """Re-aggregate the per-chunk partial rollups into the exact
+    single-shot run_pipeline result (count/sum are decomposable)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("zone_id", "x", "y")
+        .agg(
+            F.sum("n_images").alias("n_images"),
+            F.sum("n_psnr_ok").alias("n_psnr_ok"),
+            F.sum("caption_bytes").alias("caption_bytes"),
+        )
+    )
+
+
 def run_pipeline_staged(
     spark: SparkSession,
     images: DataFrame,

@@ -62,11 +62,25 @@ def committed_partitions(path: str) -> set[str]:
 
 
 def lineage_fingerprint(df: DataFrame) -> str:
-    files = sorted(df.inputFiles())
+    return files_fingerprint(sorted(df.inputFiles()))
+
+
+def files_fingerprint(files: list[str]) -> str:
     h = hashlib.sha256()
     for fpath in files:
         h.update(fpath.encode())
     return h.hexdigest()[:16]
+
+
+def append_manifest(path: str, records: list[dict]) -> None:
+    """Append committed-partition records (one JSON line each). The
+    caller appends ONLY after its write action returned — the append
+    is the commit point, so a kill mid-write leaves the manifest
+    without the row and the rerun redoes that partition."""
+    os.makedirs(path, exist_ok=True)
+    with open(_manifest_path(path), "a") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
 
 
 def write_partitioned(
@@ -119,25 +133,22 @@ def write_partitioned(
     }
     app_id = df.sparkSession.sparkContext.applicationId
     total_rows = sum(counts.values())
-    os.makedirs(path, exist_ok=True)
-    with open(_manifest_path(path), "a") as f:
-        for p in todo:
-            rows = counts.get(p, 0)
-            share = elapsed * (rows / total_rows) if total_rows else 0.0
-            f.write(
-                json.dumps(
-                    {
-                        "partition": p,
-                        "status": "committed",
-                        "rows": rows,
-                        "seconds": round(share, 3),
-                        "rows_per_sec": round(rows / share, 1) if share > 0 else 0.0,
-                        "lineage": lineage,
-                        "app_id": app_id,
-                        "committed_at": time.time(),
-                    }
-                )
-                + "\n"
-            )
+    records = []
+    for p in todo:
+        rows = counts.get(p, 0)
+        share = elapsed * (rows / total_rows) if total_rows else 0.0
+        records.append(
+            {
+                "partition": p,
+                "status": "committed",
+                "rows": rows,
+                "seconds": round(share, 3),
+                "rows_per_sec": round(rows / share, 1) if share > 0 else 0.0,
+                "lineage": lineage,
+                "app_id": app_id,
+                "committed_at": time.time(),
+            }
+        )
+    append_manifest(path, records)
     summary.update(written=len(todo), rows=total_rows, seconds=round(elapsed, 3))
     return summary

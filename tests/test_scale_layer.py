@@ -66,6 +66,51 @@ def test_checkpoint_lineage_guard(cdr, tmp_path):
     assert s["written"] == 1 and s["partitions"] == [victim]
 
 
+def test_resumable_pipeline_kill_and_resume(spark, tmp_path):
+    """North-rule resume clause, input side: a run killed between
+    chunk commits resumes without recomputing completed chunks, and
+    the re-aggregated partials equal the single-shot pipeline."""
+    from cdr_analysis_tools_hadoop_spark import pipeline
+
+    img_path = str(tmp_path / "imgs")
+    synthetic.images_df(spark, 400, partitions=8).write.parquet(img_path)
+    out = str(tmp_path / "rollup")
+
+    # "kill" after 2 of 4 chunk commits (max_chunks bounds the run)
+    s1 = pipeline.run_pipeline_resumable(spark, img_path, out, chunks=4, max_chunks=2)
+    assert s1["written"] == 2 and s1["skipped"] == 0
+    m1 = {m["partition"]: m for m in checkpoint.read_manifest(out)}
+    assert len(m1) == 2
+
+    # resume: only the 2 missing chunks run; committed rows untouched
+    s2 = pipeline.run_pipeline_resumable(spark, img_path, out, chunks=4)
+    assert s2["written"] == 2 and s2["skipped"] == 2
+    m2 = checkpoint.read_manifest(out)
+    assert {m["partition"] for m in m2} == {f"chunk={i}" for i in range(4)}
+    for m in m2:
+        if m["partition"] in m1:
+            assert m == m1[m["partition"]]  # not recomputed or rewritten
+    assert s1["images"] + s2["images"] == 400
+
+    got = sorted(map(tuple, pipeline.resumable_result(spark, out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            pipeline.run_pipeline(spark, spark.read.parquet(img_path)).collect(),
+        )
+    )
+    assert got == want
+
+    # idempotent: nothing left to do
+    s3 = pipeline.run_pipeline_resumable(spark, img_path, out, chunks=4)
+    assert s3["written"] == 0 and s3["skipped"] == 4
+
+    # lineage guard: a different chunk count misassigns files vs the
+    # committed chunks — refuse instead of silently mixing layouts
+    with pytest.raises(ValueError, match="different input files"):
+        pipeline.run_pipeline_resumable(spark, img_path, out, chunks=3)
+
+
 # ---------------------------------------------------------------------------
 # salting
 
