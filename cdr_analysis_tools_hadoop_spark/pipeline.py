@@ -245,7 +245,6 @@ def run_pipeline_resumable(
     max_chunks: int | None = None,
     base_zoom: int = 14,
     pip_res: int = 8,
-    allow_lineage_change: bool = False,
 ) -> dict:
     """Input-side resumable form of run_pipeline: the image table's
     files are deterministically grouped into ``chunks`` chunks (file
@@ -276,9 +275,6 @@ def run_pipeline_resumable(
 
     if chunks < 1:
         raise ValueError("chunks must be >= 1")
-    # dynamic overwrite: rewriting chunk=<i> must not clobber other
-    # committed chunk directories under a vanilla session
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     files = sorted(spark.read.parquet(images_path).inputFiles())
     assign = {i: files[i::chunks] for i in range(chunks)}
     fps = {i: checkpoint.files_fingerprint(assign[i]) for i in assign}
@@ -287,14 +283,28 @@ def run_pipeline_resumable(
     done: dict[str, dict] = {
         m["partition"]: m for m in manifest if m.get("status") == "committed"
     }
+    # Strict lineage: unlike write_partitioned (disjoint OUTPUT
+    # partitions, where mixing vintages is a caller's judgment call),
+    # chunks are INPUT slices that resumable_result SUMS across — any
+    # misalignment (changed file list, different chunk count, a
+    # manifest written by the non-chunked path) double-counts or
+    # drops input, so there is no allow_lineage_change escape hatch
+    # here: clear the output and rerun.
     for part, m in done.items():
-        i = int(part.split("=", 1)[1])
-        if i in fps and m.get("lineage") != fps[i] and not allow_lineage_change:
+        pref, _, idx = part.partition("=")
+        if pref != "chunk" or not idx.isdigit():
+            raise ValueError(
+                f"{out_path} holds a manifest partition {part!r} not "
+                "written by the chunked pipeline (write_partitioned "
+                "output?) — use a fresh out_path"
+            )
+        i = int(idx)
+        if i >= chunks or m.get("lineage") != fps[i]:
             raise ValueError(
                 f"{part} was committed from different input files "
-                f"({m.get('lineage')} != {fps[i]}); the chunking is no "
-                "longer aligned — clear the output or pass "
-                "allow_lineage_change=True"
+                f"({m.get('lineage')} != {fps.get(i)}); the chunking is "
+                "no longer aligned — clear the output and rerun (a "
+                "partial mix would double-count or drop input)"
             )
 
     todo = [i for i in range(chunks) if f"chunk={i}" not in done]
@@ -309,47 +319,54 @@ def run_pipeline_resumable(
     app_id = spark.sparkContext.applicationId
     import time
 
-    for i in todo:
-        if max_chunks is not None and summary["written"] >= max_chunks:
-            break
-        t0 = time.time()
-        n_images = 0
-        if assign[i]:
-            part = run_pipeline(
-                spark, spark.read.parquet(*assign[i]), base_zoom, pip_res
-            ).withColumn("chunk", F.lit(i))
-            part.write.mode("overwrite").partitionBy("chunk").parquet(out_path)
-            # per-chunk metric from the tiny committed rollup, not a
-            # second pass over the input
-            n_images = (
-                spark.read.parquet(f"{out_path}/chunk={i}")
-                .agg(F.sum("n_images"))
-                .collect()[0][0]
-                or 0
+    # dynamic overwrite: rewriting chunk=<i> must not clobber other
+    # committed chunk directories under a vanilla session — set for
+    # the duration of the writes only, then restore (a blanket
+    # session mutation would silently change unrelated overwrites)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        for i in todo:
+            if max_chunks is not None and summary["written"] >= max_chunks:
+                break
+            t0 = time.time()
+            n_images = 0
+            if assign[i]:
+                part = run_pipeline(
+                    spark, spark.read.parquet(*assign[i]), base_zoom, pip_res
+                ).withColumn("chunk", F.lit(i))
+                part.write.mode("overwrite").partitionBy("chunk").parquet(
+                    out_path
+                )
+                # per-chunk metric from the tiny committed rollup, not
+                # a second pass over the input
+                n_images = (
+                    spark.read.parquet(f"{out_path}/chunk={i}")
+                    .agg(F.sum("n_images"))
+                    .collect()[0][0]
+                    or 0
+                )
+            elapsed = time.time() - t0
+            checkpoint.append_manifest(
+                out_path,
+                [
+                    checkpoint.make_commit_record(
+                        f"chunk={i}",
+                        int(n_images),
+                        elapsed,
+                        fps[i],
+                        app_id,
+                        n_files=len(assign[i]),
+                    )
+                ],
             )
-        elapsed = time.time() - t0
-        checkpoint.append_manifest(
-            out_path,
-            [
-                {
-                    "partition": f"chunk={i}",
-                    "status": "committed",
-                    "rows": int(n_images),
-                    "n_files": len(assign[i]),
-                    "seconds": round(elapsed, 3),
-                    "rows_per_sec": round(n_images / elapsed, 1)
-                    if elapsed > 0
-                    else 0.0,
-                    "lineage": fps[i],
-                    "app_id": app_id,
-                    "committed_at": time.time(),
-                }
-            ],
-        )
-        summary["written"] += 1
-        summary["images"] += int(n_images)
-        summary["seconds"] = round(summary["seconds"] + elapsed, 3)
-        summary["partitions"].append(f"chunk={i}")
+            summary["written"] += 1
+            summary["images"] += int(n_images)
+            summary["seconds"] = round(summary["seconds"] + elapsed, 3)
+            summary["partitions"].append(f"chunk={i}")
+    finally:
+        spark.conf.set(conf_key, prior)
     return summary
 
 

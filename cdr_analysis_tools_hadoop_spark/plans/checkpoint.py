@@ -72,6 +72,30 @@ def files_fingerprint(files: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def make_commit_record(
+    partition: str,
+    rows: int,
+    seconds: float,
+    lineage: str,
+    app_id: str,
+    **extra,
+) -> dict:
+    """The one manifest record shape every committer writes (single
+    definition so the resume guards and metrics readers never see
+    divergent flavors)."""
+    return {
+        "partition": partition,
+        "status": "committed",
+        "rows": int(rows),
+        "seconds": round(seconds, 3),
+        "rows_per_sec": round(rows / seconds, 1) if seconds > 0 else 0.0,
+        "lineage": lineage,
+        "app_id": app_id,
+        "committed_at": time.time(),
+        **extra,
+    }
+
+
 def append_manifest(path: str, records: list[dict]) -> None:
     """Append committed-partition records (one JSON line each). The
     caller appends ONLY after its write action returned — the append
@@ -137,18 +161,7 @@ def write_partitioned(
     for p in todo:
         rows = counts.get(p, 0)
         share = elapsed * (rows / total_rows) if total_rows else 0.0
-        records.append(
-            {
-                "partition": p,
-                "status": "committed",
-                "rows": rows,
-                "seconds": round(share, 3),
-                "rows_per_sec": round(rows / share, 1) if share > 0 else 0.0,
-                "lineage": lineage,
-                "app_id": app_id,
-                "committed_at": time.time(),
-            }
-        )
+        records.append(make_commit_record(p, rows, share, lineage, app_id))
     append_manifest(path, records)
     summary.update(written=len(todo), rows=total_rows, seconds=round(elapsed, 3))
     return summary

@@ -110,6 +110,18 @@ def test_resumable_pipeline_kill_and_resume(spark, tmp_path):
     with pytest.raises(ValueError, match="different input files"):
         pipeline.run_pipeline_resumable(spark, img_path, out, chunks=3)
 
+    # foreign manifest: an out_path committed by the OUTPUT-side
+    # write_partitioned path refuses cleanly, not with an IndexError
+    out2 = str(tmp_path / "rollup2")
+    rollup = pipeline.run_pipeline(spark, spark.read.parquet(img_path))
+    checkpoint.write_partitioned(
+        rollup.withColumn("zid", F.coalesce("zone_id", F.lit("none"))),
+        out2,
+        "zid",
+    )
+    with pytest.raises(ValueError, match="not written by the chunked"):
+        pipeline.run_pipeline_resumable(spark, img_path, out2, chunks=4)
+
 
 # ---------------------------------------------------------------------------
 # salting
