@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_redaction"] = lambda s, d: textops.pii_redaction(
         _docs(s, d), textops.planted_pii_sql("text", "doc_id", "spark")
     )
+    # repetition + mixture reports (late r4): registered PAST the
+    # 50-row window (oracle-green locally via tools/check_oracle.py;
+    # they join the r5 window with the rotation swap)
+    q["text_repetition"] = lambda s, d: textops.repetition_scores(_docs(s, d))
+    q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
@@ -833,6 +838,8 @@ def oracle_sql() -> dict[str, str]:
     o["quota_sample_by_source"] = sampling.quota_sample_oracle()
     o["split_contamination"] = sampling.split_contamination_oracle()
     o["sequence_packing"] = packing.sequence_packing_oracle()
+    o["text_repetition"] = textops.repetition_scores_oracle()
+    o["domain_mixture"] = textops.domain_mixture_oracle()
     o["pii_redaction"] = textops.pii_redaction_oracle(
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )

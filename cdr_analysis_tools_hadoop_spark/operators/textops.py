@@ -361,6 +361,135 @@ def pii_redaction_oracle(view: str = "documents", text_expr: str = "text") -> st
     )
 
 
+# ---------------------------------------------------------------------------
+# 7. repetition scoring (Gopher-style intra-document repetition)
+
+REPETITION_W = 3
+
+
+def repetition_scores(docs: DataFrame, w: int = REPETITION_W) -> DataFrame:
+    """Per-document repetition signals over ``w``-word shingles:
+    duplicate-shingle fraction and the most-repeated shingle's share,
+    both as exact integer ppm (the Gopher repetition-filter features
+    — a doc whose text loops emits few distinct shingles).
+
+    Documents with fewer than ``w`` tokens have no shingles and emit
+    no row (nothing to measure; the quality_scores length band
+    already covers degenerate docs).
+
+    Scale: explode -> two-level aggregate. The (doc_id, shingle)
+    pre-aggregation is the heavy stage and keys on a per-doc unique
+    pair — map-side partials absorb in-doc repetition (the very thing
+    being measured), so a pathological looping document costs one
+    combiner cell, not a hot reducer. The second groupBy keys on
+    doc_id (unique, no skew).
+    """
+    from ..plans.partitioning import spread
+
+    tok = th.tokens_sql("text", "spark")
+    sh = spread(docs).select(
+        "doc_id",
+        F.explode(F.expr(th.shingles_sql(tok, w, "spark"))).alias("s"),
+    )
+    per = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("max_rep"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.expr(
+                "(n_shingles - n_distinct) * 1000000 div n_shingles"
+            ).alias("dup_ppm"),
+            F.expr("max_rep * 1000000 div n_shingles").alias("max_rep_ppm"),
+        )
+    )
+
+
+def repetition_scores_oracle(
+    view: str = "documents", w: int = REPETITION_W
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    return (
+        f"WITH sh AS (SELECT doc_id, "
+        f"unnest({th.shingles_sql(tok, w, 'duckdb')}) AS s FROM {view}), "
+        "per AS (SELECT doc_id, s, count(*) AS n FROM sh GROUP BY 1, 2), "
+        # CAST: DuckDB sum(BIGINT) is HUGEINT; Spark's is long
+        "agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shingles, "
+        "count(*) AS n_distinct, max(n) AS max_rep FROM per GROUP BY 1) "
+        "SELECT doc_id, n_shingles, n_distinct, "
+        "(n_shingles - n_distinct) * 1000000 // n_shingles AS dup_ppm, "
+        "max_rep * 1000000 // n_shingles AS max_rep_ppm FROM agg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. domain mixture weights
+
+
+def domain_mixture(docs: DataFrame) -> DataFrame:
+    """Per-source mixture report: document/token counts, the source's
+    token share (ppm), and the keep ratio (ppm) that downsamples
+    over-represented sources to a uniform token target — the
+    mixture-rebalancing step a multi-source corpus runs before
+    training. All-integer output (exact in both engines).
+
+    Scale: one groupBy on source (bounded-cardinality dimension) plus
+    a broadcast of the single-row total — no skew surface, the token
+    count per doc is computed map-side.
+    """
+    tok = th.tokens_sql("text", "spark")
+    per = (
+        docs.select(
+            "source", F.expr(f"size({tok})").cast("long").alias("t")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+    )
+    # single-row totals: broadcast join, never a shuffle of the dims
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div total_tokens").alias("share_ppm"),
+            # uniform target share = total/n_sources; keep_ppm caps at 1e6
+            F.expr(
+                "least(1000000, (total_tokens * 1000000 div n_sources) "
+                "div n_tokens)"
+            ).alias("keep_ppm"),
+        )
+    )
+
+
+def domain_mixture_oracle(view: str = "documents") -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    return (
+        f"WITH per AS (SELECT source, count(*) AS n_docs, "
+        f"CAST(sum(len({tok})) AS BIGINT) AS n_tokens FROM {view} "
+        "GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+        "count(*) AS n_sources FROM per) "
+        "SELECT source, n_docs, n_tokens, "
+        "n_tokens * 1000000 // total_tokens AS share_ppm, "
+        "least(1000000, (total_tokens * 1000000 // n_sources) // n_tokens) "
+        "AS keep_ppm FROM per CROSS JOIN tot"
+    )
+
+
 def corpus_curation_oracle(view: str = "documents") -> str:
     e = _quality_exprs("duckdb")
     norm = th.normalize_text_sql("text", "duckdb")

@@ -97,3 +97,40 @@ def test_corpus_curation_single_shuffle_plan(docs):
     )
     assert plan.count("Scan ") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_repetition_scores_flags_looping_doc(spark):
+    loop = "spam ham eggs " * 20  # one shingle repeated ~60x
+    fresh = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, loop.strip()), (2, fresh), (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.repetition_scores(df).collect()}
+    assert 3 not in out  # < w tokens: no shingles, no row
+    assert out[1].dup_ppm > 900_000  # looping text is almost all dupes
+    assert out[2].dup_ppm == 0 and out[2].max_rep_ppm < 50_000
+    # exact arithmetic: dup fraction consistent with the counts
+    r = out[1]
+    assert r.dup_ppm == (r.n_shingles - r.n_distinct) * 1_000_000 // r.n_shingles
+
+
+def test_domain_mixture_downsamples_hot_source(spark):
+    rows = [(i, "w " * 100, "hot") for i in range(30)]
+    rows += [(100 + i, "w " * 100, "cold") for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in textops.domain_mixture(df).collect()}
+    assert out["hot"].n_docs == 30 and out["cold"].n_docs == 10
+    # hot source is over target (uniform = 50%): downsampled below 1e6
+    assert out["hot"].keep_ppm < 1_000_000
+    # cold source is under target: capped at keep-everything
+    assert out["cold"].keep_ppm == 1_000_000
+    assert out["hot"].share_ppm + out["cold"].share_ppm <= 1_000_000
+    # keeping hot*keep_ppm tokens lands on the uniform target exactly
+    # (integer floor): total/2 // 1 within one token
+    kept = out["hot"].n_tokens * out["hot"].keep_ppm // 1_000_000
+    total = out["hot"].n_tokens + out["cold"].n_tokens
+    assert abs(kept - total // 2) <= 1
