@@ -506,10 +506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_near_dup (NEW: oracle row for the Hamming broadcast
     # strategy), dataset_split / quota_sample_by_source /
     # split_contamination (NEW r4 sampling + decontamination ops) and
-    # sequence_packing / pii_redaction (NEW late-r4 curation ops),
-    # displacing six core entries (ann_cosine_topk_lsh,
-    # ann_cosine_topk_ivf, knn_label_vote, text_token_stats,
-    # text_quality, text_language_id — all prior-round driver-green,
+    # sequence_packing / pii_redaction (NEW late-r4 curation ops) and
+    # text_language_id (plan reworked late r4: zero-shuffle fold),
+    # displacing six core entries (ann_cosine_topk,
+    # ann_cosine_topk_lsh, ann_cosine_topk_ivf, knn_label_vote,
+    # text_token_stats, text_quality — all prior-round driver-green,
     # unchanged; they rejoin the window with the r5 rotation swap)
     # past the gate this round. Rows-only
     # queries (pixel/PCM/frame codecs, graph routing, the adaptive
@@ -573,8 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters",
         "simhash_near_dup",  # NEW r4 semantics -> in-window this round
         # similarity / ANN (near_dup banding re-derived in r3)
-        "ann_cosine_topk",
         "embedding_near_dup",
+        # language_id plan reworked late r4 (zero-shuffle fold, same
+        # values) -> changed code must take a driver row this round
+        "text_language_id",
         # sampling / split / decontamination (NEW r4 -> in-window)
         "dataset_split",
         "quota_sample_by_source",
@@ -586,12 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the 50-gate this round: unchanged, driver-green in
         # r1+r2+r3 (knn_label_vote, ann lsh/ivf variants r3); they
         # rejoin the window with the r5 rotation swap
+        "ann_cosine_topk",
         "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
         "knn_label_vote",
         "text_token_stats",
         "text_quality",
-        "text_language_id",
     ]
     ordered = {k: q[k] for k in head if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})

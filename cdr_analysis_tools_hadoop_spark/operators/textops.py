@@ -137,31 +137,39 @@ def language_id(docs: DataFrame) -> DataFrame:
 
     The per-(lang, token) weight is ``md5int(lang || '|' || token) %
     1000`` — a frozen pseudo-profile that exercises the exact
-    score-and-argmax plan of a real unigram language identifier
-    without shipping model data. Tokens vote with multiplicity."""
-    langs = docs.sparkSession.createDataFrame(
-        [(lang,) for lang in LANGS], "lang_cand string"
-    )
+    score-and-argmax shape of a real unigram language identifier
+    without shipping model data. Tokens vote with multiplicity.
+
+    Plan (reworked late r4): a document is ONE row, so each language
+    score is a higher-order ``aggregate`` fold over the token array —
+    the whole operator is a map-only codegen projection with ZERO
+    shuffles. The previous form (explode -> crossJoin 5 langs ->
+    groupBy (doc, lang) -> window argmax) shuffled 5x the token count
+    per document; same values (oracle hash unchanged), none of the
+    exchanges. Tie-break matches the oracle twin's ORDER BY (score
+    DESC, lang ASC): the CASE probes languages alphabetically, so the
+    first language hitting the max wins."""
     tok = th.tokens_sql("text", "spark")
-    # spread before the explode: a single-file corpus would otherwise
-    # run the whole tokenize+hash stage on one core (conditional —
-    # no exchange for a well-partitioned input, r3 verdict item 3)
+    # spread: widen a single-file corpus (conditional, r3 item 3)
     from ..plans.partitioning import spread
 
-    toks = spread(docs).select("doc_id", F.explode(F.expr(tok)).alias("token"))
-    w = th.md5_int_sql("concat(lang_cand, '|', token)", "spark")
-    scored = (
-        toks.crossJoin(F.broadcast(langs))
-        .groupBy("doc_id", "lang_cand")
-        .agg(F.sum(F.expr(f"({w}) % 1000")).alias("score"))
+    def score_sql(lang: str) -> str:
+        w = th.md5_int_sql(f"concat('{lang}|', t)", "spark")
+        return f"aggregate({tok}, 0L, (acc, t) -> acc + ({w}) % 1000)"
+
+    scored = spread(docs).select(
+        "doc_id",
+        *[F.expr(score_sql(lang)).alias(f"score_{lang}") for lang in LANGS],
     )
-    win = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("lang_cand")
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANGS])
+    langs_sorted = sorted(LANGS)
+    pick = F.when(
+        F.col(f"score_{langs_sorted[0]}") == F.col("score"), langs_sorted[0]
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang_cand").alias("predicted_lang"), "score")
+    for lang in langs_sorted[1:]:
+        pick = pick.when(F.col(f"score_{lang}") == F.col("score"), lang)
+    return scored.withColumn("score", best).select(
+        "doc_id", pick.alias("predicted_lang"), "score"
     )
 
 
