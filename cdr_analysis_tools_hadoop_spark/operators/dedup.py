@@ -313,16 +313,27 @@ def _hashed_shingles(docs: DataFrame, w: int = NGRAM_W) -> DataFrame:
     (P < 1e-9 at 2^60 for any realistic corpus), and the DuckDB
     oracle mirrors the same hash join bit-for-bit.
     """
-    tok = th.tokens_sql("text", "spark")
-    hashed = (
-        _spread(docs).select(
-            "doc_id",
-            F.explode(F.expr(th.shingles_sql(tok, w, "spark"))).alias("s"),
-        )
-        .select("doc_id", F.expr(th.md5_int_sql("s", "spark")).alias("h"))
-        .distinct()
+    return (
+        _shingle_hash_arrays(docs, w)
+        .select("doc_id", F.explode("hs").alias("h"))
+        .localCheckpoint(eager=False)
     )
-    return hashed.localCheckpoint(eager=False)
+
+
+def _shingle_hash_arrays(docs: DataFrame, w: int = NGRAM_W) -> DataFrame:
+    """(doc_id, hs): per-document DISTINCT shingle-hash ARRAY — the
+    map-only form of the shingle table (late r4). Dedup within a
+    document is ``array_distinct`` inside the row, so the global
+    ``.distinct()`` shuffle the exploded form used to pay is gone:
+    (doc_id, h) pairs are already unique because doc_id is unique per
+    row. Signature minima fold over this array without any shuffle."""
+    tok = th.tokens_sql("text", "spark")
+    sh = th.shingles_sql(tok, w, "spark")
+    h = th.md5_int_sql("s", "spark")
+    return _spread(docs).select(
+        "doc_id",
+        F.expr(f"array_distinct(transform({sh}, s -> {h}))").alias("hs"),
+    )
 
 
 def _hashed_shingle_cte(view: str, w: int = NGRAM_W) -> str:
@@ -334,15 +345,21 @@ def _hashed_shingle_cte(view: str, w: int = NGRAM_W) -> str:
     )
 
 
-def _minhash_sig(hashed: DataFrame) -> DataFrame:
-    # ONE groupBy produces the per-doc shingle count AND the 16
-    # permutation minima — the count would otherwise cost its own
-    # shuffle on the same key. md5 is never re-expanded (the hashes
-    # are already materialized).
-    return hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
+def _minhash_sig(base: DataFrame) -> DataFrame:
+    # Map-only (late r4): the per-doc shingle count and all 16
+    # permutation minima fold over the per-row hash array — zero
+    # shuffles, where the previous groupBy form shuffled a partial
+    # row per (doc, partition). Docs with no shingles (shorter than
+    # the window) are dropped, matching the exploded form where they
+    # simply produced no rows. md5 is never re-expanded (hs already
+    # holds the hashes).
+    return base.filter(F.expr("size(hs) > 0")).select(
+        "doc_id",
+        F.expr("size(hs)").cast("long").alias("n"),
         *[
-            F.min(F.expr(th.minhash_perm_sql("h", k))).alias(f"m{k}")
+            F.expr(
+                f"array_min(transform(hs, h -> {th.minhash_perm_sql('h', k)}))"
+            ).alias(f"m{k}")
             for k in range(th.NUM_PERM)
         ],
     )
@@ -365,14 +382,17 @@ def minhash_lsh_pairs(
     """MinHash signature -> LSH band buckets -> candidate pairs ->
     exact-Jaccard verification.
 
-    This is the 100 TB dedup path: per-document work is a single
-    groupBy producing a 16-value signature; candidate generation is
-    an equi-join on (band, band_key) — never all-pairs. The hashed
-    shingle table is materialized ONCE (_hashed_shingles) and feeds
-    all downstream lineages; per-doc counts ride the signature
-    aggregation (one shuffle on doc_id, not two)."""
-    ds = _hashed_shingles(docs)
-    sig = _minhash_sig(ds)
+    This is the 100 TB dedup path: per-document work is MAP-ONLY
+    (the 16-value signature and the shingle count fold over the
+    per-row distinct-hash array — zero shuffles before banding, where
+    the r3 form paid a distinct + a signature groupBy); candidate
+    generation is an equi-join on (band, band_key) — never all-pairs.
+    The hash-array table is materialized ONCE (localCheckpoint, one
+    16-byte-per-hash row per doc) and feeds all downstream lineages:
+    signatures fold over it, and the verification join explodes it."""
+    base = _shingle_hash_arrays(docs).localCheckpoint(eager=False)
+    ds = base.select("doc_id", F.explode("hs").alias("h"))
+    sig = _minhash_sig(base)
     counts = sig.select("doc_id", "n")
     band_structs = F.array(
         *[
