@@ -54,14 +54,17 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 
 def _distinct_shingles(docs: DataFrame, w: int = NGRAM_W) -> DataFrame:
-    """(doc_id, s): distinct w-word shingles per document."""
+    """(doc_id, s): distinct w-word shingles per document.
+
+    Dedup happens IN-ROW (``array_distinct`` before the explode, late
+    r4): doc_id is unique per input row, so per-doc distinct equals
+    pair distinct and the old global ``.distinct()`` — a full shuffle
+    of the string shingle table — was pure waste."""
     tok = th.tokens_sql("text", "spark")
-    return (
-        _spread(docs).select(
-            "doc_id",
-            F.explode(F.expr(th.shingles_sql(tok, w, "spark"))).alias("s"),
-        )
-        .distinct()
+    sh = th.shingles_sql(tok, w, "spark")
+    return _spread(docs).select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({sh})")).alias("s"),
     )
 
 
