@@ -165,3 +165,21 @@ def test_simhash_near_dup_strategy_equivalence(spark, docs):
         }
     assert outs["broadcast"] == outs["grouped"] == outs["join"]
     assert len(outs["broadcast"]) > 0
+
+
+def test_minhash_signature_stage_is_map_only(spark, docs):
+    """Late-r4 plan pin: the per-doc signature (count + 16 minima)
+    folds over the in-row hash array — for a well-partitioned input
+    there is NO Exchange before banding (the r3 form paid a global
+    distinct plus a signature groupBy)."""
+    par = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(par * 2)  # spread() passthrough territory
+    sig = dedup._minhash_sig(dedup._shingle_hash_arrays(wide))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    # the only Exchange allowed is the test input's own round-robin
+    # repartition; the operator itself must add none (in particular
+    # no hash partitioning — no distinct, no groupBy)
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ) == 1
+    assert "hashpartitioning" not in plan
