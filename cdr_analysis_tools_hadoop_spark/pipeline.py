@@ -21,6 +21,8 @@ N vs 4N efficiency criterion checks.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -283,6 +285,17 @@ def run_pipeline_resumable(
     done: dict[str, dict] = {
         m["partition"]: m for m in manifest if m.get("status") == "committed"
     }
+    if not done and os.path.isdir(out_path):
+        stray = [
+            e for e in os.listdir(out_path) if e != checkpoint.MANIFEST_NAME
+        ]
+        if stray:
+            raise ValueError(
+                f"{out_path} holds data but no committed chunk manifest "
+                f"(e.g. {stray[0]!r}) — resumable_result would sum stale "
+                "files in with the chunk partials; use a fresh out_path "
+                "or clear this one"
+            )
     # Strict lineage: unlike write_partitioned (disjoint OUTPUT
     # partitions, where mixing vintages is a caller's judgment call),
     # chunks are INPUT slices that resumable_result SUMS across — any
@@ -290,21 +303,34 @@ def run_pipeline_resumable(
     # manifest written by the non-chunked path) double-counts or
     # drops input, so there is no allow_lineage_change escape hatch
     # here: clear the output and rerun.
-    for part, m in done.items():
+    committed_ids: dict[str, int] = {}
+    for part in done:
         pref, _, idx = part.partition("=")
-        if pref != "chunk" or not idx.isdigit():
+        # isdecimal, not isdigit: exactly the characters int() accepts
+        if pref != "chunk" or not idx.isdecimal():
             raise ValueError(
                 f"{out_path} holds a manifest partition {part!r} not "
                 "written by the chunked pipeline (write_partitioned "
                 "output?) — use a fresh out_path"
             )
-        i = int(idx)
-        if i >= chunks or m.get("lineage") != fps[i]:
+        committed_ids[part] = int(idx)
+    # layout check FIRST (most informative): a committed chunk id past
+    # the requested count means the chunk COUNT changed, whatever the
+    # per-chunk lineage says
+    for part, i in committed_ids.items():
+        if i >= chunks:
+            raise ValueError(
+                f"{part} was committed with a different chunk count "
+                f"(>= the requested {chunks}); rerun with the original "
+                "chunk count, or clear the output to re-chunk"
+            )
+    for part, i in committed_ids.items():
+        if done[part].get("lineage") != fps[i]:
             raise ValueError(
                 f"{part} was committed from different input files "
-                f"({m.get('lineage')} != {fps.get(i)}); the chunking is "
-                "no longer aligned — clear the output and rerun (a "
-                "partial mix would double-count or drop input)"
+                f"({done[part].get('lineage')} != {fps[i]}); the "
+                "chunking is no longer aligned — clear the output and "
+                "rerun (a partial mix would double-count or drop input)"
             )
 
     todo = [i for i in range(chunks) if f"chunk={i}" not in done]

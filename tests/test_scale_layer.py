@@ -105,10 +105,24 @@ def test_resumable_pipeline_kill_and_resume(spark, tmp_path):
     s3 = pipeline.run_pipeline_resumable(spark, img_path, out, chunks=4)
     assert s3["written"] == 0 and s3["skipped"] == 4
 
-    # lineage guard: a different chunk count misassigns files vs the
-    # committed chunks — refuse instead of silently mixing layouts
-    with pytest.raises(ValueError, match="different input files"):
+    # layout guard: a different chunk count misassigns files vs the
+    # committed chunks — refuse (count check fires before lineage, so
+    # the message names the actual cause, not "input files changed")
+    with pytest.raises(ValueError, match="different chunk count"):
         pipeline.run_pipeline_resumable(spark, img_path, out, chunks=3)
+
+    # same-count but different FILE LIST is the lineage refusal: drop
+    # one committed row and point the same layout at different files
+    # by re-chunking within range — simulate with a doctored manifest
+    mp = os.path.join(out, checkpoint.MANIFEST_NAME)
+    lines = open(mp).read().strip().split("\n")
+    doctored = [
+        json.dumps({**json.loads(ln), "lineage": "deadbeef"}) for ln in lines
+    ]
+    open(mp, "w").write("\n".join(doctored) + "\n")
+    with pytest.raises(ValueError, match="different input files"):
+        pipeline.run_pipeline_resumable(spark, img_path, out, chunks=4)
+    open(mp, "w").write("\n".join(lines) + "\n")  # restore
 
     # foreign manifest: an out_path committed by the OUTPUT-side
     # write_partitioned path refuses cleanly, not with an IndexError
@@ -121,6 +135,13 @@ def test_resumable_pipeline_kill_and_resume(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not written by the chunked"):
         pipeline.run_pipeline_resumable(spark, img_path, out2, chunks=4)
+
+    # manifest-LESS stale data: plain parquet at out_path would be
+    # silently summed in by resumable_result — refuse up front
+    out3 = str(tmp_path / "rollup3")
+    rollup.write.parquet(out3)
+    with pytest.raises(ValueError, match="no committed chunk manifest"):
+        pipeline.run_pipeline_resumable(spark, img_path, out3, chunks=4)
 
 
 # ---------------------------------------------------------------------------
