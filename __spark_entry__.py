@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they join the r5 window with the rotation swap)
     q["text_repetition"] = lambda s, d: textops.repetition_scores(_docs(s, d))
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
+    # vocabulary counting pass (late r4): unigram+bigram tf/df, pruned
+    q["vocab_ngram_counts"] = lambda s, d: textops.vocab_ngram_counts(_docs(s, d))
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
@@ -843,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
     o["sequence_packing"] = packing.sequence_packing_oracle()
     o["text_repetition"] = textops.repetition_scores_oracle()
     o["domain_mixture"] = textops.domain_mixture_oracle()
+    o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
     o["pii_redaction"] = textops.pii_redaction_oracle(
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )

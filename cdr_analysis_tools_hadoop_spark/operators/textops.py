@@ -521,3 +521,64 @@ def corpus_curation_oracle(view: str = "documents") -> str:
         f"(dup_rank = 1 AND quality_millis >= {CURATION_MIN_QUALITY}) AS keep "
         "FROM q"
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. vocabulary n-gram counts
+
+VOCAB_MIN_COUNT = 3
+
+
+def vocab_ngram_counts(docs: DataFrame, min_count: int = VOCAB_MIN_COUNT) -> DataFrame:
+    """Corpus vocabulary pass: unigram + bigram term frequency and
+    document frequency, pruned at ``min_count`` — the counting stage
+    every tokenizer-training / TF-IDF / stop-list pipeline runs first.
+
+    Output: (gram, n, tf, df) for every whitespace unigram (n=1) and
+    bigram (n=2) with corpus frequency >= min_count.
+
+    Scale: one explode + one aggregation. The distinct-doc count is
+    the skew surface (stopword grams touch most documents); Spark
+    plans count(DISTINCT doc_id) as a two-phase aggregate keyed on
+    (gram, n, doc_id), so hot grams are spread across partitions in
+    the dedup phase and only their already-distinct counts meet in
+    the final reduce — no salting needed. min_count pruning happens
+    after the aggregate (HAVING), which is the earliest it can.
+    """
+    tok = th.tokens_sql("text", "spark")
+    bi = th.shingles_sql("t", 2, "spark")
+    grams = docs.select(
+        "doc_id", F.expr(tok).alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"concat(transform(t, x -> struct(x AS gram, 1 AS n)), "
+                f"transform({bi}, x -> struct(x AS gram, 2 AS n)))"
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.select("doc_id", F.col("g.gram").alias("gram"), F.col("g.n").alias("n"))
+        .groupBy("gram", "n")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+    )
+
+
+def vocab_ngram_counts_oracle(
+    view: str = "documents", min_count: int = VOCAB_MIN_COUNT
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    bi = th.shingles_sql("t", 2, "duckdb")
+    return (
+        f"WITH tokd AS (SELECT doc_id, {tok} AS t FROM {view}), "
+        "uni AS (SELECT doc_id, unnest(t) AS gram, 1 AS n FROM tokd), "
+        f"big AS (SELECT doc_id, unnest({bi}) AS gram, 2 AS n FROM tokd), "
+        "g AS (SELECT * FROM uni UNION ALL SELECT * FROM big) "
+        "SELECT gram, n, count(*) AS tf, count(DISTINCT doc_id) AS df "
+        f"FROM g GROUP BY 1, 2 HAVING count(*) >= {min_count}"
+    )

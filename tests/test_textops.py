@@ -134,3 +134,27 @@ def test_domain_mixture_downsamples_hot_source(spark):
     kept = out["hot"].n_tokens * out["hot"].keep_ppm // 1_000_000
     total = out["hot"].n_tokens + out["cold"].n_tokens
     assert abs(kept - total // 2) <= 1
+
+
+def test_vocab_ngram_counts_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "a b c"),
+            (3, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.gram, r.n): (r.tf, r.df)
+        for r in textops.vocab_ngram_counts(df, min_count=2).collect()
+    }
+    # unigrams: a=3+1+3... doc1 has a,b,a,b,a -> a:3 b:2; doc2 a,b,c; doc3 a,a,a
+    assert out[("a", 1)] == (7, 3)
+    assert out[("b", 1)] == (3, 2)
+    assert ("c", 1) not in out  # tf=1 < min_count
+    # bigrams: doc1: "a b","b a","a b","b a"; doc2: "a b","b c"; doc3: "a a","a a"
+    assert out[("a b", 2)] == (3, 2)
+    assert out[("b a", 2)] == (2, 1)
+    assert out[("a a", 2)] == (2, 1)
+    assert ("b c", 2) not in out
