@@ -24,6 +24,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     frequent_locations as fl,
 )
 from cdr_analysis_tools_hadoop_spark.operators import (
+    clustering,
     dedup,
     interpolation,
     multimodal,
@@ -360,6 +361,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
     # vocabulary counting pass (late r4): unigram+bigram tf/df, pruned
     q["vocab_ngram_counts"] = lambda s, d: textops.vocab_ngram_counts(_docs(s, d))
+
+    # --- embedding clustering + semantic dedup (late r4) ---
+    # one Lloyd step of spherical k-means, fully SQL-expressible:
+    # the oracle twin certifies the assign/recompute/reassign kernel
+    # the full loop iterates
+    q["kmeans_refine_assign"] = lambda s, d: clustering.kmeans_refine_assign(
+        _emb(s, d)
+    )
+    # full Lloyd loop (rows-only: iterative driver-held model;
+    # determinism + quality pytest-certified, kernel oracle-certified
+    # via kmeans_refine_assign)
+    q["embedding_kmeans"] = lambda s, d: clustering.embedding_kmeans(_emb(s, d))
+    # SemDeDup (cluster-then-within-cluster near-dup; rows-only —
+    # depends on the iterative fit; seeded-recall pytest-certified)
+    q["semantic_dedup"] = lambda s, d: clustering.semantic_dedup(
+        synthetic.embeddings_df(s, 2_000, dup_every=10, partitions=8),
+        threshold=0.90,
+    )
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
@@ -846,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_repetition"] = textops.repetition_scores_oracle()
     o["domain_mixture"] = textops.domain_mixture_oracle()
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
+    o["kmeans_refine_assign"] = clustering.kmeans_refine_oracle()
     o["pii_redaction"] = textops.pii_redaction_oracle(
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )

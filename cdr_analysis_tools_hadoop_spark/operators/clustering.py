@@ -1,0 +1,295 @@
+"""Embedding clustering + semantic dedup over ``array<float>`` columns.
+
+Three layers, smallest-trust-base first:
+
+- ``kmeans_refine_assign``: ONE Lloyd refinement step of spherical
+  k-means (seed centroids = the k lowest ``vec_id`` rows), fully
+  SQL-expressible — the DuckDB oracle twin hash-matches, certifying
+  the assign / recompute / reassign core the full loop iterates.
+- ``kmeans_fit`` / ``kmeans_assign``: the full Lloyd loop. The model
+  (k × dim doubles) lives on the driver — that is the one legitimate
+  driver-side state, it IS the output artifact — and is rounded to
+  ``CENTROID_DECIMALS`` each iteration so the fit is invariant to
+  partitioning and FP accumulation order (asserted in tests at two
+  parallelism levels).
+- ``semantic_dedup``: SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+  — cluster the corpus, then search near-duplicates only WITHIN each
+  cluster, keeping the lowest ``vec_id`` of every duplicate group.
+
+Scale shape: every assignment pass is a broadcast of k centroids
+scored map-side over the corpus (one projection, no shuffle); the
+centroid recompute is a k-keyed aggregate emitting k rows; the
+semantic-dedup self-join is per-cluster quadratic by design, bounded
+by growing k with the corpus (k ≈ N / target_cluster_size — the
+SemDeDup configuration; the within-cluster join stays an equi-join
+on the cluster key, never corpus-wide all-pairs).
+
+Reference parity: the reference engine has no clustering operators —
+its payload columns are opaque strings (SURVEY.md §1.2); this module
+is part of the axes-B training-data curation layer the graft adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdr_analysis_tools_hadoop_spark.functions import vec
+
+KMEANS_K = 8
+KMEANS_ITERS = 8
+# centroids are rounded to this many decimals after every recompute:
+# FP accumulation order (partial aggregates) perturbs the elementwise
+# means at ~1e-13; rounding makes the fit bit-reproducible across
+# partitionings and engines
+CENTROID_DECIMALS = 6
+SEMANTIC_DUP_THRESHOLD = 0.95
+
+
+def _avg_centroid_cols(dim: int = vec.DIM) -> list:
+    """Elementwise rounded mean of the embedding column (Spark)."""
+    return [
+        F.round(F.avg(F.expr(f"cast(embedding[{i}] as double)")), CENTROID_DECIMALS)
+        for i in range(dim)
+    ]
+
+
+def kmeans_refine_assign(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """One spherical-k-means Lloyd step, end to end: assign every
+    vector to its max-cosine seed centroid (seeds = ``vec_id < k``),
+    recompute centroids as the rounded elementwise mean of each
+    cluster, reassign against the refined centroids.
+
+    Output: (vec_id, cluster, cosine) after the refinement step.
+    Deterministic: cosines are rounded to 6 decimals before ranking
+    and ties break on the smaller cluster id, so the DuckDB oracle
+    twin (identical unrolled expressions — see functions/vec.py's
+    bit-exactness note) hash-matches.
+
+    Plan shape: two broadcast joins of a k-row centroid frame against
+    the corpus (scored map-side) and one k-keyed aggregate between
+    them — the exact per-iteration cost profile of the full loop.
+    """
+    n2 = vec.norm2_sql("embedding", "spark")
+    pts = emb.select("vec_id", "embedding", F.expr(n2).alias("norm2"))
+    seeds = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("embedding").alias("c"),
+        F.col("norm2").alias("c_norm2"),
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        cos = vec.cosine_sql("embedding", "c", "norm2", "c_norm2", "spark")
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.asc("cluster")
+        )
+        return (
+            pts.join(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "embedding",
+                "cluster",
+                F.round(F.expr(cos), 6).alias("cosine"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a0 = assign(seeds)
+    c1 = (
+        a0.groupBy("cluster")
+        .agg(F.array(*_avg_centroid_cols()).alias("c"))
+        .select(
+            "cluster", "c", F.expr(vec.norm2_sql("c", "spark")).alias("c_norm2")
+        )
+    )
+    return assign(c1).select("vec_id", "cluster", "cosine")
+
+
+def kmeans_refine_oracle(view: str = "embeddings", k: int = KMEANS_K) -> str:
+    n2 = vec.norm2_sql("embedding", "duckdb")
+    cos = vec.cosine_sql("embedding", "c", "norm2", "c_norm2", "duckdb")
+    cn2 = vec.norm2_sql("c", "duckdb")
+    mean_list = ", ".join(
+        f"round(avg(embedding[{i + 1}]::DOUBLE), {CENTROID_DECIMALS})"
+        for i in range(vec.DIM)
+    )
+    return (
+        f"WITH pts AS (SELECT vec_id, embedding, {n2} AS norm2 FROM {view}), "
+        f"seeds AS (SELECT vec_id AS cluster, embedding AS c, norm2 AS c_norm2 "
+        f"FROM pts WHERE vec_id < {k}), "
+        f"s0 AS (SELECT vec_id, embedding, norm2, cluster, round({cos}, 6) AS cosine, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY round("
+        f"{cos}, 6) DESC, cluster) AS rn FROM pts CROSS JOIN seeds), "
+        "a0 AS (SELECT vec_id, embedding, cluster FROM s0 WHERE rn = 1), "
+        f"c1 AS (SELECT cluster, [{mean_list}] AS c FROM a0 GROUP BY cluster), "
+        f"c1n AS (SELECT cluster, c, {cn2} AS c_norm2 FROM c1), "
+        f"s1 AS (SELECT vec_id, cluster, round({cos}, 6) AS cosine, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY round("
+        f"{cos}, 6) DESC, cluster) AS rn FROM pts CROSS JOIN c1n) "
+        "SELECT vec_id, cluster, cosine FROM s1 WHERE rn = 1"
+    )
+
+
+def _centroid_lit(c: np.ndarray) -> str:
+    """A centroid row as a literal double array expression."""
+    return "array(" + ", ".join(f"cast({v!r} as double)" for v in c) + ")"
+
+
+def _argmax_expr(centroids: np.ndarray, norm2_col: str = "norm2") -> str:
+    """SQL picking (cluster, cosine) of the max-cosine centroid.
+
+    One struct per centroid — (rounded -cosine, cluster id) — and an
+    ``array_min``: struct comparison is lexicographic, so the minimum
+    is the highest cosine with ties broken on the smaller cluster id,
+    identical to the refine step's ORDER BY. All literals; the whole
+    assignment is a map-side projection, no join at all. The caller
+    precomputes the point norm in ``norm2_col`` so it is evaluated
+    once per row, not once per centroid.
+    """
+    structs = []
+    for j, c in enumerate(centroids):
+        dot = vec.dot_sql("embedding", _centroid_lit(c), "spark")
+        cn2 = float(np.dot(c, c))
+        cos = (
+            f"(({dot}) / (sqrt(cast({norm2_col} as double))"
+            f" * sqrt(cast({cn2!r} as double))))"
+        )
+        structs.append(
+            f"struct(cast(round(-({cos}), 6) as double) as negcos, {j} as cl)"
+        )
+    return f"array_min(array({', '.join(structs)}))"
+
+
+def _with_norm2(emb: DataFrame) -> DataFrame:
+    return emb.withColumn(
+        "norm2", F.expr(vec.norm2_sql("embedding", "spark"))
+    )
+
+
+def kmeans_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (driver-held
+    model injected as literals — a broadcast with zero runtime join).
+    Output: (vec_id, embedding, cluster, cosine)."""
+    pick = _argmax_expr(centroids)
+    picked = _with_norm2(emb).select(
+        "vec_id", "embedding", F.expr(pick).alias("pk")
+    )
+    return picked.select(
+        "vec_id",
+        "embedding",
+        F.col("pk.cl").alias("cluster"),
+        (-F.col("pk.negcos")).alias("cosine"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = vec.DIM,
+) -> np.ndarray:
+    """Full Lloyd loop for spherical k-means. Returns the (k × dim)
+    centroid model, rounded to CENTROID_DECIMALS per iteration.
+
+    Seeds are the k lowest-``vec_id`` vectors (deterministic; the
+    synthetic corpus is hash-shuffled so low ids are unbiased
+    samples). Each iteration is one map-side assignment projection
+    (centroid literals, no join) plus one k-keyed aggregate whose
+    k × dim result — the model itself — is the only thing collected.
+    Empty clusters keep their previous centroid. Stops early at a
+    centroid fixpoint (exact, because rounding quantizes the state).
+    """
+    seed_rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_fit needs vec_id 0..{k - 1} present as seeds; "
+            f"found {len(seed_rows)}"
+        )
+    cents = np.array(
+        [r.embedding for r in sorted(seed_rows, key=lambda r: r.vec_id)],
+        dtype=np.float64,
+    ).round(CENTROID_DECIMALS)
+    for _ in range(n_iters):
+        pick = _argmax_expr(cents)
+        stats = (
+            _with_norm2(emb)
+            .select(F.expr(f"({pick}).cl").alias("cluster"), "embedding")
+            .groupBy("cluster")
+            .agg(*[c.alias(f"m{i}") for i, c in enumerate(_avg_centroid_cols(dim))])
+            .collect()
+        )
+        new = cents.copy()
+        for r in stats:
+            new[r.cluster] = [r[f"m{i}"] for i in range(dim)]
+        new = new.round(CENTROID_DECIMALS)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def embedding_kmeans(
+    emb: DataFrame, k: int = KMEANS_K, n_iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Fit + assign: (vec_id, cluster, cosine) under the converged
+    model. Rows-only in the driver contract (the Lloyd loop is
+    iterative, not SQL-expressible); determinism and clustering
+    quality are pytest-certified, and the per-iteration kernel is
+    oracle-certified via ``kmeans_refine_assign``."""
+    cents = kmeans_fit(emb, k, n_iters)
+    return kmeans_assign(emb, cents).select("vec_id", "cluster", "cosine")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup: k-means the corpus, then flag near-duplicates only
+    WITHIN clusters (pairwise cosine ≥ threshold), keeping the lowest
+    ``vec_id`` of each duplicate group.
+
+    Output: (vec_id, cluster, keep) — keep=false iff some
+    lower-``vec_id`` vector in the same cluster is within threshold.
+
+    Scale: the pair search is an equi-join on the cluster key; its
+    per-cluster quadratic cost is the SemDeDup contract, bounded by
+    scaling k ≈ N / target_cluster_size so cluster populations stay
+    O(target). The keep verdict needs only the per-vector EXISTS of a
+    lower-id neighbour — computed as a semi-join, never materializing
+    the full pair list.
+    """
+    cents = kmeans_fit(emb, k, n_iters)
+    a = kmeans_assign(emb, cents).select("vec_id", "embedding", "cluster")
+    n2 = vec.norm2_sql("embedding", "spark")
+    v = a.select("vec_id", "cluster", "embedding", F.expr(n2).alias("norm2"))
+    lo = v.select(
+        F.col("vec_id").alias("lo_id"),
+        "cluster",
+        F.col("embedding").alias("lo_emb"),
+        F.col("norm2").alias("lo_norm2"),
+    )
+    cos = vec.cosine_sql("embedding", "lo_emb", "norm2", "lo_norm2", "spark")
+    dup_ids = (
+        v.join(lo, "cluster")
+        .filter(F.col("lo_id") < F.col("vec_id"))
+        .filter(F.round(F.expr(cos), 6) >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        a.join(dup_ids.withColumn("__dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdr_analysis_tools_hadoop_spark.operators import clustering
+from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return synthetic.embeddings_df(spark, 1000, dup_every=10, partitions=8)
+
+
+def test_refine_assign_covers_corpus_and_all_seeds(emb):
+    rows = clustering.kmeans_refine_assign(emb, k=4).collect()
+    assert len(rows) == 1000
+    assert {r.cluster for r in rows} <= set(range(4))
+    # every vector gets exactly one assignment with a sane cosine
+    assert len({r.vec_id for r in rows}) == 1000
+    assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+
+
+def test_kmeans_fit_deterministic_across_partitioning(spark):
+    a = synthetic.embeddings_df(spark, 800, dup_every=10, partitions=3)
+    b = synthetic.embeddings_df(spark, 800, dup_every=10, partitions=13)
+    ca = clustering.kmeans_fit(a, k=4, n_iters=4)
+    cb = clustering.kmeans_fit(b, k=4, n_iters=4)
+    # centroid rounding quantizes away FP accumulation-order noise,
+    # so two partitionings must produce the bit-identical model
+    assert np.array_equal(ca, cb)
+
+
+def test_kmeans_fit_requires_seed_rows(spark):
+    from pyspark.sql import functions as F
+
+    few = synthetic.embeddings_df(spark, 100, partitions=2).filter(
+        F.col("vec_id") >= 5
+    )
+    with pytest.raises(ValueError, match="seeds"):
+        clustering.kmeans_fit(few, k=8)
+
+
+def test_kmeans_improves_objective_over_refine_seeds(emb):
+    """The converged model's mean cosine must be >= the one-step
+    refine's — Lloyd iterations never decrease the objective (up to
+    the 1e-6 centroid quantization)."""
+    one = clustering.kmeans_refine_assign(emb, k=4).agg({"cosine": "avg"}).collect()[0][0]
+    full = (
+        clustering.embedding_kmeans(emb, k=4, n_iters=8)
+        .agg({"cosine": "avg"})
+        .collect()[0][0]
+    )
+    assert full >= one - 1e-4
+
+
+def test_kmeans_assign_is_map_only(emb):
+    cents = np.zeros((4, 64))
+    cents[:, 0] = [1, 2, 3, 4]
+    plan = clustering.kmeans_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    # literal-centroid assignment must not shuffle or join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_seeded_recall_and_no_false_positives(spark):
+    emb = synthetic.embeddings_df(spark, 1000, dup_every=10, partitions=8)
+    out = clustering.semantic_dedup(emb, k=4, threshold=0.90).collect()
+    assert len(out) == 1000
+    cl = {r.vec_id: r.cluster for r in out}
+    dropped = {r.vec_id for r in out if not r.keep}
+    seeded = {i for i in range(1000) if i % 10 == 0 and i > 0}
+    same_cluster = {i for i in seeded if cl[i] == cl[i - 1]}
+    # every seeded dup that landed with its source is caught
+    assert same_cluster <= dropped
+    # cross-cluster misses are the documented SemDeDup approximation;
+    # they must be few (tight pairs almost always co-cluster)
+    assert len(same_cluster) >= 0.9 * len(seeded)
+    # random non-dup vectors at threshold 0.90 never collide
+    assert dropped <= seeded
