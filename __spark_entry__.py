@@ -503,6 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_near_dup"] = lambda s, d: multimodal.image_near_dup(
         synthetic.images_df(s, 500, partitions=8, dup_every=5)
     )
+    # duplicate-image components + keeper verdict over the exact
+    # Hamming pair graph (rows-only: pixel hashing + iterative CC;
+    # exactness vs an in-test union-find is pytest-certified)
+    q["image_dup_clusters"] = lambda s, d: multimodal.image_dup_clusters(
+        synthetic.images_df(s, 500, partitions=8, dup_every=5)
+    )
     q["video_near_dup"] = lambda s, d: multimodal.video_near_dup(
         synthetic.videos_df(s, 200, partitions=8, dup_every=5)
     )

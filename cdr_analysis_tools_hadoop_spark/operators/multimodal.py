@@ -693,3 +693,45 @@ def audio_near_dup(
         sig, "audio_id", "fingerprint", max_hamming,
         n_hint=n_hint, max_bucket=max_bucket, mode=mode,
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-image clusters (curation verdict over the pair graph)
+
+
+def image_dup_clusters(
+    images: DataFrame,
+    max_hamming: int = 6,
+    n_hint: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Duplicate-image CLUSTERS: connected components over the
+    perceptual near-dup pair graph, labeling every image with the
+    smallest image_id in its component — the curation verdict an
+    image-corpus pipeline applies (keep the representative, drop the
+    re-encodes/jitter variants that chain through it).
+
+    Pairwise near-dup alone under-drops: if A~B and B~C but A!~C,
+    pair-level keep-lowest keeps A and C even though they are the
+    same underlying image two hops apart. Components close the
+    chain. Reuses dedup.dedup_clusters (pointer-doubling min-label
+    propagation, O(log diameter) rounds, raises on non-convergence)
+    over image_near_dup's exact Hamming pairs.
+
+    Output: (image_id, cluster_id, is_representative). Rows-only in
+    the driver contract (pixel hashing + the iterative CC are not
+    SQL-expressible); exactness is pytest-certified against an
+    in-test union-find over the same pair graph, plus seeded-corpus
+    recall. Scale: inherits the near-dup join's banded-equi-join
+    shape and the CC's per-round key-partitioned shuffles — both
+    already measured at 10x (BENCH/SF1.md).
+    """
+    from . import dedup as dedup_mod
+
+    pairs = image_near_dup(
+        images, max_hamming, n_hint=n_hint, max_bucket=max_bucket
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    docs = images.select(F.col("image_id").alias("doc_id"))
+    return dedup_mod.dedup_clusters(docs, pairs=pairs).select(
+        F.col("doc_id").alias("image_id"), "cluster_id", "is_representative"
+    )

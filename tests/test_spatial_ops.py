@@ -549,3 +549,38 @@ def test_knn_epsilon_slivers_match_duckdb_oracle(spark):
     for pid in (1, 2, 3):
         assert got[pid][1] == pytest.approx(oracle[pid][1], rel=1e-9)
         assert got[pid][1] <= radius
+
+
+def test_image_dup_clusters_exact_components(spark):
+    """Cluster labels == exact connected components (in-test
+    union-find) of the engine's own near-dup pair graph, and every
+    seeded (i-3, i) jitter pair lands in one component."""
+    imgs = synthetic.images_df(spark, 300, partitions=4, dup_every=5)
+    pairs = [
+        (r.id_a, r.id_b) for r in multimodal.image_near_dup(imgs, 6).collect()
+    ]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = multimodal.image_dup_clusters(imgs, 6).collect()
+    assert len(out) == 300
+    # canonical label = min id reachable, exactly what find() yields
+    want = {
+        f"img{i:010d}": find(f"img{i:010d}") for i in range(300)
+    }
+    got = {r.image_id: r.cluster_id for r in out}
+    assert got == want
+    reps = {r.image_id for r in out if r.is_representative}
+    assert reps == {v for v in want.values()}
+    for i in range(5, 300, 5):
+        assert got[f"img{i - 3:010d}"] == got[f"img{i:010d}"]
