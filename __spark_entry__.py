@@ -24,6 +24,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     frequent_locations as fl,
 )
 from cdr_analysis_tools_hadoop_spark.operators import (
+    bpe,
     clustering,
     dedup,
     interpolation,
@@ -379,6 +380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         synthetic.embeddings_df(s, 2_000, dup_every=10, partitions=8),
         threshold=0.90,
     )
+    # BPE tokenizer training (late r4; rows-only — iterative merge
+    # loop; merge sequence pytest-pinned against a pure-Python
+    # reference learner)
+    q["bpe_merges"] = lambda s, d: bpe.bpe_learn_merges(_docs(s, d))
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))
