@@ -524,8 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 67 oracle-backed queries, so
-    # 17 oracle queries necessarily sit past the window each round.
+    # in insertion order; the contract has 69 oracle-backed queries, so
+    # 19 oracle queries necessarily sit past the window each round.
     # Rotation invariant (r3 verdict item 2): the window is
     #   [9 rotating-in] + [always-in core] = 50,
     # and the two 9-query rotation sets SWAP every round, so every
