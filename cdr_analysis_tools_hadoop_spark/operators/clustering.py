@@ -169,10 +169,66 @@ def _with_norm2(emb: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+def _assign_gemm(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """GEMM assignment: one X @ Cᵀ per Arrow batch (the
+    near_dup_pairs_scaled band-hashing trick) — the scale path when
+    k × dim makes the Catalyst fold (interpreted per element) the
+    bottleneck. Same argmax semantics as _argmax_expr: cosines
+    rounded to 6 decimals, ties to the smallest cluster id
+    (np.argmax returns the first maximum). Map-only; the model rides
+    in the task closure."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm[cnorm == 0.0] = np.inf  # empty centroid never wins
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            X = np.asarray(
+                rb.column("embedding").flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            xnorm[xnorm == 0.0] = np.inf
+            S = np.round((X @ C.T) / (xnorm[:, None] * cnorm[None, :]), 6)
+            cl = np.argmax(S, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("vec_id"),
+                    rb.column("embedding"),
+                    pa.array(cl.astype(np.int64)),
+                    pa.array(S[np.arange(n), cl]),
+                ],
+                ["vec_id", "embedding", "cluster", "cosine"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kernel,
+        schema="vec_id long, embedding array<float>, cluster long, cosine double",
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, centroids: np.ndarray, mode: str = "auto"
+) -> DataFrame:
     """Assign every vector to its max-cosine centroid (driver-held
-    model injected as literals — a broadcast with zero runtime join).
-    Output: (vec_id, embedding, cluster, cosine)."""
+    model — a closure/literal broadcast with zero runtime join).
+    Output: (vec_id, embedding, cluster, cosine).
+
+    mode: 'sql' scores via codegen literal expressions (no Python in
+    the plan — right for small k), 'gemm' via the Arrow batched
+    matrix product (right once k × dim dominates: the Catalyst fold
+    is interpreted per element), 'auto' picks gemm at k >= 16. Both
+    round to 6 decimals and break ties to the smaller cluster id;
+    equivalence is pytest-pinned.
+    """
+    if mode == "auto":
+        mode = "gemm" if len(centroids) >= 16 else "sql"
+    if mode == "gemm":
+        return _assign_gemm(emb, centroids)
     pick = _argmax_expr(centroids)
     picked = _with_norm2(emb).select(
         "vec_id", "embedding", F.expr(pick).alias("pk")
@@ -180,8 +236,8 @@ def kmeans_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     return picked.select(
         "vec_id",
         "embedding",
-        F.col("pk.cl").alias("cluster"),
-        (-F.col("pk.negcos")).alias("cosine"),
+        F.col("pk.cl").cast("long").alias("cluster"),
+        (-F.col("pk.negcos")).cast("double").alias("cosine"),
     )
 
 
@@ -190,6 +246,7 @@ def kmeans_fit(
     k: int = KMEANS_K,
     n_iters: int = KMEANS_ITERS,
     dim: int = vec.DIM,
+    mode: str = "auto",
 ) -> np.ndarray:
     """Full Lloyd loop for spherical k-means. Returns the (k × dim)
     centroid model, rounded to CENTROID_DECIMALS per iteration.
@@ -217,10 +274,9 @@ def kmeans_fit(
         dtype=np.float64,
     ).round(CENTROID_DECIMALS)
     for _ in range(n_iters):
-        pick = _argmax_expr(cents)
         stats = (
-            _with_norm2(emb)
-            .select(F.expr(f"({pick}).cl").alias("cluster"), "embedding")
+            kmeans_assign(emb, cents, mode)
+            .select("cluster", "embedding")
             .groupBy("cluster")
             .agg(*[c.alias(f"m{i}") for i, c in enumerate(_avg_centroid_cols(dim))])
             .collect()
@@ -236,15 +292,20 @@ def kmeans_fit(
 
 
 def embedding_kmeans(
-    emb: DataFrame, k: int = KMEANS_K, n_iters: int = KMEANS_ITERS
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    n_iters: int = KMEANS_ITERS,
+    mode: str = "auto",
 ) -> DataFrame:
     """Fit + assign: (vec_id, cluster, cosine) under the converged
     model. Rows-only in the driver contract (the Lloyd loop is
     iterative, not SQL-expressible); determinism and clustering
     quality are pytest-certified, and the per-iteration kernel is
     oracle-certified via ``kmeans_refine_assign``."""
-    cents = kmeans_fit(emb, k, n_iters)
-    return kmeans_assign(emb, cents).select("vec_id", "cluster", "cosine")
+    cents = kmeans_fit(emb, k, n_iters, mode=mode)
+    return kmeans_assign(emb, cents, mode).select(
+        "vec_id", "cluster", "cosine"
+    )
 
 
 def semantic_dedup(
@@ -252,6 +313,7 @@ def semantic_dedup(
     k: int = KMEANS_K,
     threshold: float = SEMANTIC_DUP_THRESHOLD,
     n_iters: int = KMEANS_ITERS,
+    mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup: k-means the corpus, then flag near-duplicates only
     WITHIN clusters (pairwise cosine ≥ threshold), keeping the lowest
@@ -267,22 +329,33 @@ def semantic_dedup(
     lower-id neighbour — computed as a semi-join, never materializing
     the full pair list.
     """
-    cents = kmeans_fit(emb, k, n_iters)
-    a = kmeans_assign(emb, cents).select("vec_id", "embedding", "cluster")
+    from . import similarity
+
+    cents = kmeans_fit(emb, k, n_iters, mode=mode)
+    a = kmeans_assign(emb, cents, mode).select("vec_id", "embedding", "cluster")
     n2 = vec.norm2_sql("embedding", "spark")
     v = a.select("vec_id", "cluster", "embedding", F.expr(n2).alias("norm2"))
     lo = v.select(
-        F.col("vec_id").alias("lo_id"),
+        F.col("vec_id").alias("vec_a"),
         "cluster",
-        F.col("embedding").alias("lo_emb"),
-        F.col("norm2").alias("lo_norm2"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm2").alias("a_n2"),
     )
-    cos = vec.cosine_sql("embedding", "lo_emb", "norm2", "lo_norm2", "spark")
+    hi = v.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster",
+        F.col("embedding").alias("b_emb"),
+        F.col("norm2").alias("b_n2"),
+    )
+    # within-cluster candidate pairs, exact cosine via the shared
+    # Arrow kernel (the Catalyst fold is interpreted per element —
+    # at cluster populations in the thousands the vectorized verify
+    # is the difference between seconds and minutes)
+    pairs = hi.join(lo, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
     dup_ids = (
-        v.join(lo, "cluster")
-        .filter(F.col("lo_id") < F.col("vec_id"))
-        .filter(F.round(F.expr(cos), 6) >= threshold)
-        .select("vec_id")
+        similarity._verify_cosine_arrow(pairs)
+        .filter(F.round(F.col("cosine_raw"), 6) >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
     return (

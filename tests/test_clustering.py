@@ -78,3 +78,25 @@ def test_semantic_dedup_seeded_recall_and_no_false_positives(spark):
     assert len(same_cluster) >= 0.9 * len(seeded)
     # random non-dup vectors at threshold 0.90 never collide
     assert dropped <= seeded
+
+
+def test_gemm_and_sql_assignment_equivalent(emb):
+    cents = clustering.kmeans_fit(emb, k=4, n_iters=3, mode="sql")
+    a = {
+        r.vec_id: (r.cluster, round(r.cosine, 6))
+        for r in clustering.kmeans_assign(emb, cents, mode="sql").collect()
+    }
+    b = {
+        r.vec_id: (r.cluster, round(r.cosine, 6))
+        for r in clustering.kmeans_assign(emb, cents, mode="gemm").collect()
+    }
+    assert a == b
+
+
+def test_gemm_and_sql_fit_identical_model(spark):
+    e = synthetic.embeddings_df(spark, 600, dup_every=10, partitions=5)
+    ms = clustering.kmeans_fit(e, k=4, n_iters=4, mode="sql")
+    mg = clustering.kmeans_fit(e, k=4, n_iters=4, mode="gemm")
+    # the 6-decimal centroid quantization absorbs the GEMM-vs-fold
+    # accumulation-order difference, so the models are bit-identical
+    assert np.array_equal(ms, mg)
