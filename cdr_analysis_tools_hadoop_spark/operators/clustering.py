@@ -32,7 +32,7 @@ is part of the axes-B training-data curation layer the graft adds.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdr_analysis_tools_hadoop_spark.functions import vec
@@ -68,8 +68,10 @@ def kmeans_refine_assign(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
     bit-exactness note) hash-matches.
 
     Plan shape: two broadcast joins of a k-row centroid frame against
-    the corpus (scored map-side) and one k-keyed aggregate between
-    them — the exact per-iteration cost profile of the full loop.
+    the corpus (scored map-side, argmin collapsed to one row per
+    vec_id by map-side partial combine before each exchange) and one
+    k-keyed aggregate between them — the per-iteration cost profile
+    of the full loop, expressed as a single plan for the oracle.
     """
     n2 = vec.norm2_sql("embedding", "spark")
     pts = emb.select("vec_id", "embedding", F.expr(n2).alias("norm2"))
@@ -80,21 +82,31 @@ def kmeans_refine_assign(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
+        # argmin as min(struct(-cosine, cluster)): lexicographic
+        # struct order == ORDER BY cosine DESC, cluster ASC, and the
+        # aggregate gets map-side partial combine — the k-fanout from
+        # the broadcast join collapses back to one row per vec_id
+        # BEFORE the exchange (a row_number window would carry all k
+        # scored rows through a vec_id hash partitioning instead)
         cos = vec.cosine_sql("embedding", "c", "norm2", "c_norm2", "spark")
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cosine"), F.asc("cluster")
-        )
         return (
             pts.join(F.broadcast(centroids))
             .select(
                 "vec_id",
                 "embedding",
-                "cluster",
-                F.round(F.expr(cos), 6).alias("cosine"),
+                F.struct(
+                    (-F.round(F.expr(cos), 6)).alias("negcos"),
+                    F.col("cluster").alias("cl"),
+                ).alias("s"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("s"), F.first("embedding").alias("embedding"))
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("s.cl").alias("cluster"),
+                (-F.col("s.negcos")).alias("cosine"),
+            )
         )
 
     a0 = assign(seeds)
