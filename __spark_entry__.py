@@ -384,6 +384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # loop; merge sequence pytest-pinned against a pure-Python
     # reference learner)
     q["bpe_merges"] = lambda s, d: bpe.bpe_learn_merges(_docs(s, d))
+    # IVF ANN over the TRAINED codebook (rows-only — iterative fit;
+    # full-probe == brute-force exactly, pytest-pinned; the
+    # frozen-anchor twin ann_cosine_topk_ivf is the oracle form)
+    q["ann_cosine_topk_ivf_trained"] = lambda s, d: (
+        clustering.cosine_topk_ivf_trained(_emb(s, d))
+    )
 
     # --- interpolation chain (SURVEY.md §2.9 TripSegmentation/realloc/routing) ---
     q["stay_points"] = lambda s, d: interpolation.stay_points(_cdr(s, d))

@@ -150,20 +150,16 @@ def _centroid_lit(c: np.ndarray) -> str:
     return "array(" + ", ".join(f"cast({v!r} as double)" for v in c) + ")"
 
 
-def _argmax_expr(centroids: np.ndarray, norm2_col: str = "norm2") -> str:
-    """SQL picking (cluster, cosine) of the max-cosine centroid.
-
-    One struct per centroid — (rounded -cosine, cluster id) — and an
-    ``array_min``: struct comparison is lexicographic, so the minimum
-    is the highest cosine with ties broken on the smaller cluster id,
-    identical to the refine step's ORDER BY. All literals; the whole
-    assignment is a map-side projection, no join at all. The caller
-    precomputes the point norm in ``norm2_col`` so it is evaluated
-    once per row, not once per centroid.
-    """
+def _score_structs(
+    centroids: np.ndarray, norm2_col: str = "norm2", col: str = "embedding"
+) -> str:
+    """Literal array of (rounded -cosine, cluster id) structs — the
+    shared scoring block of the argmax and top-n probe expressions.
+    The caller precomputes the point norm in ``norm2_col`` so it is
+    evaluated once per row, not once per centroid."""
     structs = []
     for j, c in enumerate(centroids):
-        dot = vec.dot_sql("embedding", _centroid_lit(c), "spark")
+        dot = vec.dot_sql(col, _centroid_lit(c), "spark")
         cn2 = float(np.dot(c, c))
         cos = (
             f"(({dot}) / (sqrt(cast({norm2_col} as double))"
@@ -172,7 +168,35 @@ def _argmax_expr(centroids: np.ndarray, norm2_col: str = "norm2") -> str:
         structs.append(
             f"struct(cast(round(-({cos}), 6) as double) as negcos, {j} as cl)"
         )
-    return f"array_min(array({', '.join(structs)}))"
+    return f"array({', '.join(structs)})"
+
+
+def _argmax_expr(centroids: np.ndarray, norm2_col: str = "norm2") -> str:
+    """SQL picking (cluster, cosine) of the max-cosine centroid.
+
+    ``array_min`` over the score structs: struct comparison is
+    lexicographic, so the minimum is the highest cosine with ties
+    broken on the smaller cluster id, identical to the refine step's
+    ORDER BY. All literals; the whole assignment is a map-side
+    projection, no join at all.
+    """
+    return f"array_min({_score_structs(centroids, norm2_col)})"
+
+
+def _topn_probe_expr(
+    centroids: np.ndarray,
+    nprobe: int,
+    norm2_col: str = "norm2",
+    col: str = "embedding",
+) -> str:
+    """SQL array of the ``nprobe`` nearest cluster ids (cosine order,
+    ties to the smaller id) — the IVF probe set. Sorting k literal
+    structs per row is O(k log k) on constants; still map-only."""
+    return (
+        f"transform(slice(array_sort("
+        f"{_score_structs(centroids, norm2_col, col)}), "
+        f"1, {nprobe}), s -> s.cl)"
+    )
 
 
 def _with_norm2(emb: DataFrame) -> DataFrame:
@@ -377,4 +401,82 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def cosine_topk_ivf_trained(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    nlist: int = KMEANS_K,
+    nprobe: int = 2,
+    n_iters: int = KMEANS_ITERS,
+    mode: str = "auto",
+) -> DataFrame:
+    """IVF ANN over a TRAINED codebook: the k-means centroids replace
+    similarity.cosine_topk_ivf's frozen hash-derived anchors — the
+    full FAISS IVF mechanic (train, assign inverted lists, probe the
+    nprobe nearest lists per query).
+
+    Search is an equi-join on the cluster id: corpus vectors carry
+    their trained-list assignment, each query explodes into its
+    probe set, and only probed lists are scored. With nprobe ==
+    nlist the probe set is every list and the result must equal the
+    brute-force cosine_topk EXACTLY (same rounding and tie rules —
+    pytest-pinned); smaller nprobe trades recall for scoring volume,
+    quantified in tests. Rows-only in the driver contract (the
+    trained codebook comes from the iterative fit; the frozen-anchor
+    IVF twin ann_cosine_topk_ivf is the oracle-certified form).
+
+    Output: (query_id, vec_id, cosine, rank) — cosine_topk's schema.
+    """
+    cents = kmeans_fit(emb, nlist, n_iters, mode=mode)
+    n2 = vec.norm2_sql("embedding", "spark")
+    cand = kmeans_assign(emb, cents, mode).select(
+        "vec_id", "embedding", "cluster", F.expr(n2).alias("norm2")
+    )
+    probe = _topn_probe_expr(cents, nprobe, "q_norm2", "q_embedding")
+    queries = (
+        _with_norm2(emb.filter(F.col("vec_id") < n_queries))
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("norm2").alias("q_norm2"),
+        )
+        .select(
+            "q_vec_id",
+            "q_embedding",
+            "q_norm2",
+            F.explode(F.expr(probe)).alias("cluster"),
+        )
+    )
+    cos = vec.cosine_sql("q_embedding", "embedding", "q_norm2", "norm2", "spark")
+    scored = (
+        queries.join(cand, "cluster")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            F.col("q_vec_id").alias("query_id"),
+            "vec_id",
+            F.round(F.expr(cos), 6).alias("cosine"),
+        )
+    )
+    s = scored.select(
+        "query_id",
+        F.struct(
+            (-F.col("cosine")).alias("negcos"), F.col("vec_id").alias("vid")
+        ).alias("s"),
+    )
+    # exact per-query top-k without a rank window: collect the probed
+    # candidates per query (bounded by nprobe * list size), sort the
+    # struct array, slice k — one aggregation with map-side partials
+    topk = s.groupBy("query_id").agg(
+        F.expr(f"slice(array_sort(collect_list(s)), 1, {k})").alias("tk")
+    )
+    return topk.select(
+        "query_id", F.posexplode("tk").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.vid").alias("vec_id"),
+        (-F.col("s.negcos")).alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
     )

@@ -100,3 +100,38 @@ def test_gemm_and_sql_fit_identical_model(spark):
     # the 6-decimal centroid quantization absorbs the GEMM-vs-fold
     # accumulation-order difference, so the models are bit-identical
     assert np.array_equal(ms, mg)
+
+
+def test_ivf_trained_full_probe_equals_bruteforce(emb):
+    from cdr_analysis_tools_hadoop_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 6))
+        for r in similarity.cosine_topk(emb, k=5, n_queries=8).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 6))
+        for r in clustering.cosine_topk_ivf_trained(
+            emb, k=5, n_queries=8, nlist=4, nprobe=4, n_iters=3
+        ).collect()
+    }
+    # probing every list scores every candidate: EXACT equality
+    assert ivf == exact
+
+
+def test_ivf_trained_partial_probe_recall(emb):
+    from cdr_analysis_tools_hadoop_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, k=5, n_queries=8).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in clustering.cosine_topk_ivf_trained(
+            emb, k=5, n_queries=8, nlist=8, nprobe=3, n_iters=3
+        ).collect()
+    }
+    # lossy by design; the probe set must still recover most of the
+    # true top-k (random 64-dim vectors, 3/8 lists probed)
+    assert len(ivf & exact) >= 0.5 * len(exact)
