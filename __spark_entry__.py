@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # loop; merge sequence pytest-pinned against a pure-Python
     # reference learner)
     q["bpe_merges"] = lambda s, d: bpe.bpe_learn_merges(_docs(s, d))
+    # round-0 BPE pair statistics (oracle-backed: certifies the
+    # counting kernel every merge iteration recomputes)
+    q["bpe_pair_counts"] = lambda s, d: bpe.bpe_pair_counts(_docs(s, d))
     # IVF ANN over the TRAINED codebook (rows-only — iterative fit;
     # full-probe == brute-force exactly, pytest-pinned; the
     # frozen-anchor twin ann_cosine_topk_ivf is the oracle form)
@@ -530,8 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 69 oracle-backed queries, so
-    # 19 oracle queries necessarily sit past the window each round.
+    # in insertion order; the contract has 70 oracle-backed queries, so
+    # 20 oracle queries necessarily sit past the window each round.
     # Rotation invariant (r3 verdict item 2): the window is
     #   [9 rotating-in] + [always-in core] = 50,
     # and the two 9-query rotation sets SWAP every round, so every
@@ -883,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_mixture"] = textops.domain_mixture_oracle()
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
     o["kmeans_refine_assign"] = clustering.kmeans_refine_oracle()
+    o["bpe_pair_counts"] = bpe.bpe_pair_counts_oracle()
     o["pii_redaction"] = textops.pii_redaction_oracle(
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )

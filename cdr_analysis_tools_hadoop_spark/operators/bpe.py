@@ -179,3 +179,35 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         "doc_id",
         encode(F.expr(f"filter({tok}, w -> w != '')")).alias("tokens"),
     ).select("doc_id", F.expr("size(tokens)").alias("n_tokens"), "tokens")
+
+
+def bpe_pair_counts(docs: DataFrame) -> DataFrame:
+    """The BPE learner's round-0 statistics table: frequency-weighted
+    adjacent character-pair counts over the word vocabulary — the
+    exact aggregate every merge iteration recomputes (get_stats).
+    Oracle-backed: certifies the counting kernel of the iterative
+    loop the same way kmeans_refine_assign certifies Lloyd's.
+
+    Output: (lhs, rhs, pair_count).
+    """
+    return _pair_counts(_initial_symbols(word_frequencies(docs))).select(
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "pair_count",
+    )
+
+
+def bpe_pair_counts_oracle(view: str = "documents") -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    return (
+        f"WITH tok AS (SELECT unnest({tok}) AS word FROM {view}), "
+        "w AS (SELECT word, count(*) AS freq FROM tok WHERE word != '' "
+        "GROUP BY 1), "
+        "syms AS (SELECT list_append([substr(word, i, 1) "
+        "for i in generate_series(1, len(word))], "
+        f"'{END_OF_WORD}') AS s, freq FROM w), "
+        "pairs AS (SELECT unnest([{'lhs': s[i], 'rhs': s[i+1]} "
+        "for i in generate_series(1, len(s) - 1)]) AS p, freq FROM syms) "
+        "SELECT p.lhs AS lhs, p.rhs AS rhs, "
+        "CAST(sum(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2"
+    )

@@ -95,3 +95,21 @@ def test_bpe_encode_roundtrip_and_compression(docs):
         assert joined.split(bpe.END_OF_WORD)[:-1] == words
         # merges compress: fewer tokens than characters+markers
         assert out[doc_id].n_tokens < sum(len(w) + 1 for w in words)
+
+
+def test_bpe_pair_counts_match_reference_stats(docs):
+    wf: dict[str, int] = {}
+    for _, text in CORPUS:
+        for w in text.split():
+            wf[w] = wf.get(w, 0) + 1
+    stats: dict[tuple[str, str], int] = {}
+    for w, f in wf.items():
+        syms = list(w) + [bpe.END_OF_WORD]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + f
+    got = {
+        (r.lhs, r.rhs): r.pair_count
+        for r in bpe.bpe_pair_counts(docs).collect()
+    }
+    assert got == stats
