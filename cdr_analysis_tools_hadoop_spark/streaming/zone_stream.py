@@ -230,3 +230,53 @@ def streaming_exact_dedup(
             ["text_hash"]
         )
     return keyed.dropDuplicates(["text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding ingest: trained-cluster drift monitor
+
+
+def streaming_cluster_counts(
+    emb: DataFrame,
+    centroids,
+    ts_col: str = "ingest_ts",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Embedding-stream drift monitor: assign every arriving vector
+    to its trained k-means cluster and roll up per (event-time
+    window, cluster) counts — the ingest-time health check a
+    training-data pipeline runs against a frozen codebook (a cluster
+    whose share drifts signals a distribution change upstream).
+
+    The assignment is operators/clustering's literal-centroid argmax
+    — a pure codegen projection with no join, window function, or
+    Python, so it is streaming-legal as-is; the only stateful node is
+    the watermarked (window, cluster) count whose state is bounded by
+    k x windows-in-watermark. Works identically on batch frames
+    (event-time window + groupBy are batch-legal), which is what the
+    stream==batch parity test pins.
+    """
+    from ..functions import vec
+    from ..operators import clustering
+
+    pick = clustering._argmax_expr(centroids)
+    assigned = (
+        emb.withColumn("norm2", F.expr(vec.norm2_sql("embedding", "spark")))
+        .withColumn("cluster", F.expr(f"({pick}).cl").cast("long"))
+        .drop("norm2")
+    )
+    grouped = (
+        assigned.withWatermark(ts_col, watermark)
+        if assigned.isStreaming
+        else assigned
+    )
+    return (
+        grouped.groupBy(F.window(F.col(ts_col), window), F.col("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "cluster",
+            "n",
+        )
+    )

@@ -133,3 +133,56 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     got_rows = got.collect()
     assert {r.text_hash for r in got_rows} == want_keys
     assert len(got_rows) == len(want_keys)  # exactly one survivor per key
+
+
+def test_streaming_cluster_counts_match_batch(spark, tmp_path):
+    """Stream == batch: the trained-cluster drift monitor over two
+    micro-batches produces exactly the batch (window, cluster)
+    counts."""
+    import numpy as np
+
+    from cdr_analysis_tools_hadoop_spark.operators import clustering
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic
+
+    emb = synthetic.embeddings_df(spark, 400, dup_every=10, partitions=4)
+    cents = clustering.kmeans_fit(emb, k=4, n_iters=3)
+
+    stamped = emb.withColumn(
+        "ingest_ts",
+        F.to_timestamp(
+            F.expr(
+                "timestampadd(MINUTE, cast(vec_id % 25 as int), "
+                "timestamp'2024-01-01 10:00:00')"
+            )
+        ),
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    stamped.filter("vec_id < 200").write.parquet(str(in_dir / "b1"))
+    stamped.filter("vec_id >= 200").write.parquet(str(in_dir / "b2"))
+    schema = spark.read.parquet(str(in_dir / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    # complete mode to a memory sink: append would hold back windows
+    # the watermark has not passed, and availableNow ends the stream
+    # before the last windows close
+    zone_stream.run_available_now(
+        zone_stream.streaming_cluster_counts(stream, cents),
+        "cluster_counts_stream",
+        str(tmp_path / "chk"),
+    )
+    got = {
+        (str(r.win_start), r.cluster): r.n
+        for r in spark.sql("SELECT * FROM cluster_counts_stream").collect()
+    }
+    want = {
+        (str(r.win_start), r.cluster): r.n
+        for r in zone_stream.streaming_cluster_counts(
+            spark.read.parquet(str(in_dir / "*")), cents
+        ).collect()
+    }
+    assert got == want
+    assert sum(want.values()) == 400
