@@ -523,6 +523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_dup_clusters"] = lambda s, d: multimodal.image_dup_clusters(
         synthetic.images_df(s, 500, partitions=8, dup_every=5)
     )
+    # fused image+caption keep/drop verdict (rows-only: pixel decode;
+    # pytest-pinned against an independent Python recompute)
+    q["image_caption_curation"] = lambda s, d: multimodal.image_caption_curation(
+        synthetic.images_df(s, 500, partitions=8, dup_every=5)
+    )
     q["video_near_dup"] = lambda s, d: multimodal.video_near_dup(
         synthetic.videos_df(s, 200, partitions=8, dup_every=5)
     )

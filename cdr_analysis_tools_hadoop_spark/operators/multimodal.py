@@ -22,7 +22,7 @@ secondary multimodal paths.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType,
@@ -62,10 +62,16 @@ _SQERR_LUT = np.array([4, 1, 0, 1], dtype=np.uint8)
 _LUMA_W = np.array([0.299, 0.587, 0.114])
 
 
-def decode_features(images: DataFrame) -> DataFrame:
+def decode_features(images: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Decode every blob and emit per-image features:
     mean luma, pixel phash (average-hash), PSNR of a qnt4 re-encode
     round-trip, and the >=40dB validity flag.
+
+    ``keep``: extra input columns carried through the Arrow batch
+    untouched (zero copy — same buffers in, same buffers out), so a
+    fused downstream stage (e.g. image_caption_curation) gets decode
+    features AND the payload columns from ONE scan + ONE Python pass
+    instead of a corpus×corpus rejoin.
 
     This is the decode-validate stage of the benchmark pipeline."""
     out_schema = StructType(
@@ -76,9 +82,10 @@ def decode_features(images: DataFrame) -> DataFrame:
             StructField("mean_luma", DoubleType()),
             StructField("qnt4_psnr", DoubleType()),
             StructField("psnr_ok", BooleanType()),
+            *[StructField(c, images.schema[c].dataType) for c in keep],
         ]
     )
-    narrow = images.select("image_id", "phash", "bytes")
+    narrow = images.select("image_id", "phash", "bytes", *keep)
 
     def kernel(batches):
         import pyarrow as pa
@@ -109,10 +116,12 @@ def decode_features(images: DataFrame) -> DataFrame:
                     pa.array(ml, type=pa.float64()),
                     pa.array(ps, type=pa.float64()),
                     pa.array(ps >= 40.0, type=pa.bool_()),
+                    # keep columns: same Arrow buffers, zero copy
+                    *[rb.column(3 + i) for i in range(len(keep))],
                 ],
                 names=[
                     "image_id", "phash", "pixel_phash", "mean_luma",
-                    "qnt4_psnr", "psnr_ok",
+                    "qnt4_psnr", "psnr_ok", *keep,
                 ],
             )
 
@@ -734,4 +743,69 @@ def image_dup_clusters(
     docs = images.select(F.col("image_id").alias("doc_id"))
     return dedup_mod.dedup_clusters(docs, pairs=pairs).select(
         F.col("doc_id").alias("image_id"), "cluster_id", "is_representative"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused image+caption curation verdict (multimodal corpus_curation)
+
+
+CAPTION_CURATION_MIN_QUALITY = 700
+
+
+def image_caption_curation(
+    images: DataFrame, min_quality: int = CAPTION_CURATION_MIN_QUALITY
+) -> DataFrame:
+    """One-pass keep/drop verdict over image+caption pairs — the
+    multimodal twin of textops.corpus_curation: decode-validate the
+    image (PSNR gate), score the caption, flag exact perceptual
+    duplicates, emit the verdict.
+
+    quality_millis (integer, engine-portable): 400 if the caption has
+    4..64 whitespace tokens, + floor(type_token_ratio * 300), + 300
+    if the decoded image round-trips at >=40 dB. is_exact_dup: a
+    lower image_id exists with the IDENTICAL pixel average-hash
+    (radius-0 twin of image_near_dup; near-dup curation is
+    image_dup_clusters' job). keep = representative AND quality_millis
+    >= min_quality.
+
+    Plan: ONE scan -> ONE fused Arrow pass (decode + phash with the
+    caption carried through zero-copy) -> codegen caption projection
+    -> one window shuffle on pixel_phash (the same text_hash
+    dup-rank shape corpus_curation uses; exact-hash groups are small
+    on real corpora — the synthetic generator's saturation is a data
+    property, see BENCH/SF1.md). No corpus×corpus join anywhere.
+    """
+    feats = decode_features(images, keep=("caption",))
+    tok = "split(caption, ' ')"
+    base = feats.select(
+        "image_id",
+        "pixel_phash",
+        "psnr_ok",
+        F.expr(f"size({tok})").cast("long").alias("n_tokens"),
+        F.expr(
+            f"round(size(array_distinct({tok})) / size({tok}), 6)"
+        ).alias("ttr"),
+    )
+    q = base.withColumn(
+        "quality_millis",
+        F.expr(
+            "cast((case when n_tokens between 4 and 64 then 400 else 0 end)"
+            " + floor(ttr * 300)"
+            " + (case when psnr_ok then 300 else 0 end) as bigint)"
+        ),
+    )
+    w = Window.partitionBy("pixel_phash").orderBy("image_id")
+    return (
+        q.withColumn("dup_rank", F.row_number().over(w))
+        .select(
+            "image_id",
+            "n_tokens",
+            "quality_millis",
+            (F.col("dup_rank") > 1).alias("is_exact_dup"),
+            (
+                (F.col("dup_rank") == 1)
+                & (F.col("quality_millis") >= min_quality)
+            ).alias("keep"),
+        )
     )

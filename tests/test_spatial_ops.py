@@ -584,3 +584,34 @@ def test_image_dup_clusters_exact_components(spark):
     assert reps == {v for v in want.values()}
     for i in range(5, 300, 5):
         assert got[f"img{i - 3:010d}"] == got[f"img{i:010d}"]
+
+
+def test_image_caption_curation_matches_independent_recompute(spark):
+    """keep/is_exact_dup/quality recomputed independently in Python
+    from decode_features + raw captions must equal the fused verdict."""
+    imgs = synthetic.images_df(spark, 200, partitions=4, dup_every=5)
+    feats = {
+        r.image_id: r
+        for r in multimodal.decode_features(imgs).collect()
+    }
+    caps = {r.image_id: r.caption for r in imgs.select("image_id", "caption").collect()}
+    by_hash: dict[int, list[str]] = {}
+    for iid, f in feats.items():
+        by_hash.setdefault(f.pixel_phash, []).append(iid)
+    want = {}
+    for iid, f in feats.items():
+        toks = caps[iid].split(" ")
+        ttr = round(len(set(toks)) / len(toks), 6)
+        q = (
+            (400 if 4 <= len(toks) <= 64 else 0)
+            + int(ttr * 300)
+            + (300 if f.psnr_ok else 0)
+        )
+        dup = min(by_hash[f.pixel_phash]) != iid
+        want[iid] = (len(toks), q, dup, (not dup) and q >= 700)
+    got = {
+        r.image_id: (r.n_tokens, r.quality_millis, r.is_exact_dup, r.keep)
+        for r in multimodal.image_caption_curation(imgs).collect()
+    }
+    assert got == want
+    assert any(v[2] for v in want.values())  # fixture seeds real dups
