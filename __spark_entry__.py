@@ -34,6 +34,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     sampling,
     similarity,
     statistics,
+    temporal,
     textops,
     trajectory,
     zones,
@@ -43,6 +44,10 @@ from cdr_analysis_tools_hadoop_spark.sources import synthetic
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +322,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["od_detail"] = _od_detail
 
+    # --- temporal primitives (NEW late-r4): the trajectory chain's
+    # machinery generalized to any (key, ts) table — gap sessions,
+    # as-of join, binned range self-join (operators/temporal.py) ---
+    q["sessionize_events"] = lambda s, d: temporal.sessionize(_events(s, d))
+
+    def _asof_last_view(s, d):
+        ev = _events(s, d)
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("view_ts_us"),
+        )
+        out = temporal.asof_join(
+            left,
+            right,
+            key_col="user_id",
+            left_ts_col="ts",
+            right_ts_col="ts",
+            right_id_col="view_event_id",
+            payload_cols=("view_event_id", "view_ts_us"),
+            prefix="",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "view_event_id",
+            (F.col("ts_us") - F.col("view_ts_us")).alias("view_lag_us"),
+        )
+
+    q["asof_last_view"] = _asof_last_view
+    q["range_neighbor_counts"] = lambda s, d: temporal.range_neighbor_counts(
+        _events(s, d)
+    )
+
     # --- dedup suite (training-data pipeline; SURVEY.md §2.2 P3 scale path) ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
@@ -579,26 +623,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trip_od_stay_faithful, gps_export, text_fingerprints
     ]
     head = rotate_in + [
-        # ---- 41-query always-in core ----
+        # ---- always-in core (minus five one-round loans, below) ----
         # core statistics
-        "total_records",
-        "total_unique_uids",
+        # (total_records, total_unique_uids, monthly_statistics,
+        # summary_stats, total_days — unchanged, driver-green
+        # r1+r2+r3 — loan their window rows this round to the five
+        # NEVER-driver-certified new r4 oracle queries listed after
+        # the dedup suite; they rejoin with the r5 rotation swap)
         "data_statistics",
         "corpus_curation",
         "daily_statistics",
-        "monthly_statistics",
-        "summary_stats",
         "total_unique_locations",
-        "total_days",
         "average_daily_admin1",
         "user_activity_histogram",
         # spatial: zones / cells / tiles / knn
+        # (zone_assignment, cell_counts_res8, tile_counts_z12 —
+        # unchanged, driver-green r1+r2+r3 — yield their window rows
+        # to the three NEW temporal queries below this round; they
+        # rejoin with the r5 rotation swap)
         "zone_population",
-        "zone_assignment",
-        "cell_counts_res8",
         "tile_pyramid_counts",
         "average_daily_unique_sites",
-        "tile_counts_z12",
         "hmesh_counts_l4",
         "hmesh_pyramid_counts",
         "knn_within_radius",
@@ -612,6 +657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trajectory / OD
         "od_matrix",
         "od_detail",
+        # temporal primitives (NEW late-r4 -> in-window)
+        "sessionize_events",
+        "asof_last_view",
+        "range_neighbor_counts",
         # dedup suite
         "dedup_exact",
         "dedup_simhash",
@@ -632,6 +681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the two prior-green unchanged ANN variants below)
         "sequence_packing",
         "pii_redaction",
+        # mid-r4 oracle-backed ops that have never had a driver row
+        # (NEW this round -> in-window, on the five loaned core slots)
+        "text_repetition",
+        "domain_mixture",
+        "vocab_ngram_counts",
+        "kmeans_refine_assign",
+        "bpe_pair_counts",
         # past the 50-gate this round: unchanged, driver-green in
         # r1+r2+r3 (knn_label_vote, ann lsh/ivf variants r3); they
         # rejoin the window with the r5 rotation swap
@@ -864,6 +920,44 @@ def oracle_sql() -> dict[str, str]:
     o["od_detail"] = (
         f"{_OD_CTES} SELECT uid, pdt, origin_site, dest_site, "
         "origin_zone, dest_zone, ts FROM edges"
+    )
+
+    # temporal primitives (operators/temporal.py) — engine windows /
+    # binned equi-joins vs the oracle's direct (quadratic-OK-at-sf0.01)
+    # formulations; micros via epoch_us == unix_micros bit-for-bit.
+    o["sessionize_events"] = (
+        "WITH seq AS (SELECT user_id, event_id AS oid, epoch_us(ts) AS tus "
+        "FROM events), "
+        "marked AS (SELECT user_id, oid, tus, CASE WHEN lag(tus) OVER w IS NULL "
+        "OR tus - lag(tus) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns "
+        "FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY tus, oid)), "
+        "idx AS (SELECT user_id, tus, CAST(sum(ns) OVER "
+        "(PARTITION BY user_id ORDER BY tus, oid) AS BIGINT) AS session_idx "
+        "FROM marked) "
+        "SELECT user_id, session_idx, count(*) AS n_events, "
+        "min(tus) AS start_us, max(tus) AS end_us, "
+        "max(tus) - min(tus) AS duration_us "
+        "FROM idx GROUP BY user_id, session_idx"
+    )
+    o["asof_last_view"] = (
+        "WITH v AS (SELECT user_id, epoch_us(ts) AS vtus, "
+        "event_id AS view_event_id FROM events WHERE event_type = 'view'), "
+        "p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "
+        "WHERE event_type = 'purchase'), "
+        "cand AS (SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id, "
+        "v.vtus, row_number() OVER (PARTITION BY p.event_id "
+        "ORDER BY v.vtus DESC, v.view_event_id DESC) AS rn "
+        "FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vtus <= p.ts_us) "
+        "SELECT event_id, user_id, ts_us, view_event_id, "
+        "ts_us - vtus AS view_lag_us FROM cand WHERE rn = 1"
+    )
+    o["range_neighbor_counts"] = (
+        "WITH b AS (SELECT user_id, event_id AS eid, epoch_us(ts) AS tus "
+        "FROM events) "
+        "SELECT a.eid AS event_id, count(c.eid) AS n_neighbors "
+        "FROM b a LEFT JOIN b c ON a.user_id = c.user_id "
+        "AND a.eid <> c.eid AND abs(a.tus - c.tus) <= 21600000000 "
+        "GROUP BY a.eid"
     )
 
     o["dedup_exact"] = dedup.exact_dedup_oracle()
