@@ -360,6 +360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_neighbor_counts"] = lambda s, d: temporal.range_neighbor_counts(
         _events(s, d)
     )
+    # funnel conversion per gap-session (composition of the same
+    # label window; all-integer output) — registered past-window
+    # this round, r5 rotation candidate
+    q["session_funnel"] = lambda s, d: temporal.session_funnel(_events(s, d))
 
     # --- dedup suite (training-data pipeline; SURVEY.md §2.2 P3 scale path) ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -406,6 +410,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
     # vocabulary counting pass (late r4): unigram+bigram tf/df, pruned
     q["vocab_ngram_counts"] = lambda s, d: textops.vocab_ngram_counts(_docs(s, d))
+    # TF-IDF top-k keywords + exact per-source token-length quantiles
+    # (late r4): registered past-window, r5 rotation candidates
+    q["tfidf_keywords"] = lambda s, d: textops.tfidf_keywords(_docs(s, d))
+    q["token_length_quantiles"] = lambda s, d: textops.token_length_quantiles(
+        _docs(s, d)
+    )
 
     # --- embedding clustering + semantic dedup (late r4) ---
     # one Lloyd step of spherical k-means, fully SQL-expressible:
@@ -959,6 +969,30 @@ def oracle_sql() -> dict[str, str]:
         "AND a.eid <> c.eid AND abs(a.tus - c.tus) <= 21600000000 "
         "GROUP BY a.eid"
     )
+    # funnel over the same gap-session labels: conditional aggregates
+    # per (user, session); all-integer output (micros + counts + 0/1)
+    o["session_funnel"] = (
+        "WITH seq AS (SELECT user_id, event_id AS oid, event_type, "
+        "epoch_us(ts) AS tus FROM events), "
+        "marked AS (SELECT user_id, oid, event_type, tus, "
+        "CASE WHEN lag(tus) OVER w IS NULL "
+        "OR tus - lag(tus) OVER w > 43200000000 THEN 1 ELSE 0 END AS ns "
+        "FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY tus, oid)), "
+        "idx AS (SELECT user_id, event_type, tus, CAST(sum(ns) OVER "
+        "(PARTITION BY user_id ORDER BY tus, oid) AS BIGINT) AS session_idx "
+        "FROM marked), "
+        "agg AS (SELECT user_id, session_idx, count(*) AS n_events, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_entries, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS "
+        "BIGINT) AS n_goals, "
+        "min(CASE WHEN event_type = 'view' THEN tus END) AS first_entry_us, "
+        "max(CASE WHEN event_type = 'purchase' THEN tus END) AS last_goal_us "
+        "FROM idx GROUP BY user_id, session_idx) "
+        "SELECT *, CAST(first_entry_us IS NOT NULL AND last_goal_us IS NOT "
+        "NULL AND last_goal_us >= first_entry_us AS INTEGER) AS converted "
+        "FROM agg"
+    )
 
     o["dedup_exact"] = dedup.exact_dedup_oracle()
     o["dedup_simhash"] = dedup.simhash_oracle()
@@ -984,6 +1018,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_repetition"] = textops.repetition_scores_oracle()
     o["domain_mixture"] = textops.domain_mixture_oracle()
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
+    o["tfidf_keywords"] = textops.tfidf_keywords_oracle()
+    o["token_length_quantiles"] = textops.token_length_quantiles_oracle()
     o["kmeans_refine_assign"] = clustering.kmeans_refine_oracle()
     o["bpe_pair_counts"] = bpe.bpe_pair_counts_oracle()
     o["pii_redaction"] = textops.pii_redaction_oracle(

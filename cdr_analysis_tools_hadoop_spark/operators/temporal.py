@@ -52,6 +52,33 @@ GAP_US_DEFAULT = 12 * HOUR_US
 RANGE_US_DEFAULT = 6 * HOUR_US
 
 
+def _session_labels(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-event session labels: (key, __oid, tus, *extra_cols,
+    session_idx). The lag and the running sum order by the same
+    (tus, __oid) spec, so both Windows share ONE sort after ONE hash
+    exchange on the key."""
+    seq = events.select(
+        key_col,
+        F.col(id_col).alias("__oid"),
+        _us(F.col(ts_col)).alias("tus"),
+        *[F.col(c) for c in extra_cols],
+    )
+    w = Window.partitionBy(key_col).orderBy("tus", "__oid")
+    prev = F.lag("tus").over(w)
+    marked = seq.withColumn(
+        "__ns",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
+    )
+    return marked.withColumn("session_idx", F.sum("__ns").over(w)).drop("__ns")
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",
@@ -74,17 +101,9 @@ def sessionize(
     timestamps are broken by ``id_col`` so the result is
     deterministic.
     """
-    tus = _us(F.col(ts_col)).alias("tus")
-    seq = events.select(key_col, F.col(id_col).alias("__oid"), tus)
-    w = Window.partitionBy(key_col).orderBy("tus", "__oid")
-    prev = F.lag("tus").over(w)
-    marked = seq.withColumn(
-        "__ns",
-        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
-    )
-    with_idx = marked.withColumn("session_idx", F.sum("__ns").over(w))
     return (
-        with_idx.groupBy(key_col, "session_idx")
+        _session_labels(events, key_col, ts_col, id_col, gap_us)
+        .groupBy(key_col, "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("tus").alias("start_us"),
@@ -207,4 +226,52 @@ def range_neighbor_counts(
             F.col("eid").alias(id_col),
             F.coalesce(F.col("__n"), F.lit(0)).alias("n_neighbors"),
         )
+    )
+
+
+def session_funnel(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_us: int = GAP_US_DEFAULT,
+    entry_type: str = "view",
+    goal_type: str = "purchase",
+) -> DataFrame:
+    """Per-session funnel conversion: for every gap-based session
+    (same rule as :func:`sessionize`), the entry/goal event counts
+    and whether the session CONVERTED — a goal event at or after the
+    session's first entry event.
+
+    Output per (key, session_idx): n_events, n_entries, n_goals,
+    first_entry_us / last_goal_us (int64 micros, NULL when the stage
+    never fired), converted (0/1). All-integer, so the DuckDB twin
+    is FP-free.
+
+    Physical plan: identical to sessionize — the label window and
+    the funnel rollup share ONE hash exchange on the key; the
+    conditional aggregates are map-side partials. Composition is the
+    point: any stage pair (signup->purchase, click->error) is the
+    same single-shuffle plan.
+    """
+    lab = _session_labels(
+        events, key_col, ts_col, id_col, gap_us, extra_cols=(type_col,)
+    )
+    is_entry = F.col(type_col) == entry_type
+    is_goal = F.col(type_col) == goal_type
+    agg = lab.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_entry.cast("long")).alias("n_entries"),
+        F.sum(is_goal.cast("long")).alias("n_goals"),
+        F.min(F.when(is_entry, F.col("tus"))).alias("first_entry_us"),
+        F.max(F.when(is_goal, F.col("tus"))).alias("last_goal_us"),
+    )
+    return agg.withColumn(
+        "converted",
+        (
+            F.col("first_entry_us").isNotNull()
+            & F.col("last_goal_us").isNotNull()
+            & (F.col("last_goal_us") >= F.col("first_entry_us"))
+        ).cast("int"),
     )

@@ -582,3 +582,162 @@ def vocab_ngram_counts_oracle(
         "SELECT gram, n, count(*) AS tf, count(DISTINCT doc_id) AS df "
         f"FROM g GROUP BY 1, 2 HAVING count(*) >= {min_count}"
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. TF-IDF keyword extraction
+
+TFIDF_TOP_K = 5
+TFIDF_MIN_DF = 3
+
+
+def tfidf_keywords(
+    docs: DataFrame, top_k: int = TFIDF_TOP_K, min_df: int = TFIDF_MIN_DF
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF keywords per document (the keyword /
+    topic-feature pass of a curation or clustering pipeline).
+
+    idf is the sklearn-smooth form ln((N + 1) / (df + 1)) + 1; terms
+    seen in fewer than ``min_df`` documents are pruned before
+    scoring (rare-term noise, and it bounds the df table). Scores
+    are rounded to 6 decimals; ranking orders by the ROUNDED score
+    then term so engine and oracle agree even when two raw doubles
+    differ below the rounding grain. The product tf * idf is
+    transcendental (never an exact decimal tie), so HALF_UP (Spark)
+    vs half-away (DuckDB) rounding cannot diverge.
+
+    Scale: tf is a (doc_id, term) aggregate with map-side partials;
+    the df table is a two-phase distinct aggregate pruned by
+    ``min_df`` (vocabulary-sized). The df join is a plain equi-join
+    on term — AQE broadcasts it when the vocabulary fits (the J1
+    adaptive-switch pattern) and falls back to shuffle when a 100 TB
+    corpus's vocabulary doesn't. N reaches every row as a broadcast
+    single-row cross join, and the final top-k is one window on
+    doc_id.
+    """
+    tok = th.tokens_sql("text", "spark")
+    terms = docs.select("doc_id", F.explode(F.expr(tok)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        terms.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= top_k)
+        .select("doc_id", "kw_rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_keywords_oracle(
+    view: str = "documents",
+    top_k: int = TFIDF_TOP_K,
+    min_df: int = TFIDF_MIN_DF,
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    return (
+        f"WITH tokd AS (SELECT doc_id, unnest({tok}) AS term FROM {view}), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokd "
+        f"GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_df}), "
+        f"n AS (SELECT count(*) AS n_docs FROM {view}), "
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, "
+        "round(tf.tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, term ASC) AS kw_rank FROM s) "
+        "SELECT doc_id, kw_rank, term, tf, df, tfidf FROM r "
+        f"WHERE kw_rank <= {top_k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. exact token-length quantiles (histogram formulation)
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def token_length_quantiles(
+    docs: DataFrame, pcts: tuple[int, ...] = QUANTILE_PCTS
+) -> DataFrame:
+    """EXACT per-source token-length distribution: n_docs, min, max,
+    and percentile_disc-style p50/p90/p99 — all integers, no
+    approx_percentile, no floating point anywhere.
+
+    percentile_disc semantics via pure integer arithmetic: pXX is
+    the smallest length whose running doc count satisfies
+    cum * 100 >= n_docs * XX (equivalent to cume_dist >= XX/100 with
+    zero FP — ceil(0.9 * n) as integers, immune to the
+    0.9-is-not-exact ulp trap that flips an FP ceil).
+
+    Scale: the naive exact quantile sorts every row per group; this
+    one aggregates to a (source, n_tokens) histogram FIRST — the
+    100 TB corpus collapses to |sources| x |distinct lengths| rows
+    (bounded: token counts are small integers) before any window
+    runs, so the per-source running sum sorts thousands of rows, not
+    billions. One shuffle for the histogram, one for the tiny
+    window; the final per-source rollup reuses the window's hash
+    partitioning (subset key => no third exchange).
+    """
+    tok = th.tokens_sql("text", "spark")
+    hist = (
+        docs.select("source", F.expr(f"size({tok})").alias("n_tokens"))
+        .groupBy("source", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    wall = Window.partitionBy("source")
+    c = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n_docs", F.sum("cnt").over(wall))
+        .withColumn("min_tokens", F.min("n_tokens").over(wall))
+        .withColumn("max_tokens", F.max("n_tokens").over(wall))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("n_docs") * F.lit(p),
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return c.groupBy("source", "n_docs", "min_tokens", "max_tokens").agg(*aggs)
+
+
+def token_length_quantiles_oracle(
+    view: str = "documents", pcts: tuple[int, ...] = QUANTILE_PCTS
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    pcols = ", ".join(
+        f"min(CASE WHEN cum * 100 >= n_docs * {p} THEN n_tokens END) AS p{p}"
+        for p in pcts
+    )
+    return (
+        f"WITH per AS (SELECT source, len({tok}) AS n_tokens FROM {view}), "
+        "h AS (SELECT source, n_tokens, count(*) AS cnt FROM per GROUP BY 1, 2), "
+        "c AS (SELECT source, n_tokens, cnt, "
+        "sum(cnt) OVER (PARTITION BY source ORDER BY n_tokens) AS cum, "
+        "sum(cnt) OVER (PARTITION BY source) AS n_docs, "
+        "min(n_tokens) OVER (PARTITION BY source) AS min_tokens, "
+        "max(n_tokens) OVER (PARTITION BY source) AS max_tokens FROM h) "
+        f"SELECT source, n_docs, min_tokens, max_tokens, {pcols} "
+        "FROM c GROUP BY 1, 2, 3, 4"
+    )

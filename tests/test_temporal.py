@@ -152,3 +152,55 @@ def test_range_neighbor_counts_no_dup_candidates(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1}
+
+
+def _typed_events(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), _ts(s), int(u), t) for i, s, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_session_funnel_conversion_semantics(spark):
+    # four sessions (gap 10 s): entry-then-goal converts; goal BEFORE
+    # the first entry does not; entry-only and goal-only do not.
+    ev = _typed_events(
+        spark,
+        [
+            (1, 0.0, 1, "view"),
+            (2, 1.0, 1, "purchase"),      # converted
+            (3, 100.0, 1, "purchase"),
+            (4, 101.0, 1, "view"),        # goal precedes entry -> no
+            (5, 200.0, 1, "view"),        # entry only -> no
+            (6, 300.0, 1, "purchase"),    # goal only -> no
+        ],
+    )
+    out = {
+        r.session_idx: r
+        for r in temporal.session_funnel(ev, gap_us=10_000_000).collect()
+    }
+    assert [out[i].converted for i in (1, 2, 3, 4)] == [1, 0, 0, 0]
+    assert out[1].n_entries == 1 and out[1].n_goals == 1
+    assert out[2].first_entry_us > out[2].last_goal_us
+    assert out[3].last_goal_us is None
+    assert out[4].first_entry_us is None
+
+
+def test_session_funnel_goal_at_entry_instant_converts(spark):
+    # last_goal_us == first_entry_us is INCLUSIVE (>=, not >)
+    ev = _typed_events(spark, [(1, 5.0, 1, "view"), (2, 5.0, 1, "purchase")])
+    out = temporal.session_funnel(ev, gap_us=10_000_000).collect()
+    assert len(out) == 1 and out[0].converted == 1
+
+
+def test_session_funnel_single_exchange_plan(spark):
+    ev = _typed_events(spark, [(1, 0.0, 1, "view"), (2, 1.0, 1, "purchase")])
+    plan = (
+        temporal.session_funnel(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # label window, running sum, and the funnel rollup all reuse ONE
+    # hash exchange on the key (same plan shape as sessionize)
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -158,3 +158,66 @@ def test_vocab_ngram_counts_exact(spark):
     assert out[("b a", 2)] == (2, 1)
     assert out[("a a", 2)] == (2, 1)
     assert ("b c", 2) not in out
+
+
+def test_tfidf_keywords_exact(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana cherry")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term): (r.kw_rank, r.tf, r.df, r.tfidf)
+        for r in textops.tfidf_keywords(df, top_k=2, min_df=1).collect()
+    }
+
+    def idf(dfq):
+        return round(1 * (math.log((3 + 1) / (dfq + 1)) + 1), 6)
+
+    # doc 1: apple tf=2 df=2 score 2*(ln(4/3)+1); banana tf=1 df=2
+    assert out[(1, "apple")][0] == 1
+    assert out[(1, "apple")][3] == round(2 * (math.log(4 / 3) + 1), 6)
+    assert out[(1, "banana")] == (2, 1, 2, idf(2))
+    # doc 2: equal scores (both tf=1 df=2) -> term ASC breaks the tie
+    assert out[(2, "apple")][0] == 1 and out[(2, "cherry")][0] == 2
+
+
+def test_tfidf_min_df_prunes_rare_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2"), (3, "common rare3")],
+        "doc_id long, text string",
+    )
+    rows = textops.tfidf_keywords(df, top_k=5, min_df=3).collect()
+    assert {r.term for r in rows} == {"common"}
+    assert len(rows) == 3
+
+
+def test_token_length_quantiles_percentile_disc(spark):
+    # source 'a': lengths 1..10 (one doc each) -> exact disc quantiles
+    docs = [(i, "a", " ".join(["w"] * i)) for i in range(1, 11)]
+    # source 'b': all length 3 -> every percentile is 3
+    docs += [(100 + i, "b", "x y z") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r.source: r for r in textops.token_length_quantiles(df).collect()}
+    a = out["a"]
+    assert (a.n_docs, a.min_tokens, a.max_tokens) == (10, 1, 10)
+    assert (a.p50, a.p90, a.p99) == (5, 9, 10)
+    b = out["b"]
+    assert (b.n_docs, b.p50, b.p90, b.p99) == (4, 3, 3, 3)
+
+
+def test_token_length_quantiles_two_exchange_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "a", "x"), (3, "b", "x y z")],
+        "doc_id long, source string, text string",
+    )
+    plan = (
+        textops.token_length_quantiles(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # histogram exchange on (source, n_tokens) + window exchange on
+    # (source); the final rollup reuses the window's partitioning
+    assert plan.count("Exchange hashpartitioning") == 2
