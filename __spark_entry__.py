@@ -28,6 +28,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     clustering,
     dedup,
     interpolation,
+    mobility,
     multimodal,
     packing,
     prepare,
@@ -321,6 +322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return trajectory.od_edges(sited, home)
 
     q["od_detail"] = _od_detail
+
+    # --- mobility indicators (NEW late-r4, operators/mobility.py):
+    # rog / entropy / displacement over the same cdr + zoned frames
+    # the statistics and frequent-locations chains consume —
+    # registered past-window this round, r5 rotation candidates
+    # (oracle-green locally via tools/check_oracle.py) ---
+    q["radius_of_gyration"] = lambda s, d: mobility.radius_of_gyration(_cdr(s, d))
+    q["location_entropy"] = lambda s, d: mobility.location_entropy(
+        _zoned(s, d).select("uid", "zone_id")
+    )
+    q["user_displacement"] = lambda s, d: mobility.user_displacement(_cdr(s, d))
 
     # --- temporal primitives (NEW late-r4): the trajectory chain's
     # machinery generalized to any (key, ts) table — gap sessions,
@@ -931,6 +943,14 @@ def oracle_sql() -> dict[str, str]:
         f"{_OD_CTES} SELECT uid, pdt, origin_site, dest_site, "
         "origin_zone, dest_zone, ts FROM edges"
     )
+
+    # mobility indicators (operators/mobility.py) — the engine's
+    # closed-form/single-shuffle plans vs the same shared formula
+    # snippets over the cdr / zoned CTEs; metres rounded to 3,
+    # entropy to 6, absorbing partial-aggregation sum order.
+    o["radius_of_gyration"] = f"{base} {mobility.rog_oracle_body()}"
+    o["location_entropy"] = f"{zone_base} {mobility.entropy_oracle_body()}"
+    o["user_displacement"] = f"{base} {mobility.displacement_oracle_body()}"
 
     # temporal primitives (operators/temporal.py) — engine windows /
     # binned equi-joins vs the oracle's direct (quadratic-OK-at-sf0.01)

@@ -1,0 +1,216 @@
+"""Per-user mobility indicators: radius of gyration, location
+entropy, and displacement statistics.
+
+These are the standard CDR mobility metrics (Gonzalez/Hidalgo/
+Barabasi, "Understanding individual human mobility patterns", Nature
+2008) computed downstream of exactly the frames the reference's own
+chain produces: the canonical CDR fact (`prepare.events_as_cdr`, the
+input to every statistics query, e.g. reference
+queries/statistics/daily_cdrs.sql:1-6) and the zone-assigned fact the
+frequent-locations chain groups on (reference
+queries/statistics/frequent_locations.sql:6-13). The reference stops
+at visit counts per (uid, zone); these operators add the per-user
+spatial-dispersion summaries a mobility analyst derives next, each as
+a single-aggregation Spark plan with a bit-parity DuckDB twin.
+
+Scale shapes (all verified by plan tests):
+
+- ``radius_of_gyration``: the planar rog is computed in CLOSED FORM
+  from per-user moment sums — sum(x), sum(x*x), sum(y), sum(y*y) —
+  so the plan is ONE partial-aggregatable groupBy (map-side combine,
+  one exchange of |users| rows), never the naive
+  centroid-join-then-re-aggregate double shuffle. Coordinates are
+  centred on the fixture origin before squaring so the variance
+  subtraction keeps ~11 significant digits at any corpus size.
+- ``location_entropy``: Shannon entropy over a user's zone-visit
+  distribution, algebraically restated as ln(T) - sum(c*ln(c))/T so
+  the per-zone counts never need the per-user total on the same row:
+  two stacked groupBys that share one hash exchange lineage
+  ((uid, zone) then uid — the second is a near-free re-reduce of at
+  most |zones| rows per user).
+- ``user_displacement``: consecutive-step path statistics via ONE
+  window sort on (uid -> call_time, event_id) feeding a groupBy on
+  the window's own partition key, so Catalyst inserts no second
+  exchange — the same single-shuffle shape as sessionize.
+
+Every emitted metre/entropy value is rounded (3 decimals for metres,
+6 for entropy) so the only cross-engine nondeterminism — floating
+sum order under partial aggregation — is absorbed; the formulas
+themselves are shared snippet-for-snippet with the DuckDB oracle
+(`*_ORACLE_BODY` below), in the repo's portable-SQL dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..functions.geo import dlit
+
+#: metres per degree of latitude — the same constant the Voronoi
+#: zone metric uses to express planar degree distances in metres
+#: (`operators/zones.py`, knn dist_m).
+M_PER_DEG = 111320.0
+
+# Centred planar coordinates (degrees): x north, y east scaled by the
+# fixture mid-latitude cosine — the SAME planar metric that defines
+# the Voronoi zones (geo.planar_d2_sql), so rog is measured in the
+# geometry the rest of the engine joins in. Centring on the fixture
+# origin keeps |x|,|y| < 1 degree, so sum(x*x) carries ~11 significant
+# digits through the variance subtraction regardless of corpus size.
+_X_SQL = f"(lat - {dlit(geo.LAT0)})"
+_Y_SQL = f"((lon - {dlit(geo.LON0)}) * {dlit(geo.LON_SCALE)})"
+
+# rog_m = sqrt(var(x) + var(y)) * M_PER_DEG over a user's points,
+# var via the moment identity (sum_sq - sum^2/n)/n; greatest(0, ...)
+# clamps the -1ulp negative a zero-variance user can produce.
+_ROG_FORMULA = (
+    "round(sqrt(greatest(CAST('0.0' AS DOUBLE), "
+    "((sxx - sx * sx / n) + (syy - sy * sy / n)) / n)) "
+    f"* {dlit(M_PER_DEG)}, 3)"
+)
+
+
+def radius_of_gyration(cdr: DataFrame) -> DataFrame:
+    """Per-user radius of gyration in metres over the planar zone
+    metric: rog = sqrt(mean squared distance to the user's centroid).
+
+    Output: (uid, n_events, rog_m), rog_m rounded to mm.
+
+    Physical plan: one projection + ONE hash aggregate on uid — the
+    moment sums are map-side partials, so the exchange carries one
+    row per (user, map partition), never the raw points, and there is
+    no centroid self-join.
+    """
+    pts = cdr.select(
+        "uid",
+        F.expr(_X_SQL).alias("x"),
+        F.expr(_Y_SQL).alias("y"),
+    )
+    agg = pts.groupBy("uid").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return agg.select(
+        "uid",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(_ROG_FORMULA).alias("rog_m"),
+    )
+
+
+def rog_oracle_body() -> str:
+    """DuckDB twin of :func:`radius_of_gyration` over the ``cdr``
+    CTE — the inner moment sums and the outer formula are the same
+    snippets the Spark plan evaluates."""
+    return (
+        "SELECT uid, CAST(n AS BIGINT) AS n_events, "
+        f"{_ROG_FORMULA} AS rog_m FROM ("
+        "SELECT uid, CAST(count(*) AS DOUBLE) AS n, "
+        f"sum(x) AS sx, sum(x * x) AS sxx, "
+        "sum(y) AS sy, sum(y * y) AS syy FROM ("
+        f"SELECT uid, {_X_SQL} AS x, {_Y_SQL} AS y FROM cdr) GROUP BY uid)"
+    )
+
+
+# Entropy restated join-free: H = ln(T) - sum(c*ln(c))/T. norm_entropy
+# divides by ln(n_zones) (the maximum achievable H), 0 for a
+# single-zone user.
+_ENTROPY_FORMULA = "round(ln(t) - slc / t, 6)"
+_NORM_FORMULA = (
+    "round(CASE WHEN n_zones = 1 THEN CAST('0.0' AS DOUBLE) "
+    "ELSE (ln(t) - slc / t) / ln(CAST(n_zones AS DOUBLE)) END, 6)"
+)
+
+
+def location_entropy(zoned: DataFrame) -> DataFrame:
+    """Per-user Shannon entropy of the zone-visit distribution (nats),
+    plus the ln(n_zones)-normalized form in [0, 1].
+
+    Output: (uid, n_zones, n_events, entropy, norm_entropy).
+
+    Physical plan: groupBy (uid, zone_id) for the visit counts, then a
+    groupBy uid over at most |zones| rows per user computing T,
+    sum(c*ln c), and n_zones in one pass — H needs no per-row total,
+    so there is no window and no self-join.
+    """
+    counts = zoned.groupBy("uid", "zone_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    agg = counts.groupBy("uid").agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum("c").alias("t"),
+        F.sum(F.expr("c * ln(c)")).alias("slc"),
+    )
+    return agg.select(
+        "uid",
+        "n_zones",
+        F.col("t").cast("long").alias("n_events"),
+        F.expr(_ENTROPY_FORMULA).alias("entropy"),
+        F.expr(_NORM_FORMULA).alias("norm_entropy"),
+    )
+
+
+def entropy_oracle_body() -> str:
+    """DuckDB twin of :func:`location_entropy` over the ``zoned``
+    CTE (same zone assignment the frequent-locations oracle uses)."""
+    return (
+        "SELECT uid, n_zones, CAST(t AS BIGINT) AS n_events, "
+        f"{_ENTROPY_FORMULA} AS entropy, {_NORM_FORMULA} AS norm_entropy "
+        "FROM (SELECT uid, count(*) AS n_zones, sum(c) AS t, "
+        "sum(c * ln(c)) AS slc FROM ("
+        "SELECT uid, zone_id, CAST(count(*) AS DOUBLE) AS c "
+        "FROM zoned GROUP BY uid, zone_id) GROUP BY uid)"
+    )
+
+
+def user_displacement(cdr: DataFrame) -> DataFrame:
+    """Per-user consecutive-step path statistics: number of moves,
+    total great-circle travel distance, and the longest single step,
+    in metres (sp_distance / haversine metric, reference UDF analogue
+    hive_init_commands/initial_hive_commands_od.json:41).
+
+    Events are ordered by (call_time, event_id) within the user —
+    the same deterministic tie-break as the trajectory chain.
+    Single-event users are kept with n_moves = 0 and 0.0 distances.
+
+    Physical plan: ONE exchange — the lag window partitions on uid
+    and the rollup groups on uid, so the groupBy reuses the window's
+    hash partitioning; the haversine is JVM-side codegen.
+    """
+    w = Window.partitionBy("uid").orderBy("call_time", "event_id")
+    seq = cdr.select("uid", "event_id", "call_time", "lat", "lon")
+    stepped = (
+        seq.withColumn("plat", F.lag("lat").over(w))
+        .withColumn("plon", F.lag("lon").over(w))
+        .withColumn(
+            "step_m",
+            F.expr(geo.haversine_sql("plat", "plon", "lat", "lon")),
+        )
+    )
+    zero = F.expr(dlit(0.0))
+    return stepped.groupBy("uid").agg(
+        F.count("step_m").alias("n_moves"),
+        F.round(F.coalesce(F.sum("step_m"), zero), 3).alias("total_travel_m"),
+        F.round(F.coalesce(F.max("step_m"), zero), 3).alias("max_step_m"),
+    )
+
+
+def displacement_oracle_body() -> str:
+    """DuckDB twin of :func:`user_displacement` over the ``cdr`` CTE:
+    identical lag spec, identical haversine snippet."""
+    hav = geo.haversine_sql("plat", "plon", "lat", "lon")
+    z = dlit(0.0)
+    return (
+        "SELECT uid, count(step_m) AS n_moves, "
+        f"round(coalesce(sum(step_m), {z}), 3) AS total_travel_m, "
+        f"round(coalesce(max(step_m), {z}), 3) AS max_step_m FROM ("
+        f"SELECT uid, {hav} AS step_m FROM ("
+        "SELECT uid, lat, lon, "
+        "lag(lat) OVER (PARTITION BY uid ORDER BY call_time, event_id) AS plat, "
+        "lag(lon) OVER (PARTITION BY uid ORDER BY call_time, event_id) AS plon "
+        "FROM cdr)) GROUP BY uid"
+    )
