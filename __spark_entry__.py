@@ -387,6 +387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strategy family — mode='broadcast' pins the zero-shuffle path
     # against the DuckDB brute-force bit_count(xor) twin
     q["simhash_near_dup"] = lambda s, d: dedup.simhash_near_dup(_docs(s, d))
+    # late r4: co-located near-dup — the composite (spatial block x
+    # pigeonhole band) candidate key of spatial_hamming_near_dup;
+    # registered past-window, r5 rotation candidate (oracle-green
+    # locally via tools/check_oracle.py)
+    q["simhash_geo_near_dup"] = lambda s, d: dedup.simhash_geo_near_dup(_docs(s, d))
 
     # --- similarity search (embeddings; ANN baseline + LSH scale path) ---
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d))
@@ -581,6 +586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (pixel hashing is not SQL-expressible); exactness vs brute-force
     # popcount and seeded recall are pytest-certified
     q["image_near_dup"] = lambda s, d: multimodal.image_near_dup(
+        synthetic.images_df(s, 500, partitions=8, dup_every=5)
+    )
+    # co-located perceptual near-dup: the composite (spatial block x
+    # pigeonhole band) key over decoded pixel hashes + anchor geotags
+    # (rows-only: pixel hashing; exactness on BOTH predicates vs
+    # brute force is pytest-certified, and the same composite join is
+    # oracle-certified end-to-end by simhash_geo_near_dup)
+    q["image_geo_near_dup"] = lambda s, d: multimodal.image_geo_near_dup(
         synthetic.images_df(s, 500, partitions=8, dup_every=5)
     )
     # duplicate-image components + keeper verdict over the exact
@@ -1020,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_oracle()
     o["dedup_clusters"] = dedup.dedup_clusters_oracle()
     o["simhash_near_dup"] = dedup.simhash_near_dup_oracle()
+    o["simhash_geo_near_dup"] = dedup.simhash_geo_near_dup_oracle()
 
     o["ann_cosine_topk"] = similarity.cosine_topk_oracle()
     o["ann_cosine_topk_lsh"] = similarity.cosine_topk_lsh_oracle()

@@ -240,6 +240,72 @@ def simhash_near_dup_oracle(
     )
 
 
+#: default co-location radius for the spatially-constrained near-dup
+GEO_NEAR_DUP_RADIUS_M = 10_000.0
+
+
+def simhash_geo_near_dup(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_NEAR_DUP_RADIUS,
+    radius_m: float = GEO_NEAR_DUP_RADIUS_M,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Co-located near-dup document pairs: SimHash Hamming radius AND
+    anchor points within ``radius_m`` — the multi-site crawl dedup
+    rule (collapse near-identical documents only when they come from
+    the same region), and the oracle-certified end-to-end exercise of
+    similarity.spatial_hamming_near_dup's composite
+    (spatial block x pigeonhole band) candidate key. Anchors derive
+    from doc_id exactly like the events fact's phash-role anchors
+    (prepare.events_as_cdr), so the DuckDB twin brute-forces both
+    predicates over all pairs and hash-matches dist_m bit-for-bit."""
+    from ..functions import geo
+    from . import similarity
+
+    pts = simhash64_signatures(docs).select(
+        "doc_id",
+        "simhash",
+        F.expr(geo.anchor_lat_sql("doc_id")).alias("lat"),
+        F.expr(geo.anchor_lon_sql("doc_id")).alias("lon"),
+    )
+    return similarity.spatial_hamming_near_dup(
+        pts,
+        "doc_id",
+        "simhash",
+        "lat",
+        "lon",
+        max_hamming=max_hamming,
+        radius_m=radius_m,
+        n_hint=n_hint,
+    )
+
+
+def simhash_geo_near_dup_oracle(
+    view: str = "documents",
+    max_hamming: int = SIMHASH_NEAR_DUP_RADIUS,
+    radius_m: float = GEO_NEAR_DUP_RADIUS_M,
+) -> str:
+    from ..functions import geo
+
+    tok = th.tokens_sql("text", "duckdb")
+    h = th.md5_int_sql("token", "duckdb")
+    votes = ", ".join(_simhash_votes(h, "duckdb", SIMHASH64_BITS))
+    d = "bit_count(xor(a.simhash, b.simhash))"
+    d2 = geo.planar_d2_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    rad_deg = radius_m / 111_320.0
+    return (
+        f"WITH tokd AS (SELECT doc_id, unnest({tok}) AS token FROM {view}), "
+        f"v AS (SELECT doc_id, {votes} FROM tokd GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {_simhash_combine(SIMHASH64_BITS)} AS simhash, "
+        f"{geo.anchor_lat_sql('doc_id')} AS lat, "
+        f"{geo.anchor_lon_sql('doc_id')} AS lon FROM v) "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({d} AS INT) AS hamming, "
+        f"round(sqrt({d2}) * {geo.dlit(111_320.0)}, 6) AS dist_m "
+        f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE {d} <= {max_hamming} AND {d2} <= {geo.dlit(rad_deg * rad_deg)}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. n-gram Jaccard similarity join
 

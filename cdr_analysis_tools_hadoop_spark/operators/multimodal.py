@@ -491,6 +491,56 @@ def image_near_dup(
     )
 
 
+#: default co-location radius for the spatially-constrained image dedup
+IMAGE_GEO_NEAR_DUP_RADIUS_M = 50_000.0
+
+
+def image_geo_near_dup(
+    images: DataFrame,
+    max_hamming: int = 6,
+    radius_m: float = IMAGE_GEO_NEAR_DUP_RADIUS_M,
+    n_hint: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Co-located near-duplicate image pairs: perceptual-hash Hamming
+    radius AND anchor points within ``radius_m`` — the geotagged-crawl
+    dedup rule (collapse re-encodes/crops only when shot in the same
+    area, so distinct landmarks sharing a flat hash never merge).
+
+    One fused Arrow decode pass computes the 64-bit average-hash
+    (decode_features); each image is geotagged at its deterministic
+    anchor point (the phash-role anchor convention shared with
+    prepare.events_as_cdr, derived from the numeric image id); then
+    similarity.spatial_hamming_near_dup joins on the composite
+    (shifted-grid spatial block x pigeonhole band) key — EXACT on both
+    predicates, never all-pairs, and immune to the degenerate
+    flat-hash cluster unless it is also co-located.
+
+    Output: (id_a, id_b, hamming, dist_m), id_a < id_b.
+    """
+    from ..functions import geo
+    from . import similarity
+
+    num_id = "cast(substring(image_id, 4) as bigint)"
+    pts = decode_features(images).select(
+        "image_id",
+        "pixel_phash",
+        F.expr(geo.anchor_lat_sql(num_id)).alias("lat"),
+        F.expr(geo.anchor_lon_sql(num_id)).alias("lon"),
+    )
+    return similarity.spatial_hamming_near_dup(
+        pts,
+        "image_id",
+        "pixel_phash",
+        "lat",
+        "lon",
+        max_hamming=max_hamming,
+        radius_m=radius_m,
+        n_hint=n_hint,
+        max_bucket=max_bucket,
+    )
+
+
 def video_signature(videos: DataFrame, slots: int = 8) -> DataFrame:
     """Per-clip fingerprint: the average-hash of ``slots`` uniformly
     spaced frames (first and last always included), as array<long>.

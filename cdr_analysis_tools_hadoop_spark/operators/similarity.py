@@ -1135,3 +1135,134 @@ def _broadcast_hamming_verify(
 
     driver = spark.range(0, len(combos), 1, len(combos))
     return driver.mapInArrow(kernel, schema=out_schema).distinct()
+
+
+# ---------------------------------------------------------------------------
+# 6. Spatially-constrained exact Hamming near-dup
+#
+# The fusion of the engine's two candidate-pruning dimensions: the
+# pigeonhole band key (perceptual similarity) and a shifted-grid
+# spatial block (co-location), joined as ONE composite equi-key.
+
+
+def _shifted_grid_cells(lat_col: str, lon_col: str, rad_deg: float) -> F.Column:
+    """array<long> of the 4 shifted-grid cell keys covering a point.
+
+    Grid cells are squares of side 2*rad_deg in the planar zone
+    metric (lat-degrees; lon scaled by the fixture mid-latitude
+    cosine — the SAME metric that defines the Voronoi zones,
+    functions/geo.planar_d2_sql), and the 4 grids are offset by
+    {0, rad_deg} per axis. Half-open cells + offset exactly half the
+    cell side give the standard guarantee: any two points within
+    L-inf distance rad_deg (hence within planar Euclidean rad_deg)
+    share at least one shifted cell — 100% recall with 4 keys per
+    row on BOTH sides, vs 9 on one side for a ring-1 neighbor
+    explode."""
+    import math as _math
+
+    from ..functions import geo
+
+    s = 2.0 * rad_deg
+    m = int(_math.ceil(1.0 / s)) + 3
+    x = f"(({lat_col}) - {geo.dlit(geo.LAT0)})"
+    y = f"((({lon_col}) - {geo.dlit(geo.LON0)}) * {geo.dlit(geo.LON_SCALE)})"
+
+    def fidx(v: str, off: float) -> str:
+        return (
+            f"(cast(floor((({v}) - {geo.dlit(off)}) / {geo.dlit(s)}) as bigint) + 1)"
+        )
+
+    cells = [
+        f"(({fidx(x, ox)} * {m} + {fidx(y, oy)}) * 4 + {gid})"
+        for gid, (ox, oy) in enumerate(
+            [(0.0, 0.0), (rad_deg, 0.0), (0.0, rad_deg), (rad_deg, rad_deg)]
+        )
+    ]
+    return F.array(*[F.expr(c) for c in cells])
+
+
+def spatial_hamming_near_dup(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    lat_col: str,
+    lon_col: str,
+    max_hamming: int = 6,
+    radius_m: float = 10_000.0,
+    n_hint: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All pairs whose 64-bit ``hash_col`` values differ in at most
+    ``max_hamming`` bits AND whose points lie within ``radius_m`` in
+    the planar zone metric — EXACT on both predicates, never
+    all-pairs.
+
+    Candidate key = (shifted-grid cell, band, key): a pair is a
+    candidate only if it shares a spatial block AND a pigeonhole band
+    verbatim, so the two pruning dimensions MULTIPLY. The scale
+    consequence: bucket occupancy is bounded by LOCAL corpus density
+    (points within ~2*radius sharing a band value), not by global N —
+    the narrow k = max_hamming + 1 banding stays O(1)-occupancy far
+    past the corpus sizes where the pure-Hamming join must widen its
+    keys (hamming_banding's n_hint mode), and a DEGENERATE hash
+    cluster (flat images all on one average-hash value) that is
+    quadratic for the pure-Hamming join is rescued by the spatial
+    key: it only stays quadratic if the cluster is ALSO co-located.
+    ``max_bucket`` remains the last-resort guard for that case.
+
+    Verification is one codegen pass: bit_count(xor) <= max_hamming
+    and planar d2 <= radius^2; ``dist_m`` is emitted with the same
+    round(sqrt(d2)*111320, 6) formula as knn_nearest_tower, so a
+    DuckDB twin hash-matches bit-for-bit.
+
+    Output: (id_a, id_b, hamming, dist_m), id_a < id_b, distinct.
+    """
+    from ..functions import geo
+
+    rad_deg = radius_m / 111_320.0
+    k, c = hamming_banding(max_hamming, n_hint)
+    narrow = df.select(id_col, hash_col, lat_col, lon_col)
+    keyed = narrow.select(
+        "*",
+        F.explode(_shifted_grid_cells(lat_col, lon_col, rad_deg)).alias("gcell"),
+    ).select(
+        "*", F.explode(_hamming_key_structs(hash_col, k, c)).alias("bk")
+    ).select(id_col, hash_col, lat_col, lon_col, "gcell", "bk.band", "bk.key")
+    if max_bucket:
+        hot = (
+            keyed.groupBy("gcell", "band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("gcell", "band", "key")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["gcell", "band", "key"], "left_anti")
+    # same merge-hint rationale as hamming_near_dup: the exploded
+    # band table's size estimate is bytes-of-source, so the static
+    # planner would broadcast or build an unspillable hash at scale;
+    # sort-merge spills gracefully and AQE still splits skewed keys
+    a, b = keyed.alias("a"), keyed.hint("merge").alias("b")
+    d2 = geo.planar_d2_sql(
+        f"a.{lat_col}", f"a.{lon_col}", f"b.{lat_col}", f"b.{lon_col}"
+    )
+    rad2 = rad_deg * rad_deg
+    cand = a.join(b, ["gcell", "band", "key"]).filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(
+                f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+            ).alias("hamming"),
+            F.expr(f"round(sqrt({d2}) * {geo.dlit(111_320.0)}, 6)").alias(
+                "dist_m"
+            ),
+            F.expr(d2).alias("__d2"),
+        )
+        .filter(
+            (F.col("hamming") <= max_hamming) & (F.col("__d2") <= F.lit(rad2))
+        )
+        .drop("__d2")
+        .distinct()
+    )

@@ -444,3 +444,105 @@ def test_hamming_mode_resolution_and_guards(spark):
         assert got == {(100, 101)}, mode
     with pytest.warns(UserWarning, match="caps bind"):
         similarity.hamming_banding(16, 10**9)
+
+
+def test_spatial_hamming_near_dup_exact_vs_bruteforce(spark):
+    """The composite (shifted-grid cell x pigeonhole band) candidate
+    key is EXACT on both predicates: output == brute force over all
+    pairs (popcount AND planar distance), including pairs straddling
+    grid-cell boundaries at distances just under the radius."""
+    import itertools
+
+    from cdr_analysis_tools_hadoop_spark.functions import geo
+
+    rng = np.random.RandomState(7)
+    n = 240
+    radius_m = 10_000.0
+    rad_deg = radius_m / 111_320.0
+    # hash clusters: groups of 4 sharing a base hash with <=3 flipped
+    # bits (in-radius Hamming), plus random singletons
+    hashes = np.zeros(n, dtype=np.uint64)
+    for g in range(n // 4):
+        base = np.uint64(rng.randint(0, 2**63, dtype=np.int64))
+        for m in range(4):
+            v = int(base)
+            for b in rng.choice(64, size=rng.randint(0, 4), replace=False):
+                v ^= 1 << int(b)
+            hashes[g * 4 + m] = np.uint64(v)
+    # positions: cluster centers with offsets spanning 0..2*radius so
+    # both predicates bind, incl. boundary-straddling near-radius pairs
+    lat = geo.LAT0 + rng.uniform(0.05, 0.95, n)
+    lon = geo.LON0 + rng.uniform(0.05, 0.95, n)
+    for g in range(n // 4):
+        c = g * 4
+        for m in range(1, 4):
+            lat[c + m] = lat[c] + rng.uniform(-1.6, 1.6) * rad_deg
+            lon[c + m] = lon[c] + rng.uniform(-1.6, 1.6) * rad_deg / geo.LON_SCALE
+    want = set()
+    for i, j in itertools.combinations(range(n), 2):
+        d = bin(int(hashes[i] ^ hashes[j])).count("1")
+        dy = lat[i] - lat[j]
+        dx = (lon[i] - lon[j]) * geo.LON_SCALE
+        if d <= 6 and dy * dy + dx * dx <= rad_deg * rad_deg:
+            a, b = sorted((i, j))
+            want.add((a, b, d))
+    df = spark.createDataFrame(
+        [
+            (i, int(np.int64(hashes[i])), float(lat[i]), float(lon[i]))
+            for i in range(n)
+        ],
+        "id long, h long, lat double, lon double",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.spatial_hamming_near_dup(
+            df, "id", "h", "lat", "lon", max_hamming=6, radius_m=radius_m
+        ).collect()
+    }
+    assert got == want and len(want) >= 30
+    # dist_m matches the knn_nearest_tower formula bit-for-bit
+    rows = similarity.spatial_hamming_near_dup(
+        df, "id", "h", "lat", "lon", max_hamming=6, radius_m=radius_m
+    ).collect()
+    for r in rows[:20]:
+        dy = lat[r.id_a] - lat[r.id_b]
+        dx = (lon[r.id_a] - lon[r.id_b]) * geo.LON_SCALE
+        expect = round(np.sqrt(dy * dy + dx * dx) * 111_320.0, 6)
+        assert r.dist_m == expect
+
+
+def test_spatial_hamming_near_dup_degenerate_cluster_guard(spark):
+    """A flat-hash cluster (all zeros) that is NOT co-located produces
+    no candidates without any guard — the spatial key rescues the
+    degenerate-hash case — while a co-located flat cluster still honors
+    max_bucket as the last resort."""
+    from cdr_analysis_tools_hadoop_spark.functions import geo
+
+    # 60 identical hashes spread > radius apart, 2 co-located
+    rows = [
+        (i, 42, geo.LAT0 + 0.015 * i, geo.LON0 + 0.4)
+        for i in range(60)
+    ] + [(100, 42, geo.LAT0 + 0.93, geo.LON0 + 0.9),
+         (101, 42, geo.LAT0 + 0.93, geo.LON0 + 0.9)]
+    df = spark.createDataFrame(rows, "id long, h long, lat double, lon double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.spatial_hamming_near_dup(
+            df, "id", "h", "lat", "lon", max_hamming=6, radius_m=1_000.0
+        ).collect()
+    }
+    assert got == {(100, 101)}
+    # co-located flat cluster: max_bucket anti-joins it away
+    colo = [(i, 42, geo.LAT0 + 0.5, geo.LON0 + 0.5) for i in range(40)] + [
+        (200, 1 << 40, geo.LAT0 + 0.2, geo.LON0 + 0.2),
+        (201, (1 << 40) | 3, geo.LAT0 + 0.2, geo.LON0 + 0.2),
+    ]
+    cdf = spark.createDataFrame(colo, "id long, h long, lat double, lon double")
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in similarity.spatial_hamming_near_dup(
+            cdf, "id", "h", "lat", "lon",
+            max_hamming=6, radius_m=1_000.0, max_bucket=10,
+        ).collect()
+    }
+    assert guarded == {(200, 201)}

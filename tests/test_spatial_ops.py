@@ -615,3 +615,43 @@ def test_image_caption_curation_matches_independent_recompute(spark):
     }
     assert got == want
     assert any(v[2] for v in want.values())  # fixture seeds real dups
+
+
+def test_image_geo_near_dup_exact_both_predicates(spark):
+    """image_geo_near_dup == brute force over (popcount of the real
+    decoded pixel hashes) AND (planar anchor distance) — and is a
+    strict subset of the unconstrained image_near_dup output."""
+    imgs = synthetic.images_df(spark, 300, partitions=4, dup_every=5)
+    feats = {
+        r.image_id: r.pixel_phash
+        for r in multimodal.decode_features(imgs).collect()
+    }
+    radius_m = multimodal.IMAGE_GEO_NEAR_DUP_RADIUS_M
+    rad_deg = radius_m / 111_320.0
+    ids = sorted(feats)
+
+    def _anchor(image_id):
+        n = np.int64(int(image_id[3:]))
+        return geo.anchor_lat_np(np.array([n]))[0], geo.anchor_lon_np(
+            np.array([n])
+        )[0]
+
+    want = set()
+    for i in range(len(ids)):
+        la, lo = _anchor(ids[i])
+        for j in range(i + 1, len(ids)):
+            lb, lob = _anchor(ids[j])
+            d = bin(feats[ids[i]] ^ feats[ids[j]]).count("1")
+            dy = la - lb
+            dx = (lo - lob) * geo.LON_SCALE
+            if d <= 6 and dy * dy + dx * dx <= rad_deg * rad_deg:
+                want.add((ids[i], ids[j]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in multimodal.image_geo_near_dup(imgs, 6).collect()
+    }
+    assert got == want and len(want) >= 5
+    unconstrained = {
+        (r.id_a, r.id_b) for r in multimodal.image_near_dup(imgs, 6).collect()
+    }
+    assert got < unconstrained
