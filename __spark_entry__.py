@@ -433,6 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_length_quantiles"] = lambda s, d: textops.token_length_quantiles(
         _docs(s, d)
     )
+    # bigram-LM perplexity quality filter (late r4): trains add-1
+    # smoothed counts on the corpus, scores every doc — NEW oracle
+    # semantics, takes an in-window driver row this round
+    q["ngram_perplexity"] = lambda s, d: textops.ngram_perplexity(_docs(s, d))
 
     # --- embedding clustering + semantic dedup (late r4) ---
     # one Lloyd step of spherical k-means, fully SQL-expressible:
@@ -669,7 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation",
         "daily_statistics",
         "total_unique_locations",
-        "average_daily_admin1",
+        # (average_daily_admin1 — unchanged, driver-green r1+r2+r3 —
+        # loans its window row to ngram_perplexity this round)
         "user_activity_histogram",
         # spatial: zones / cells / tiles / knn
         # (zone_assignment, cell_counts_res8, tile_counts_z12 —
@@ -723,6 +728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_ngram_counts",
         "kmeans_refine_assign",
         "bpe_pair_counts",
+        # bigram-LM perplexity (NEW late r4 -> in-window, on the
+        # loaned average_daily_admin1 slot — that core entry is
+        # unchanged and driver-green r1+r2+r3; it rejoins with the
+        # r5 rotation swap)
+        "ngram_perplexity",
         # past the 50-gate this round: unchanged, driver-green in
         # r1+r2+r3 (knn_label_vote, ann lsh/ivf variants r3); they
         # rejoin the window with the r5 rotation swap
@@ -1054,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
     o["tfidf_keywords"] = textops.tfidf_keywords_oracle()
     o["token_length_quantiles"] = textops.token_length_quantiles_oracle()
+    o["ngram_perplexity"] = textops.ngram_perplexity_oracle()
     o["kmeans_refine_assign"] = clustering.kmeans_refine_oracle()
     o["bpe_pair_counts"] = bpe.bpe_pair_counts_oracle()
     o["pii_redaction"] = textops.pii_redaction_oracle(

@@ -741,3 +741,142 @@ def token_length_quantiles_oracle(
         f"SELECT source, n_docs, min_tokens, max_tokens, {pcols} "
         "FROM c GROUP BY 1, 2, 3, 4"
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. bigram LM training + perplexity scoring (CCNet-style quality filter)
+
+LM_ROUND = 6
+
+
+def _token_pairs_sql(tok: str, dialect: str) -> str:
+    """Array of (prev, cur) adjacent-token structs from a token array
+    (empty when the document has < 2 tokens). element_at is 1-based
+    in both engines, so indices stay in range — ANSI-safe."""
+    if dialect == "spark":
+        return (
+            f"(case when size({tok}) < 2 then "
+            f"array() "
+            f"else transform(sequence(1, size({tok}) - 1), "
+            f"i -> struct(element_at({tok}, i) AS prev, "
+            f"element_at({tok}, i + 1) AS cur)) end)"
+        )
+    return (
+        f"[{{'prev': {tok}[i], 'cur': {tok}[i+1]}} "
+        f"for i in generate_series(1, greatest(0, len({tok}) - 1))]"
+    )
+
+
+def ngram_perplexity(
+    docs: DataFrame, train: DataFrame | None = None
+) -> DataFrame:
+    """Per-document cross-entropy / perplexity under a bigram LM with
+    add-1 smoothing, trained on ``train`` (default: the scored corpus
+    itself) — the CCNet-style LM quality filter: documents whose
+    token sequences are improbable under the corpus-wide model (noise,
+    boilerplate, shuffled text) score high and get dropped or
+    down-weighted by a curation pass.
+
+    Model (exactly mirrored by the DuckDB oracle twin):
+      P(w | first position) = (C(w) + 1) / (T + V)
+      P(cur | prev)         = (C(prev, cur) + 1) / (C(prev) + V)
+    with T = total training tokens, V = distinct training tokens.
+    xent = round(-sum(ln P) / n_tokens, 6) nats/token;
+    ppl = round(exp(xent), 4) computed from the ROUNDED xent so both
+    engines exponentiate the identical double.
+
+    Scale: the model is two count tables (unigrams, bigrams), both
+    sublinear in corpus size, built by one explode + groupBy each
+    with map-side partials. Scoring is the token stream LEFT-joined
+    to those tables (coalesce 0 keeps held-out scoring correct when
+    ``train`` != ``docs``) — probe-side stopword skew is a join, not
+    an agg, so AQE skew-split applies, and at dimension-table sizes
+    AQE broadcasts the counts. The (T, V) scalars ride a 1-row
+    broadcast cross join. One final per-doc aggregation; every ln()
+    contribution is summed then rounded so partial-agg order cannot
+    flip the oracle hash.
+    """
+    train = docs if train is None else train
+    tok = th.tokens_sql("text", "spark")
+    pairs = _token_pairs_sql("t", "spark")
+
+    ttk = train.select(F.expr(tok).alias("t"))
+    uni = (
+        ttk.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        ttk.select(F.explode(F.expr(pairs)).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tot = uni.agg(
+        F.sum("c1").alias("tot_t"), F.count(F.lit(1)).alias("tot_v")
+    )
+
+    dtk = docs.select("doc_id", F.expr(tok).alias("t"))
+    firsts = (
+        dtk.select(
+            "doc_id",
+            F.expr("element_at(t, 1)").alias("w"),
+            F.expr("size(t)").alias("n"),
+        )
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n"),
+            F.expr("ln((coalesce(c1, 0) + 1.0) / (tot_t + tot_v))").alias("lp"),
+        )
+    )
+    bstream = (
+        dtk.select("doc_id", F.explode(F.expr(pairs)).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .join(big, ["prev", "cur"], "left")
+        .join(uni.withColumnRenamed("w", "prev").withColumnRenamed("c1", "cp"), "prev", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.lit(None).cast("int").alias("n"),
+            F.expr("ln((coalesce(c2, 0) + 1.0) / (coalesce(cp, 0) + tot_v))").alias("lp"),
+        )
+    )
+    per_doc = (
+        firsts.unionByName(bstream)
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n_tokens"), F.sum("lp").alias("slp"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"round(-slp / n_tokens, {LM_ROUND})").alias("xent"),
+        F.expr(f"round(exp(round(-slp / n_tokens, {LM_ROUND})), 4)").alias("ppl"),
+    )
+
+
+def ngram_perplexity_oracle(view: str = "documents") -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    pairs = _token_pairs_sql("t", "duckdb")
+    return (
+        f"WITH tokd AS (SELECT doc_id, {tok} AS t FROM {view}), "
+        "uni AS (SELECT w, count(*) AS c1 FROM "
+        "(SELECT unnest(t) AS w FROM tokd) GROUP BY 1), "
+        "tot AS (SELECT sum(c1) AS tot_t, count(*) AS tot_v FROM uni), "
+        f"pr AS (SELECT doc_id, unnest({pairs}) AS p FROM tokd), "
+        "pairs AS (SELECT doc_id, p['prev'] AS prev, p['cur'] AS cur FROM pr), "
+        "big AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2), "
+        "flp AS (SELECT doc_id, len(t) AS n, "
+        "ln((coalesce(c1, 0) + 1.0) / (tot_t + tot_v)) AS lp "
+        "FROM tokd LEFT JOIN uni ON t[1] = uni.w CROSS JOIN tot), "
+        "blp AS (SELECT doc_id, CAST(NULL AS INT) AS n, "
+        "ln((coalesce(c2, 0) + 1.0) / (coalesce(u.c1, 0) + tot_v)) AS lp "
+        "FROM pairs LEFT JOIN big USING (prev, cur) "
+        "LEFT JOIN uni u ON pairs.prev = u.w CROSS JOIN tot), "
+        "s AS (SELECT doc_id, max(n) AS n_tokens, sum(lp) AS slp "
+        "FROM (SELECT * FROM flp UNION ALL SELECT * FROM blp) GROUP BY 1) "
+        "SELECT doc_id, n_tokens, "
+        f"round(-slp / n_tokens, {LM_ROUND}) AS xent, "
+        f"round(exp(round(-slp / n_tokens, {LM_ROUND})), 4) AS ppl FROM s"
+    )

@@ -221,3 +221,51 @@ def test_token_length_quantiles_two_exchange_plan(spark):
     # histogram exchange on (source, n_tokens) + window exchange on
     # (source); the final rollup reuses the window's partitioning
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ngram_perplexity_hand_computed(spark):
+    """xent matches a from-scratch python recompute of the add-1
+    bigram model on a tiny corpus where every count is checkable."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "c c a")], "doc_id long, text string"
+    )
+    # counts: tokens a:4 b:2 c:2 -> T=8 V=3
+    # bigrams: (a,b):1 (b,a):2 (c,c):1 (c,a):1
+    uni = {"a": 4, "b": 2, "c": 2}
+    big = {("a", "b"): 1, ("b", "a"): 2, ("c", "c"): 1, ("c", "a"): 1}
+    T, V = 8, 3
+
+    def xent(text):
+        toks = text.split(" ")
+        lp = math.log((uni.get(toks[0], 0) + 1) / (T + V))
+        for p, c in zip(toks, toks[1:]):
+            lp += math.log((big.get((p, c), 0) + 1) / (uni.get(p, 0) + V))
+        return round(-lp / len(toks), 6)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.xent, r.ppl)
+        for r in textops.ngram_perplexity(docs).collect()
+    }
+    assert got[1][0] == 3 and got[2][0] == 2 and got[3][0] == 3
+    for did, text in ((1, "a b a"), (2, "b a"), (3, "c c a")):
+        assert got[did][1] == xent(text), did
+        assert got[did][2] == round(math.exp(xent(text)), 4)
+    # improbable text scores strictly worse than corpus-typical text
+    assert got[3][1] > got[2][1]
+
+
+def test_ngram_perplexity_held_out_unseen_tokens(spark):
+    """train != docs: unseen tokens/bigrams hit the coalesce-0
+    smoothing path instead of dropping rows (LEFT joins)."""
+    import math
+
+    train = spark.createDataFrame(
+        [(10, "a b a b"), (11, "a b")], "doc_id long, text string"
+    )
+    held = spark.createDataFrame([(1, "z q")], "doc_id long, text string")
+    # T=6 V=2; unseen z: P=(0+1)/(6+2); bigram (z,q): (0+1)/(0+2)
+    want = round(-(math.log(1 / 8) + math.log(1 / 2)) / 2, 6)
+    rows = textops.ngram_perplexity(held, train=train).collect()
+    assert len(rows) == 1 and rows[0].xent == want
