@@ -280,3 +280,51 @@ def streaming_cluster_counts(
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming image ingest: the flagship pipeline as a live query
+
+
+def read_images_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema_from: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of image parquet files
+    (the input_hint table shape: image_id, bytes, w, h, fmt, caption,
+    phash). ``schema_from`` fixes the schema up front, as streaming
+    sources require."""
+    schema = spark.read.parquet(schema_from).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def streaming_image_zone_tile_counts(
+    spark: SparkSession,
+    images: DataFrame,
+    base_zoom: int = 14,
+    pip_res: int = 8,
+) -> DataFrame:
+    """The flagship image pipeline (pipeline.run_pipeline) running as
+    a Structured Streaming query over an image file stream — newly
+    landed crawl shards are decoded, PSNR-gated, geotagged, PIP
+    zone-assigned and tile-assigned as they arrive, maintaining the
+    live (zone, tile) rollup.
+
+    This is deliberately the SAME code path as the batch flagship:
+    its plan is streaming-legal by construction — one stateless fused
+    mapInArrow (decode + anchor + cell + PIP + tile; broadcasts work
+    per micro-batch), then a single aggregation whose key space
+    (|zones| x |tiles in the fixture extent|) is bounded, so complete
+    -mode state stays a few thousand rows no matter how many shards
+    stream in. No code fork between batch and streaming is the point:
+    the parity test pins stream output == batch output on identical
+    files, and exactly-once restarts come from the checkpoint dir.
+    """
+    from .. import pipeline
+
+    return pipeline.run_pipeline(spark, images, base_zoom=base_zoom, pip_res=pip_res)

@@ -288,3 +288,45 @@ def test_estimate_rows_and_scaled_near_dup_default_hint(spark, sf_dir):
     }
     want = {(i - 1, i) for i in range(10, 2_000, 10)}
     assert len(want & got) / len(want) >= 0.95
+
+
+def test_streaming_image_pipeline_matches_batch_and_resumes(spark, tmp_path):
+    """The flagship image pipeline run as a Structured Streaming
+    query: (1) stream output == batch run_pipeline on identical
+    files; (2) new shards landing in the directory are picked up by
+    a checkpoint-resumed run and the rollup matches batch over ALL
+    files — the live-ingest twin of the resumable batch writer."""
+    from cdr_analysis_tools_hadoop_spark import pipeline
+
+    d = tmp_path / "imgs"
+    synthetic.images_df(spark, 200, partitions=4).write.parquet(str(d))
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = zone_stream.read_images_stream(spark, str(d), str(d))
+    res = zone_stream.streaming_image_zone_tile_counts(spark, stream)
+    zone_stream.run_available_now(res, "img_zt", ckpt)
+    key = lambda r: (r.zone_id, r.x, r.y)
+    val = lambda r: (r.n_images, r.n_psnr_ok, r.caption_bytes)
+    got = {key(r): val(r) for r in spark.sql("SELECT * FROM img_zt").collect()}
+    want = {
+        key(r): val(r)
+        for r in pipeline.run_pipeline(spark, spark.read.parquet(str(d))).collect()
+    }
+    assert got == want and len(got) > 20
+
+    # a new shard lands: only ids >= 200 are new rows
+    synthetic.images_df(spark, 300, partitions=2).filter(
+        F.col("image_id") >= "img0000000200"
+    ).write.mode("append").parquet(str(d))
+    stream2 = zone_stream.read_images_stream(spark, str(d), str(d))
+    res2 = zone_stream.streaming_image_zone_tile_counts(spark, stream2)
+    zone_stream.run_available_now(res2, "img_zt2", ckpt)
+    got2 = {
+        key(r): val(r) for r in spark.sql("SELECT * FROM img_zt2").collect()
+    }
+    want2 = {
+        key(r): val(r)
+        for r in pipeline.run_pipeline(spark, spark.read.parquet(str(d))).collect()
+    }
+    assert got2 == want2
+    assert sum(v[0] for v in got2.values()) == 300
