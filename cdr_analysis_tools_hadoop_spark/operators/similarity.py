@@ -1219,6 +1219,8 @@ def spatial_hamming_near_dup(
     """
     from ..functions import geo
 
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive (grid cell side = 2r)")
     rad_deg = radius_m / 111_320.0
     k, c = hamming_banding(max_hamming, n_hint)
     narrow = df.select(id_col, hash_col, lat_col, lon_col)

@@ -546,3 +546,40 @@ def test_spatial_hamming_near_dup_degenerate_cluster_guard(spark):
         ).collect()
     }
     assert guarded == {(200, 201)}
+
+
+def test_spatial_hamming_large_radius_equals_pure_hamming(spark):
+    """With the radius covering the whole fixture extent the spatial
+    predicate never binds: output pairs == hamming_near_dup (the grid
+    degenerates to a handful of cells, correctly, not wrongly)."""
+    from cdr_analysis_tools_hadoop_spark.functions import geo
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(80):
+        h = int(rng.randint(0, 2**62, dtype=np.int64))
+        if i % 4 == 1:
+            h = rows[i - 1][1] ^ 3
+        rows.append(
+            (i, h, float(geo.LAT0 + rng.uniform(0, 1)),
+             float(geo.LON0 + rng.uniform(0, 1)))
+        )
+    df = spark.createDataFrame(rows, "id long, h long, lat double, lon double")
+    big = 400_000.0  # > the whole ~111 km extent
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.spatial_hamming_near_dup(
+            df, "id", "h", "lat", "lon", max_hamming=6, radius_m=big
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in similarity.hamming_near_dup(
+            df.select("id", "h"), "id", "h", 6
+        ).collect()
+    }
+    assert got == want and len(want) >= 20
+    with pytest.raises(ValueError, match="radius_m"):
+        similarity.spatial_hamming_near_dup(
+            df, "id", "h", "lat", "lon", radius_m=0.0
+        )
