@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_split"] = lambda s, d: sampling.dataset_split(_docs(s, d))
     q["quota_sample_by_source"] = lambda s, d: sampling.quota_sample(_docs(s, d))
     q["split_contamination"] = lambda s, d: sampling.split_contamination(_docs(s, d))
+    # mixture weights applied as deterministic per-doc copy counts
+    # (late r4) — NEW oracle semantics, takes an in-window driver row
+    q["mixture_resample"] = lambda s, d: sampling.mixture_resample(_docs(s, d))
     # pack-and-chop sequence layout (late r4): per-doc pack coordinates
     q["sequence_packing"] = lambda s, d: packing.sequence_packing(_docs(s, d))
     # PII scrub (late r4): the corpus has no PII, so the contract query
@@ -672,9 +675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_statistics",
         "corpus_curation",
         "daily_statistics",
-        "total_unique_locations",
-        # (average_daily_admin1 — unchanged, driver-green r1+r2+r3 —
-        # loans its window row to ngram_perplexity this round)
+        # (total_unique_locations — unchanged, driver-green
+        # r1+r2+r3 — loans its window row to mixture_resample;
+        # average_daily_admin1 likewise loans its row to
+        # ngram_perplexity this round)
         "user_activity_histogram",
         # spatial: zones / cells / tiles / knn
         # (zone_assignment, cell_counts_res8, tile_counts_z12 —
@@ -717,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split",
         "quota_sample_by_source",
         "split_contamination",
+        "mixture_resample",
         # packing + PII scrub (NEW late-r4 -> in-window, displacing
         # the two prior-green unchanged ANN variants below)
         "sequence_packing",
@@ -1057,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprints"] = textops.fingerprints_oracle()
     o["dataset_split"] = sampling.dataset_split_oracle()
     o["quota_sample_by_source"] = sampling.quota_sample_oracle()
+    o["mixture_resample"] = sampling.mixture_resample_oracle()
     o["split_contamination"] = sampling.split_contamination_oracle()
     o["sequence_packing"] = packing.sequence_packing_oracle()
     o["text_repetition"] = textops.repetition_scores_oracle()

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdr_analysis_tools_hadoop_spark.functions import texthash as th
+
 MINSTD_MOD = 2147483647  # 2^31 - 1 (prime)
 MINSTD_MULT = 48271
 DEFAULT_SEED = 7
@@ -68,10 +70,17 @@ def split_u_sql(id_col: str, seed: int) -> str:
     ``%`` keeps the dividend's sign (identically, so parity would
     hold either way), but a plain mod would send EVERY negative id to
     the first split instead of hashing it."""
+    return f"(({minstd_h_sql(id_col, seed)}) / {MINSTD_MOD}.0)"
+
+
+def minstd_h_sql(id_col: str, seed: int) -> str:
+    """The integer 3-step MINSTD hash in [0, M) split_u_sql divides —
+    exposed for consumers that need a PURE-INTEGER uniform (ppm
+    thresholds with no doubles anywhere, e.g. mixture_resample)."""
     h = f"((({id_col} % {MINSTD_MOD}) + {MINSTD_MOD} + {seed}) % {MINSTD_MOD})"
     for _ in range(3):
         h = f"(({h}) * {MINSTD_MULT} % {MINSTD_MOD})"
-    return f"(({h}) / {MINSTD_MOD}.0)"
+    return h
 
 
 def split_case_sql(
@@ -269,4 +278,87 @@ def quota_sample_oracle(
         "AS INT) AS rk FROM q) "
         f"SELECT doc_id, {group_col}, quality_millis, rk FROM r "
         f"WHERE rk <= {per_group}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. mixture resampling (applying the rebalance weights)
+
+RESAMPLE_SEED = 271828
+
+
+def mixture_resample(docs: DataFrame, seed: int = RESAMPLE_SEED) -> DataFrame:
+    """Apply the uniform-token mixture target as deterministic per-doc
+    copy counts — the step AFTER textops.domain_mixture's report: an
+    under-represented source's documents repeat (n_copies >= 1, an
+    epoch-style upsample), an over-represented source's get dropped
+    probabilistically (n_copies in {0, 1}), so every source
+    contributes ~the same token mass to the training mix.
+
+    quota_ppm(source) = (total_tokens / n_sources) / source_tokens in
+    parts-per-million, UNCAPPED (domain_mixture's keep_ppm is the
+    capped, downsample-only twin). Per document:
+        n_copies = quota_ppm div 1e6
+                 + (h(doc_id) * 1e6 div M < quota_ppm % 1e6)
+    with h the seeded integer MINSTD hash — every quantity is exact
+    int64 arithmetic, so the DuckDB twin is bit-identical, and the
+    assignment depends only on (doc_id, seed): reruns, resumes, and
+    cluster-size changes reproduce the same resampled corpus (the
+    property a Bernoulli via rand() does NOT give).
+
+    Scale: one bounded-cardinality groupBy builds the quota table;
+    the corpus side is a stateless projection after a broadcast join
+    — no shuffle of the fact, no skew surface. Output
+    (doc_id, source, n_tokens, n_copies); downstream materializes
+    copies lazily (explode(sequence(1, n_copies)) where needed).
+    """
+    tok = th.tokens_sql("text", "spark")
+    toked = docs.select(
+        "doc_id", "source", F.expr(f"size({tok})").cast("long").alias("n_tokens")
+    )
+    per = toked.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = per.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    quota = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            "(total_tokens * 1000000 div n_sources) div src_tokens"
+        ).alias("quota_ppm"),
+    )
+    u_ppm = f"(({minstd_h_sql('doc_id', seed)}) * 1000000 div {MINSTD_MOD})"
+    return (
+        toked.join(F.broadcast(quota), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(
+                f"cast(quota_ppm div 1000000 + "
+                f"(case when {u_ppm} < quota_ppm % 1000000 then 1 else 0 end) "
+                f"as int)"
+            ).alias("n_copies"),
+        )
+    )
+
+
+def mixture_resample_oracle(
+    view: str = "documents", seed: int = RESAMPLE_SEED
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    u_ppm = f"(({minstd_h_sql('doc_id', seed)}) * 1000000 // {MINSTD_MOD})"
+    return (
+        f"WITH toked AS (SELECT doc_id, source, "
+        f"CAST(len({tok}) AS BIGINT) AS n_tokens FROM {view}), "
+        "per AS (SELECT source, sum(n_tokens) AS src_tokens FROM toked "
+        "GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, "
+        "count(*) AS n_sources FROM per), "
+        "q AS (SELECT source, (total_tokens * 1000000 // n_sources) "
+        "// src_tokens AS quota_ppm FROM per CROSS JOIN tot) "
+        "SELECT doc_id, toked.source AS source, n_tokens, "
+        f"CAST(quota_ppm // 1000000 + (CASE WHEN {u_ppm} < quota_ppm % 1000000 "
+        "THEN 1 ELSE 0 END) AS INT) AS n_copies "
+        "FROM toked JOIN q ON toked.source = q.source"
     )

@@ -160,3 +160,64 @@ def test_split_handles_negative_ids(spark):
     )
     assert len(counts) >= 2  # not all in one split
     assert sum(counts.values()) == 2000
+
+
+# ---------------------------------------------------------------------------
+# mixture_resample
+
+
+def test_mixture_resample_matches_python_recompute(spark):
+    """n_copies == a from-scratch python recompute of the integer
+    quota + MINSTD-threshold rule; totals rebalance the token mass."""
+    rows = [
+        (i, "big", "w " * 50) for i in range(40)
+    ] + [(100 + i, "small", "w " * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    M, A, seed = sampling.MINSTD_MOD, sampling.MINSTD_MULT, sampling.RESAMPLE_SEED
+    # token counts: split('w ' * k, ' ') has k + 1 elements (trailing '')
+    src_tokens = {"big": 40 * 51, "small": 10 * 11}
+    total = sum(src_tokens.values())
+    n_sources = 2
+    quota = {
+        s: (total * 1_000_000 // n_sources) // t
+        for s, t in src_tokens.items()
+    }
+
+    def h(doc_id):
+        v = ((doc_id % M) + M + seed) % M
+        for _ in range(3):
+            v = v * A % M
+        return v
+
+    def copies(doc_id, source):
+        q = quota[source]
+        return q // 1_000_000 + (1 if h(doc_id) * 1_000_000 // M < q % 1_000_000 else 0)
+
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.n_copies)
+        for r in sampling.mixture_resample(df).collect()
+    }
+    assert len(got) == 50
+    for did, (src, ntok, nc) in got.items():
+        assert ntok == src_tokens[src] // (40 if src == "big" else 10)
+        assert nc == copies(did, src), (did, src)
+    # the small source upsamples (quota > 1e6), the big one downsamples
+    assert quota["small"] > 1_000_000 > quota["big"]
+    small_copies = sum(v[2] for v in got.values() if v[0] == "small")
+    assert small_copies > 10  # strictly more than one epoch
+
+
+def test_mixture_resample_rebalances_token_mass(docs):
+    """Across the real fixture, each source's resampled token mass
+    lands within 12% of the uniform target."""
+    out = sampling.mixture_resample(docs)
+    per = (
+        out.groupBy("source")
+        .agg(F.sum(F.col("n_tokens") * F.col("n_copies")).alias("mass"))
+        .collect()
+    )
+    masses = [r.mass for r in per]
+    target = sum(masses) / len(masses)
+    for m in masses:
+        assert abs(m - target) / target < 0.12
