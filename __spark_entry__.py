@@ -245,6 +245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hmesh_counts_l4"] = lambda s, d: _tiling.hmesh_counts(_cdr(s, d), 4)
     q["hmesh_pyramid_counts"] = lambda s, d: _tiling.hmesh_pyramid_counts(_cdr(s, d))
+    # raster direction of raster<->vector (late r4): burn the
+    # tower-Voronoi layer onto the z13 tile grid — generated grid,
+    # zero input scan; NEW oracle semantics -> in-window driver row
+    q["zone_raster_z13"] = lambda s, d: _tiling.zone_raster(s, _towers(s, d))
     # J8 scale path: the Arrow cell-ring kNN kernel (knn.py) — exact
     # within-radius nearest site. Output is INTEGER ids only: the
     # kernel's numpy haversine and DuckDB's libm differ in the last
@@ -689,7 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_counts",
         "average_daily_unique_sites",
         "hmesh_counts_l4",
-        "hmesh_pyramid_counts",
+        # (hmesh_pyramid_counts — unchanged, driver-green r3 — loans
+        # its window row to zone_raster_z13 this round)
+        "zone_raster_z13",
         "knn_within_radius",
         "knn_nearest_tower",
         # frequent-locations chain
@@ -907,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
         f"{base} SELECT {_tiling.hmesh_code_sql('lon', 'lat', 4, 'duckdb')} "
         "AS hmesh_code, count(*) AS n_events FROM cdr GROUP BY hmesh_code"
     )
+    o["zone_raster_z13"] = _tiling.zone_raster_oracle(synthetic.TOWERS_ORACLE_SQL)
     o["hmesh_pyramid_counts"] = f"{base} " + " UNION ALL ".join(
         f"SELECT {lv} AS level, "
         f"{_tiling.hmesh_code_sql('lon', 'lat', lv, 'duckdb')} AS hmesh_code, "

@@ -191,3 +191,107 @@ def hmesh_pyramid_counts(
         .groupBy("level", "hmesh_code")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Raster direction: rasterize the zone (Voronoi polygon) layer to tiles
+
+
+def tile_center_lon_sql(x_col: str, zoom: int) -> str:
+    """Inverse web-mercator: longitude of a tile's center — identical
+    SQL text in both engines (only +,*,/ — exact IEEE)."""
+    n = 1 << zoom
+    return (
+        f"((({x_col}) + {geo.dlit(0.5)}) / {n} * {geo.dlit(360.0)}"
+        f" - {geo.dlit(180.0)})"
+    )
+
+
+def tile_center_lat_sql(y_col: str, zoom: int) -> str:
+    """Inverse web-mercator: latitude of a tile's center.
+    sinh spelled as (exp(t) - exp(-t))/2 so the identical expression
+    parses in Spark and DuckDB."""
+    n = 1 << zoom
+    t = (
+        f"(pi() * ({geo.dlit(1.0)} - {geo.dlit(2.0)}"
+        f" * ((({y_col}) + {geo.dlit(0.5)}) / {n})))"
+    )
+    return (
+        f"degrees(atan((exp({t}) - exp(-({t}))) / {geo.dlit(2.0)}))"
+    )
+
+
+def _raster_bounds(zoom: int) -> tuple[int, int, int, int]:
+    """Tile index ranges covering the fixture extent at ``zoom``
+    (inclusive). Computed driver-side with the same formulas as
+    tile_x/y_sql and embedded as literals in BOTH engines' SQL."""
+    import numpy as np
+
+    x0, y1 = geo.tile_xyz_np(
+        np.array([geo.LAT0]), np.array([geo.LON0]), zoom
+    )
+    x1, y0 = geo.tile_xyz_np(
+        np.array([geo.LAT0 + geo.DLAT]), np.array([geo.LON0 + geo.DLON]), zoom
+    )
+    return int(x0[0]), int(x1[0]), int(y0[0]), int(y1[0])
+
+
+def zone_raster(
+    spark, towers: DataFrame, zoom: int = 13
+) -> DataFrame:
+    """Raster direction of the raster<->vector pair: burn the
+    tower-Voronoi polygon layer onto the z-level tile grid — every
+    tile covering the fixture extent gets the zone whose polygon
+    contains its center (nearest site under the planar metric ==
+    Voronoi membership, the same argmin as zones.assign_zone, so
+    raster and point assignments can never disagree).
+
+    The grid is generated, not scanned: spark.range over the
+    (x, y) index box, inverse-mercator center coordinates as codegen
+    expressions, the zone argmin compiled in — zero input, zero
+    Python, one narrow projection; at any zoom the work is
+    |tiles| x |polygons| map-side with no shuffle at all. For
+    planet-scale polygon layers (10^6+), swap the compiled argmin for
+    the cell-ring kNN index (operators/knn.py), exactly as
+    zones.assign_zone documents.
+
+    Output: (z, x, y, zone_id), one row per tile in the extent box.
+    """
+    from . import zones
+
+    xmin, xmax, ymin, ymax = _raster_bounds(zoom)
+    nx = xmax - xmin + 1
+    ny = ymax - ymin + 1
+    base = spark.range(nx * ny).select(
+        (F.lit(xmin) + F.col("id") % nx).alias("x"),
+        (F.lit(ymin) + (F.col("id") / nx).cast("bigint")).alias("y"),
+    )
+    pts = base.select(
+        "x",
+        "y",
+        F.expr(tile_center_lat_sql("y", zoom)).alias("lat"),
+        F.expr(tile_center_lon_sql("x", zoom)).alias("lon"),
+    )
+    return zones.assign_zone(pts, towers).select(
+        F.lit(zoom).alias("z"), "x", "y", "zone_id"
+    )
+
+
+def zone_raster_oracle(towers_sql: str, zoom: int = 13) -> str:
+    xmin, xmax, ymin, ymax = _raster_bounds(zoom)
+    nx = xmax - xmin + 1
+    ny = ymax - ymin + 1
+    clat = tile_center_lat_sql("y", zoom)
+    clon = tile_center_lon_sql("x", zoom)
+    d2 = geo.planar_d2_sql("p.lat", "p.lon", "t.tlat", "t.tlon")
+    return (
+        f"WITH towers AS ({towers_sql}), "
+        f"g AS (SELECT {xmin} + (i % {nx}) AS x, "
+        f"{ymin} + (i // {nx}) AS y "
+        f"FROM (SELECT unnest(generate_series(0, {nx * ny - 1})) AS i)), "
+        f"p AS (SELECT x, y, {clat} AS lat, {clon} AS lon FROM g), "
+        "r AS (SELECT x, y, t.zone_id, row_number() OVER ("
+        f"PARTITION BY x, y ORDER BY {d2}, t.zone_id) AS rn "
+        "FROM p CROSS JOIN towers t) "
+        f"SELECT {zoom} AS z, x, y, zone_id FROM r WHERE rn = 1"
+    )

@@ -655,3 +655,46 @@ def test_image_geo_near_dup_exact_both_predicates(spark):
         (r.id_a, r.id_b) for r in multimodal.image_near_dup(imgs, 6).collect()
     }
     assert got < unconstrained
+
+
+def test_zone_raster_inverse_and_consistency(spark, sf_dir):
+    """Raster<->vector coherence: (1) the forward tile transform of
+    every rasterized tile's center returns that tile (inverse-mercator
+    exactness); (2) a point AT a tile center gets the same zone from
+    the point path (assign_zone) as the raster gives the tile; (3)
+    every event's tile at z13 lies inside the rasterized box."""
+    towers = synthetic.towers_df(spark, sf_dir)
+    ras = tiling.zone_raster(spark, towers, zoom=13)
+    centers = ras.select(
+        "x", "y", "zone_id",
+        F.expr(tiling.tile_center_lat_sql("y", 13)).alias("lat"),
+        F.expr(tiling.tile_center_lon_sql("x", 13)).alias("lon"),
+    )
+    fwd = centers.select(
+        "x", "y", "zone_id", "lat", "lon",
+        F.expr(geo.tile_x_sql("lon", 13)).alias("fx"),
+        F.expr(geo.tile_y_sql("lat", 13)).alias("fy"),
+    )
+    rows = fwd.collect()
+    assert len(rows) > 500
+    assert all(r.fx == r.x and r.fy == r.y for r in rows)
+
+    from cdr_analysis_tools_hadoop_spark.operators import zones as _zones
+
+    pts = centers.select("x", "y", F.col("zone_id").alias("raster_zone"),
+                         "lat", "lon")
+    both = _zones.assign_zone(pts, towers).collect()
+    assert all(r.zone_id == r.raster_zone for r in both)
+
+    from cdr_analysis_tools_hadoop_spark.operators import prepare
+
+    cdr = prepare.events_as_cdr(spark, sf_dir).limit(2000).select(
+        F.expr(geo.tile_x_sql("lon", 13)).alias("x"),
+        F.expr(geo.tile_y_sql("lat", 13)).alias("y"),
+    )
+    xmin, xmax, ymin, ymax = tiling._raster_bounds(13)
+    bad = cdr.filter(
+        (F.col("x") < xmin) | (F.col("x") > xmax)
+        | (F.col("y") < ymin) | (F.col("y") > ymax)
+    ).count()
+    assert bad == 0
