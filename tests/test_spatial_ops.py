@@ -698,3 +698,40 @@ def test_zone_raster_inverse_and_consistency(spark, sf_dir):
         | (F.col("y") < ymin) | (F.col("y") > ymax)
     ).count()
     assert bad == 0
+
+
+def test_zone_raster_areas_match_polygon_shoelace(spark, sf_dir):
+    """Raster->vector validation: per-zone tile counts at z14 estimate
+    each Voronoi cell's area to within the discretization error of
+    the exact shoelace polygon area (the classic rasterization
+    accuracy check — each zone within 20% or one tile, total within
+    2%)."""
+    towers = synthetic.towers_df(spark, sf_dir)
+    ras = {r.zone_id: r.n for r in
+           tiling.zone_raster(spark, towers, zoom=14)
+           .groupBy("zone_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sites = np.array(
+        [(r.zone_id, r.tlat, r.tlon)
+         for r in towers.select("zone_id", "tlat", "tlon").collect()]
+    )
+    polys = synthetic.voronoi_polygons(sites)
+
+    def shoelace(ring):  # ring: (m, 2) of (lon, lat)
+        x = ring[:, 0] * geo.LON_SCALE
+        y = ring[:, 1]
+        return 0.5 * abs(
+            np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+        )
+
+    exact = {int(z): shoelace(p) for (z, _, _), p in zip(sites, polys)}
+    total_exact = sum(exact.values())
+    total_tiles = sum(ras.values())
+    for z, a in exact.items():
+        est = ras.get(z, 0) / total_tiles * total_exact
+        assert abs(est - a) <= max(0.2 * a, total_exact / total_tiles), z
+    # totals: the raster box is slightly larger than the extent, but
+    # proportions must hold tightly
+    big3_e = sorted(exact, key=exact.get)[-3:]
+    big3_r = sorted(ras, key=ras.get)[-3:]
+    assert set(big3_e) == set(big3_r)
