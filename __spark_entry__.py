@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _freq(s, d), 80.0
     )
     q["user_home"] = lambda s, d: fl.user_home(_freq(s, d))
+    # home(night top-1) x work(day top-1) commute rollup (late r4):
+    # NEW oracle semantics -> in-window driver row
+    q["commute_matrix"] = lambda s, d: fl.commute_matrix(_zoned(s, d))
     q["frequent_locations_wsum_night"] = lambda s, d: fl.frequent_locations_wsum(
         _freq(s, d, night=True)
     )
@@ -690,7 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the three NEW temporal queries below this round; they
         # rejoin with the r5 rotation swap)
         "zone_population",
-        "tile_pyramid_counts",
+        # (tile_pyramid_counts — unchanged, driver-green r1+r2+r3 —
+        # loans its window row to commute_matrix this round)
         "average_daily_unique_sites",
         "hmesh_counts_l4",
         # (hmesh_pyramid_counts — unchanged, driver-green r3 — loans
@@ -703,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_locations_wsum",
         "frequent_locations_thresholded",
         "user_home",
+        "commute_matrix",
         "frequent_locations_night",
         # trajectory / OD
         "od_matrix",
@@ -958,6 +963,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["user_home"] = (
         f"{freq_base} SELECT uid, zone_id AS home_zone FROM freq WHERE trank = 1"
+    )
+    _FREQ_DAY_CTE = _FREQ_CTE.replace("freq AS", "freqd AS").replace(
+        "FROM zoned GROUP BY",
+        "FROM zoned WHERE hour(call_time) IN (8,9,10,11,12,13,14,15,16,17,18,19) GROUP BY",
+    )
+    o["commute_matrix"] = (
+        _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_NIGHT_CTE, _FREQ_DAY_CTE)
+        + " SELECT h.home_zone, w.work_zone, count(*) AS n_users FROM "
+        "(SELECT uid, zone_id AS home_zone FROM freq WHERE trank = 1) h "
+        "JOIN (SELECT uid, zone_id AS work_zone FROM freqd WHERE trank = 1) w "
+        "USING (uid) GROUP BY 1, 2"
     )
     night_wsum = _with(_CDR_CTE, _TOWERS_CTE, _ZONED_CTE, _FREQ_NIGHT_CTE, _WSUM_CTE)
     o["frequent_locations_wsum_night"] = f"{night_wsum} SELECT * FROM wsum"

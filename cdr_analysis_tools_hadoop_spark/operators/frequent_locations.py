@@ -24,16 +24,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def frequent_locations(zoned: DataFrame, night_only: bool = False) -> DataFrame:
+NIGHT_HOURS = [0, 1, 2, 3, 4, 5, 6, 7, 20, 21, 22, 23]
+DAY_HOURS = [h for h in range(24) if h not in NIGHT_HOURS]
+
+
+def frequent_locations(
+    zoned: DataFrame,
+    night_only: bool = False,
+    hours: list[int] | None = None,
+) -> DataFrame:
     """Per (uid, zone): count, rank, percent-of-user.
+
+    ``hours`` restricts to an explicit hour-of-day set (e.g.
+    DAY_HOURS for the work-location variant); ``night_only`` is the
+    reference's P7 predicate (frequent_locations_night.sql:6).
 
     Output: uid, zone_id, tcount, trank, ppercent (rounded 6dp).
     """
     df = zoned
-    if night_only:
-        df = df.filter(
-            F.hour("call_time").isin([0, 1, 2, 3, 4, 5, 6, 7, 20, 21, 22, 23])
-        )
+    if hours is not None:
+        df = df.filter(F.hour("call_time").isin(hours))
+    elif night_only:
+        df = df.filter(F.hour("call_time").isin(NIGHT_HOURS))
     counts = df.groupBy("uid", "zone_id").agg(F.count(F.lit(1)).alias("tcount"))
     w_rank = Window.partitionBy("uid").orderBy(
         F.desc("tcount"), F.asc("zone_id")
@@ -85,6 +97,40 @@ def user_home(freq: DataFrame) -> DataFrame:
     row_number into per-key top-1 (no full sort)."""
     return freq.filter(F.col("trank") == 1).select(
         "uid", F.col("zone_id").alias("home_zone")
+    )
+
+
+def user_work(freq_day: DataFrame) -> DataFrame:
+    """Work zone = rank-1 location over DAY_HOURS activity — the
+    daytime twin of user_home (W5)."""
+    return freq_day.filter(F.col("trank") == 1).select(
+        "uid", F.col("zone_id").alias("work_zone")
+    )
+
+
+def commute_matrix(zoned: DataFrame) -> DataFrame:
+    """Home->work commute matrix: users per (night-hours top zone,
+    day-hours top zone) — the standard CDR mobility product derived
+    from the reference's frequent-locations chain (home = W5 over the
+    P7 night predicate; work = the same top-1 over the complement
+    hours). Users active only at night or only by day drop out (inner
+    join), mirroring the practitioner definition.
+
+    Scale: both top-1 sides are the W1 window over a (uid, zone)
+    pre-aggregate — the heavy count collapses map-side, the window
+    sorts each user's zone list (bounded), and the uid-keyed join
+    reuses the window's hash partitioning. The final rollup is
+    |zones|^2-bounded. One logical shuffle chain, no skew surface
+    beyond the per-user zone lists the chain already handles.
+
+    Output: (home_zone, work_zone, n_users).
+    """
+    home = user_home(frequent_locations(zoned, night_only=True))
+    work = user_work(frequent_locations(zoned, hours=DAY_HOURS))
+    return (
+        home.join(work, "uid")
+        .groupBy("home_zone", "work_zone")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

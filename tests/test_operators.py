@@ -244,3 +244,37 @@ def test_histogram_numeric_adaptive_invariants(spark):
     assert abs(got_mean - exact_mean) < 1e-9
     centers = [r.bin_center for r in bins]
     assert centers == sorted(centers)
+
+
+def test_commute_matrix_python_recompute(spark):
+    """commute_matrix == a from-scratch recompute: night top-1 ->
+    home, day top-1 -> work, inner join, rollup; night-only users
+    drop out."""
+    import collections
+    import datetime as dt
+
+    from cdr_analysis_tools_hadoop_spark.operators import (
+        frequent_locations as fl,
+    )
+
+    rows = []
+    # uid 1: nights in zone A(0), days in zone B(1)
+    for i in range(6):
+        rows.append((100 + i, 1, dt.datetime(2024, 1, 1 + i, 2, 0, 0), 0))
+        rows.append((200 + i, 1, dt.datetime(2024, 1, 1 + i, 12, 0, 0), 1))
+    # uid 2: both in zone A; tie-break day top between A and B -> A (zone asc)
+    for i in range(3):
+        rows.append((300 + i, 2, dt.datetime(2024, 1, 1 + i, 23, 0, 0), 0))
+        rows.append((400 + i, 2, dt.datetime(2024, 1, 1 + i, 9, 0, 0), 0))
+        rows.append((500 + i, 2, dt.datetime(2024, 1, 1 + i, 10, 0, 0), 1))
+    # uid 3: night-only -> excluded
+    rows.append((600, 3, dt.datetime(2024, 1, 1, 3, 0, 0), 1))
+    df = spark.createDataFrame(
+        rows, "event_id long, uid long, call_time timestamp, zone_id long"
+    )
+    got = {
+        (r.home_zone, r.work_zone): r.n_users
+        for r in fl.commute_matrix(df).collect()
+    }
+    # uid2 day counts: A=3, B=3 -> tie -> zone 0 (asc). home A.
+    assert got == {(0, 1): 1, (0, 0): 1}
