@@ -131,3 +131,39 @@ def test_pip_hotspot_assigns_correctly(spark):
     assert assigned == 20_000  # Voronoi covers the whole bbox
     plan = _plan(out)
     assert "Exchange" not in plan  # map-only: no shuffle for PIP
+
+
+def test_zone_raster_plan_is_pure_projection(spark, sf_dir):
+    """The raster op must stay a generated projection: Range source,
+    no scan, no Exchange, no Join, no Python — the shape that makes
+    rasterization embarrassingly parallel at any zoom."""
+    from cdr_analysis_tools_hadoop_spark.operators import tiling
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic as syn
+
+    towers = syn.towers_df(spark, sf_dir)
+    df = tiling.zone_raster(spark, towers, zoom=13)
+    df.collect()
+    plan = _plan(df)
+    assert "Range" in plan
+    for node in ("Exchange", "Join", "Scan parquet", "Python", "InArrow"):
+        assert node not in plan, node
+
+
+def test_mixture_resample_no_fact_shuffle(spark, sf_dir):
+    """The corpus side of mixture_resample must reach the output
+    through broadcast joins only — every hash Exchange in the plan
+    belongs to the bounded quota/total aggregates, never to the
+    per-doc projection (the fact table never shuffles)."""
+    from cdr_analysis_tools_hadoop_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = sampling.mixture_resample(docs)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # hash exchanges exist only under aggregates (the quota table):
+    # the top-level output node chain must be projection over the
+    # broadcast join, not an exchange
+    head = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in head
