@@ -323,6 +323,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["od_matrix"] = _od
 
+    def _od_kanon(s, d):
+        sited = trajectory.with_site(_zoned(s, d))
+        home = trajectory.user_home_site(sited)
+        return trajectory.od_sum_kanon(trajectory.od_edges(sited, home))
+
+    # k-anonymity release gate on the OD matrix (late r4): NEW oracle
+    # semantics -> in-window driver row
+    q["od_matrix_kanon"] = _od_kanon
+
     def _od_detail(s, d):
         sited = trajectory.with_site(_zoned(s, d))
         home = trajectory.user_home_site(sited)
@@ -711,7 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_locations_night",
         # trajectory / OD
         "od_matrix",
-        "od_detail",
+        "od_matrix_kanon",
+        # (od_detail — unchanged, driver-green r1+r2+r3 — loans its
+        # window row to od_matrix_kanon this round)
         # temporal primitives (NEW late-r4 -> in-window)
         "sessionize_events",
         "asof_last_view",
@@ -989,6 +1000,13 @@ def oracle_sql() -> dict[str, str]:
         "count(DISTINCT uid) AS tusercount FROM edges "
         "WHERE origin_zone IS NOT NULL AND dest_zone IS NOT NULL "
         "GROUP BY pdt, origin_zone, dest_zone"
+    )
+    o["od_matrix_kanon"] = (
+        f"{_OD_CTES} SELECT pdt, origin_zone, dest_zone, count(*) AS tcount, "
+        "count(DISTINCT uid) AS tusercount FROM edges "
+        "WHERE origin_zone IS NOT NULL AND dest_zone IS NOT NULL "
+        "GROUP BY pdt, origin_zone, dest_zone "
+        f"HAVING count(DISTINCT uid) >= {trajectory.OD_KANON_K}"
     )
     o["od_detail"] = (
         f"{_OD_CTES} SELECT uid, pdt, origin_site, dest_site, "

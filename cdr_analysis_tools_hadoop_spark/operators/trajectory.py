@@ -188,3 +188,22 @@ def od_sum(edges: DataFrame) -> DataFrame:
             F.countDistinct("uid").alias("tusercount"),
         )
     )
+
+
+OD_KANON_K = 5
+
+
+def od_sum_kanon(edges: DataFrame, k: int = OD_KANON_K) -> DataFrame:
+    """Privacy-suppressed OD export: the A13 rollup with every cell
+    whose distinct-user count is below ``k`` dropped — the
+    k-anonymity release gate mobility products apply before an OD
+    matrix leaves the analysis environment (small cells identify
+    individuals). Suppression keys on tusercount, not tcount: a
+    single user making k trips is exactly what the gate must hide.
+
+    A HAVING on the existing aggregate — zero additional plan cost
+    over od_sum. Output schema == od_sum.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return od_sum(edges).filter(F.col("tusercount") >= k)

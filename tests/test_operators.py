@@ -278,3 +278,27 @@ def test_commute_matrix_python_recompute(spark):
     }
     # uid2 day counts: A=3, B=3 -> tie -> zone 0 (asc). home A.
     assert got == {(0, 1): 1, (0, 0): 1}
+
+
+def test_od_kanon_suppresses_small_cells(spark, sf_dir):
+    """Every released cell has >= k distinct users; suppressed cells
+    are exactly od_sum minus the release; k<1 raises."""
+    from cdr_analysis_tools_hadoop_spark.operators import prepare, trajectory, zones
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic as syn
+
+    zoned = zones.assign_zone(
+        prepare.events_as_cdr(spark, sf_dir), syn.towers_df(spark, sf_dir)
+    )
+    sited = trajectory.with_site(zoned)
+    home = trajectory.user_home_site(sited)
+    edges = trajectory.od_edges(sited, home).localCheckpoint()
+    full = {(r.pdt, r.origin_zone, r.dest_zone): r.tusercount
+            for r in trajectory.od_sum(edges).collect()}
+    rel = {(r.pdt, r.origin_zone, r.dest_zone): r.tusercount
+           for r in trajectory.od_sum_kanon(edges, k=3).collect()}
+    assert rel and all(v >= 3 for v in rel.values())
+    assert rel == {c: v for c, v in full.items() if v >= 3}
+    assert any(v < 3 for v in full.values())  # the gate actually bites
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        trajectory.od_sum_kanon(edges, k=0)
