@@ -735,3 +735,23 @@ def test_zone_raster_areas_match_polygon_shoelace(spark, sf_dir):
     big3_e = sorted(exact, key=exact.get)[-3:]
     big3_r = sorted(ras, key=ras.get)[-3:]
     assert set(big3_e) == set(big3_r)
+
+
+def test_caption_byte_equality_through_arrow_passthrough(spark):
+    """input_hint invariant: captions survive the fused Arrow decode
+    pass byte-for-byte (zero-copy column passthrough), including
+    non-ASCII — paired with the PSNR>=40dB pixel gate the kernel
+    itself asserts."""
+    imgs = synthetic.images_df(spark, 40, partitions=2).withColumn(
+        "caption",
+        F.concat(F.col("caption"), F.lit(" — köttbullar 東京 🗼")),
+    )
+    want = {r.image_id: r.caption for r in
+            imgs.select("image_id", "caption").collect()}
+    out = multimodal.decode_features(imgs, keep=("caption",))
+    got = {r.image_id: r.caption for r in
+           out.select("image_id", "caption").collect()}
+    assert got == want
+    assert all("🗼" in c for c in got.values())
+    # and the decode gate held on every row while captions passed through
+    assert all(r.psnr_ok for r in out.collect())
