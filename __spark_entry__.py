@@ -619,6 +619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_geo_near_dup"] = lambda s, d: multimodal.image_geo_near_dup(
         synthetic.images_df(s, 500, partitions=8, dup_every=5)
     )
+    # augmentation fan-out (late r4; rows-only: pixel transforms;
+    # exact-transform + involution laws pytest-pinned)
+    q["image_augment"] = lambda s, d: multimodal.augment(
+        synthetic.images_df(s, 500, partitions=8)
+    )
     # duplicate-image components + keeper verdict over the exact
     # Hamming pair graph (rows-only: pixel hashing + iterative CC;
     # exactness vs an in-test union-find is pytest-certified)

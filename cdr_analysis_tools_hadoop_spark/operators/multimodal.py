@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType,
-    StructField, StructType,
+    StringType, StructField, StructType,
 )
 
 from ..functions import codec
@@ -454,6 +454,85 @@ def resize_box(images: DataFrame, factor: int = 2) -> DataFrame:
                     pa.array(blobs, type=pa.binary()),
                 ],
                 names=["image_id", "w", "h", "bytes"],
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(kernel, schema=schema)
+
+
+#: lossless augmentation ops: name -> pixel transform (H, W, C) -> (H', W', C)
+AUGMENT_OPS = ("flip_h", "flip_v", "rot90", "rot180", "crop_c")
+
+
+def augment(
+    images: DataFrame, ops: tuple[str, ...] = AUGMENT_OPS, crop_frac: int = 2
+) -> DataFrame:
+    """Training-data augmentation pass: one output row per
+    (image, op) with the transformed pixels re-encoded (rawz).
+
+    Ops are exact integer-pixel transforms (no resampling):
+    horizontal/vertical mirror, 90/180-degree rotation, centered
+    crop to 1/``crop_frac`` of each side. Map-only mapInArrow, one
+    decode per source image shared across all ops (the fan-out
+    happens on the decoded array, not on the blob), zero-copy blob
+    reads — the k-fold row expansion every vision pre-training
+    pipeline applies, with involution/composition laws pytest-pinned
+    (flip twice == identity, rot90 x4 == identity).
+
+    Output: (image_id, op, w, h, bytes).
+    """
+    unknown = set(ops) - set(AUGMENT_OPS)
+    if unknown:
+        raise ValueError(f"unknown augment ops: {sorted(unknown)}")
+    schema = StructType(
+        [
+            StructField("image_id", images.schema["image_id"].dataType),
+            StructField("op", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("bytes", BinaryType()),
+        ]
+    )
+    op_list = list(ops)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        def apply(pix, op):
+            if op == "flip_h":
+                return pix[:, ::-1]
+            if op == "flip_v":
+                return pix[::-1]
+            if op == "rot90":
+                return np.rot90(pix)
+            if op == "rot180":
+                return pix[::-1, ::-1]
+            h, w = pix.shape[:2]
+            ch, cw = max(1, h // crop_frac), max(1, w // crop_frac)
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            return pix[y0 : y0 + ch, x0 : x0 + cw]
+
+        for rb in batches:
+            ids_out, ops_out, ws, hs, blobs = [], [], [], [], []
+            id_col = rb.column(0)
+            for i, v in enumerate(_blob_views(rb)):
+                pix = codec.decode(v)
+                iid = id_col[i].as_py()
+                for op in op_list:
+                    out = np.ascontiguousarray(apply(pix, op))
+                    ids_out.append(iid)
+                    ops_out.append(op)
+                    hs.append(out.shape[0])
+                    ws.append(out.shape[1])
+                    blobs.append(codec.encode_rawz(out))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_out, type=id_col.type),
+                    pa.array(ops_out, type=pa.string()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                names=["image_id", "op", "w", "h", "bytes"],
             )
 
     return images.select("image_id", "bytes").mapInArrow(kernel, schema=schema)

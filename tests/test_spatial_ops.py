@@ -755,3 +755,41 @@ def test_caption_byte_equality_through_arrow_passthrough(spark):
     assert all("🗼" in c for c in got.values())
     # and the decode gate held on every row while captions passed through
     assert all(r.psnr_ok for r in out.collect())
+
+
+def test_image_augment_exact_transforms_and_laws(spark):
+    """Each augment op's pixels match the direct numpy transform of
+    the decoded source; involution/composition laws hold (flip twice
+    == identity, rot180 == two rot90s); unknown ops raise."""
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    imgs = synthetic.images_df(spark, 12, partitions=2)
+    srcs = {r.image_id: codec.decode(bytes(r.bytes))
+            for r in imgs.select("image_id", "bytes").collect()}
+    out = {(r.image_id, r.op): r for r in multimodal.augment(imgs).collect()}
+    assert len(out) == 12 * len(multimodal.AUGMENT_OPS)
+    for iid, pix in srcs.items():
+        h, w = pix.shape[:2]
+        want = {
+            "flip_h": pix[:, ::-1],
+            "flip_v": pix[::-1],
+            "rot90": np.rot90(pix),
+            "rot180": pix[::-1, ::-1],
+            "crop_c": pix[(h - h // 2) // 2 : (h - h // 2) // 2 + h // 2,
+                          (w - w // 2) // 2 : (w - w // 2) // 2 + w // 2],
+        }
+        for op, exp in want.items():
+            r = out[(iid, op)]
+            got = codec.decode(bytes(r.bytes))
+            assert got.shape == (r.h, r.w, 3)
+            assert (got == exp).all(), (iid, op)
+        # laws
+        fh = codec.decode(bytes(out[(iid, "flip_h")].bytes))
+        assert (fh[:, ::-1] == pix).all()
+        r90 = codec.decode(bytes(out[(iid, "rot90")].bytes))
+        assert (np.rot90(r90, 3) == pix).all()
+        r180 = codec.decode(bytes(out[(iid, "rot180")].bytes))
+        assert (np.rot90(np.rot90(pix)) == r180).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown"):
+        multimodal.augment(imgs, ops=("flip_h", "nope"))
