@@ -264,7 +264,10 @@ def zone_raster(
     ny = ymax - ymin + 1
     base = spark.range(nx * ny).select(
         (F.lit(xmin) + F.col("id") % nx).alias("x"),
-        (F.lit(ymin) + (F.col("id") / nx).cast("bigint")).alias("y"),
+        # integer div, not float-div+cast: exact at any zoom (the
+        # oracle's // twin), where a double quotient loses exactness
+        # past 2^53 grid cells
+        (F.lit(ymin) + F.expr(f"id div {nx}")).alias("y"),
     )
     pts = base.select(
         "x",
