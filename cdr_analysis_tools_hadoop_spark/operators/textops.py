@@ -768,7 +768,7 @@ def _token_pairs_sql(tok: str, dialect: str) -> str:
 
 
 def ngram_perplexity(
-    docs: DataFrame, train: DataFrame | None = None
+    docs: DataFrame, train: DataFrame | None = None, min_count: int = 1
 ) -> DataFrame:
     """Per-document cross-entropy / perplexity under a bigram LM with
     add-1 smoothing, trained on ``train`` (default: the scored corpus
@@ -795,6 +795,13 @@ def ngram_perplexity(
     broadcast cross join. One final per-doc aggregation; every ln()
     contribution is summed then rounded so partial-agg order cannot
     flip the oracle hash.
+
+    ``min_count`` > 1 prunes bigrams rarer than the threshold from
+    the MODEL (they score through the same coalesce-0 smoothing path
+    as unseen pairs) — at 100 TB the full bigram table can be 10^10
+    rows, while the pruned one stays a broadcastable dimension; T and
+    V always come from the unpruned unigram counts, so pruning only
+    coarsens tail probabilities, deterministically in both engines.
     """
     train = docs if train is None else train
     tok = th.tokens_sql("text", "spark")
@@ -812,6 +819,8 @@ def ngram_perplexity(
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
+    if min_count > 1:
+        big = big.filter(F.col("c2") >= min_count)
     tot = uni.agg(
         F.sum("c1").alias("tot_t"), F.count(F.lit(1)).alias("tot_v")
     )

@@ -269,3 +269,32 @@ def test_ngram_perplexity_held_out_unseen_tokens(spark):
     want = round(-(math.log(1 / 8) + math.log(1 / 2)) / 2, 6)
     rows = textops.ngram_perplexity(held, train=train).collect()
     assert len(rows) == 1 and rows[0].xent == want
+
+
+def test_ngram_perplexity_min_count_prunes_model_only(spark):
+    """min_count prunes rare bigrams from the MODEL: pruned pairs
+    score exactly like unseen pairs (coalesce-0 smoothing), scores
+    are monotonically >= the unpruned ones, and min_count=1 is the
+    unpruned default."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], "doc_id long, text string"
+    )
+    base = {r.doc_id: r.xent for r in textops.ngram_perplexity(docs).collect()}
+    pruned = {
+        r.doc_id: r.xent
+        for r in textops.ngram_perplexity(docs, min_count=2).collect()
+    }
+    # (a,b) has count 2 -> survives; (b,a), (c,d) count 1 -> pruned
+    # doc 2: tokens c,d; T=6 V=4; first: (1+1)/(6+4); bigram (c,d)
+    # pruned -> (0+1)/(c_uni(c)=1 + 4)
+    want2 = round(-(math.log(2 / 10) + math.log(1 / 5)) / 2, 6)
+    assert pruned[2] == want2
+    assert pruned[2] > base[2]
+    assert pruned[1] >= base[1]
+    unp = {
+        r.doc_id: r.xent
+        for r in textops.ngram_perplexity(docs, min_count=1).collect()
+    }
+    assert unp == base
