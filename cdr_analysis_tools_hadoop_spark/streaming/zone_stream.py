@@ -328,3 +328,47 @@ def streaming_image_zone_tile_counts(
     from .. import pipeline
 
     return pipeline.run_pipeline(spark, images, base_zoom=base_zoom, pip_res=pip_res)
+
+
+def streaming_source_mixture(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Document-ingest mixture monitor: per (event-time window,
+    source) document and token counts — the live view of
+    textops.domain_mixture a crawl pipeline watches to catch one
+    source flooding the mix before the batch rebalance runs.
+
+    Token counting is a codegen projection (size(split(...))) — no
+    join, no window function, no Python — so the plan is
+    streaming-legal as-is; the only stateful node is the watermarked
+    (window, source) aggregate whose state is bounded by |sources| x
+    windows-in-watermark. Identical on batch frames, which the
+    stream==batch parity test pins.
+    """
+    from ..functions import texthash as th
+
+    tok = th.tokens_sql("text", "spark")
+    per = docs.select(
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        "source",
+        F.expr(f"size({tok})").cast("long").alias("n_tok"),
+    )
+    grouped = (
+        per.withWatermark(ts_col, watermark) if per.isStreaming else per
+    )
+    return (
+        grouped.groupBy(F.window(F.col(ts_col), window), F.col("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "source",
+            "n_docs",
+            "n_tokens",
+        )
+    )

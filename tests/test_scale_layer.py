@@ -330,3 +330,36 @@ def test_streaming_image_pipeline_matches_batch_and_resumes(spark, tmp_path):
     }
     assert got2 == want2
     assert sum(v[0] for v in got2.values()) == 300
+
+
+def test_streaming_source_mixture_matches_batch(spark, sf_dir, tmp_path):
+    """The document-ingest mixture monitor: stream output == batch on
+    identical files (deterministic ingest time derived from doc_id)."""
+    import shutil
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+
+    def with_ts(df):
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_seconds(1700000000 + (doc_id % 7200) * 10)"
+            ),
+        )
+
+    stream = zone_stream.read_images_stream(spark, str(d), str(d))
+    res = zone_stream.streaming_source_mixture(with_ts(stream))
+    zone_stream.run_available_now(res, "smix", str(tmp_path / "ck"))
+    got = {
+        (str(r.win_start), r.source): (r.n_docs, r.n_tokens)
+        for r in spark.sql("SELECT * FROM smix").collect()
+    }
+    want = {
+        (str(r.win_start), r.source): (r.n_docs, r.n_tokens)
+        for r in zone_stream.streaming_source_mixture(
+            with_ts(spark.read.parquet(str(d)))
+        ).collect()
+    }
+    assert got == want and len(got) > 10
