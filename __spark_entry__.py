@@ -444,6 +444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they join the r5 window with the rotation swap)
     q["text_repetition"] = lambda s, d: textops.repetition_scores(_docs(s, d))
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
+    # C4-style line-level cleaning (late r4, past-window): the corpus
+    # is single-line, so the contract query plants a deterministic
+    # multi-line page per doc (planted_lines_sql — portable SQL, both
+    # engines build byte-identical pages) and the cleaned-page md5 is
+    # hash-compared, proving the line-pruning REWRITE matches the
+    # oracle byte-for-byte
+    q["c4_line_filter"] = lambda s, d: textops.c4_line_filter(
+        _docs(s, d), textops.planted_lines_sql("text", "doc_id", "spark")
+    )
     # vocabulary counting pass (late r4): unigram+bigram tf/df, pruned
     q["vocab_ngram_counts"] = lambda s, d: textops.vocab_ngram_counts(_docs(s, d))
     # TF-IDF top-k keywords + exact per-source token-length quantiles
@@ -1123,6 +1132,9 @@ def oracle_sql() -> dict[str, str]:
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )
     o["corpus_curation"] = textops.corpus_curation_oracle()
+    o["c4_line_filter"] = textops.c4_line_filter_oracle(
+        "documents", textops.planted_lines_sql("text", "doc_id", "duckdb")
+    )
 
     sited_cte = _with(
         _CDR_CTE,

@@ -889,3 +889,118 @@ def ngram_perplexity_oracle(view: str = "documents") -> str:
         f"round(-slp / n_tokens, {LM_ROUND}) AS xent, "
         f"round(exp(round(-slp / n_tokens, {LM_ROUND})), 4) AS ppl FROM s"
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. C4-style line-level cleaning (Raffel et al. 2020, JMLR 21(140) §2.2)
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def _c4_exprs(text_expr: str, dialect: str) -> dict[str, str]:
+    """Line-level keep predicate + doc verdict, dialect-paired so the
+    Spark plan and the DuckDB oracle evaluate byte-identical logic.
+
+    A line survives iff it ends in terminal punctuation (. ! ? "),
+    has >= C4_MIN_LINE_WORDS whitespace words, and contains neither a
+    curly brace nor the word 'javascript' (case-folded) — the C4
+    heuristics for boilerplate/code lines. The document survives iff
+    >= C4_MIN_KEPT_LINES lines survive and the ORIGINAL text lacks
+    'lorem ipsum' (C4 drops placeholder pages outright). All string
+    ops are backslash-free (chr(10) for the line separator), the
+    same trick as PII_PATTERNS, so both engines parse identical
+    literals.
+    """
+    spark = dialect == "spark"
+    size = "size" if spark else "len"
+    lfil = "filter" if spark else "list_filter"
+    join = "array_join" if spark else "array_to_string"
+    split = (
+        f"split({text_expr}, chr(10))"
+        if spark
+        else f"string_split({text_expr}, chr(10))"
+    )
+    wsplit = "split(l, ' ')" if spark else "string_split(l, ' ')"
+    pred = (
+        "right(l, 1) IN ('.', '!', '?', '\"') "
+        f"AND {size}({lfil}({wsplit}, w -> w <> '')) >= {C4_MIN_LINE_WORDS} "
+        "AND instr(l, '{') = 0 AND instr(lower(l), 'javascript') = 0"
+    )
+    kept = f"{lfil}({split}, l -> {pred})"
+    out = {
+        "n_lines": f"cast({size}({split}) as bigint)",
+        "n_kept": f"cast({size}({kept}) as bigint)",
+        "clean": f"{join}({kept}, chr(10))",
+    }
+    out["keep"] = (
+        f"({out['n_kept']} >= {C4_MIN_KEPT_LINES} "
+        f"AND instr(lower({text_expr}), 'lorem ipsum') = 0)"
+    )
+    return out
+
+
+def planted_lines_sql(text_expr: str, id_col: str, dialect: str) -> str:
+    """Deterministic line-structure augmentation for the contract
+    query: the synthetic corpus is single-line and unpunctuated, so
+    the query builds a multi-line page from each document (keyed on
+    doc_id) that exercises every C4 rule — boilerplate lines with no
+    terminal punctuation, too-short lines, code lines ({), javascript
+    notices, and lorem-ipsum placeholder pages. Portable SQL only
+    (substr / || / chr / CASE), so BOTH dialects plant byte-identical
+    pages and the clean-text md5 must agree."""
+    del dialect  # identical text in both engines by construction
+    t, i = text_expr, id_col
+    return (
+        f"(substr({t}, 1, 80 + {i} % 40) || ' ends here.'"
+        " || chr(10) || 'click here for more'"
+        " || chr(10) || 'too short.'"
+        f" || chr(10) || CASE WHEN {i} % 7 = 0 THEN"
+        " 'function() { return 0; }'"
+        f" ELSE substr({t}, 40, 100) || ' asks why?' END"
+        f" || chr(10) || CASE WHEN {i} % 11 = 0 THEN"
+        " 'please enable javascript to view this page.'"
+        f" ELSE substr({t}, 10, 90) || ' indeed!' END"
+        f" || chr(10) || CASE WHEN {i} % 13 = 0 THEN"
+        " 'lorem ipsum dolor sit amet.'"
+        f" ELSE substr({t}, 5, 95) || ' fine.' END)"
+    )
+
+
+def c4_line_filter(docs: DataFrame, text_expr: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per
+    document, the line counts before/after the keep predicate, the
+    doc-level verdict, and length + md5 of the cleaned text (the
+    hash proves the REWRITTEN page matches the oracle byte-for-byte,
+    not just the counts) — the line-pruning rewrite step of the C4
+    pipeline, distinct from the scoring ops (quality_scores,
+    repetition_scores) which never edit the text.
+
+    Map-only: every expression is a JVM-codegen'd higher-order
+    function over one scan — zero shuffles, zero Python, so the op
+    runs at scan speed at any corpus size (same shape as
+    pii_redaction).
+
+    Output: (doc_id, n_lines, n_kept, keep, clean_len, clean_hash).
+    """
+    e = _c4_exprs(text_expr, "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(e["n_lines"]).alias("n_lines"),
+        F.expr(e["n_kept"]).alias("n_kept"),
+        F.expr(e["keep"]).alias("keep"),
+        F.expr(f"cast(length({e['clean']}) as bigint)").alias("clean_len"),
+        F.expr(f"md5({e['clean']})").alias("clean_hash"),
+    )
+
+
+def c4_line_filter_oracle(
+    view: str = "documents", text_expr: str = "text"
+) -> str:
+    e = _c4_exprs(text_expr, "duckdb")
+    return (
+        f"SELECT doc_id, {e['n_lines']} AS n_lines, "
+        f"{e['n_kept']} AS n_kept, {e['keep']} AS keep, "
+        f"CAST(length({e['clean']}) AS BIGINT) AS clean_len, "
+        f"md5({e['clean']}) AS clean_hash FROM {view}"
+    )

@@ -298,3 +298,92 @@ def test_ngram_perplexity_min_count_prunes_model_only(spark):
         for r in textops.ngram_perplexity(docs, min_count=1).collect()
     }
     assert unp == base
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning
+
+
+def _c4_python_reference(text: str) -> tuple[int, int, bool, str]:
+    """Pure-Python restatement of the C4 line rules (Raffel 2020 §2.2)
+    for cross-checking the SQL form."""
+    lines = text.split("\n")
+    kept = [
+        l
+        for l in lines
+        if l[-1:] in (".", "!", "?", '"')
+        and len([w for w in l.split(" ") if w]) >= textops.C4_MIN_LINE_WORDS
+        and "{" not in l
+        and "javascript" not in l.lower()
+    ]
+    keep = (
+        len(kept) >= textops.C4_MIN_KEPT_LINES
+        and "lorem ipsum" not in text.lower()
+    )
+    return len(lines), len(kept), keep, "\n".join(kept)
+
+
+def test_c4_line_filter_rules(spark):
+    cases = [
+        # 3 good lines -> kept doc
+        (1, "a good line with five words.\n"
+            "another good line right here!\n"
+            'is this a "quoted line"?\n'
+            "click here for more"),
+        # terminal punct but too few words; no punct; code; javascript
+        (2, "too short.\n"
+            "this line has no terminal punctuation at all\n"
+            "function f() { return 1; }.\n"
+            "please enable javascript to view this page."),
+        # lorem ipsum nukes the whole page despite 3 good lines
+        (3, "a good line with five words.\n"
+            "another good line right here!\n"
+            "a third good line appears here.\n"
+            "lorem ipsum dolor sit amet"),
+        # exactly at the 3-kept-lines threshold
+        (4, "one good line with five words.\n"
+            "two good lines with five words.\n"
+            "three good lines with five words."),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.c4_line_filter(df).collect()}
+    assert not got[2].keep and got[2].n_kept == 0
+    assert not got[3].keep and got[3].n_kept == 3  # lorem doc-level kill
+    assert got[4].keep and got[4].n_kept == 3
+    for doc_id, text in cases:
+        n_lines, n_kept, keep, clean = _c4_python_reference(text)
+        r = got[doc_id]
+        assert (r.n_lines, r.n_kept, r.keep) == (n_lines, n_kept, keep)
+        assert r.clean_len == len(clean)
+
+
+def test_c4_line_filter_matches_python_on_planted_corpus(spark, docs):
+    import hashlib
+
+    sample = docs.limit(120)
+    planted_expr = textops.planted_lines_sql("text", "doc_id", "spark")
+    rows = sample.selectExpr(
+        "doc_id", f"{planted_expr} AS planted"
+    ).collect()
+    expected = {}
+    for r in rows:
+        n_lines, n_kept, keep, clean = _c4_python_reference(r.planted)
+        expected[r.doc_id] = (
+            n_lines, n_kept, keep, len(clean),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    got = textops.c4_line_filter(sample, planted_expr).collect()
+    assert len(got) == 120
+    # the planted corpus must exercise every rule: kept docs, lorem
+    # kills, and sub-threshold kept-line counts
+    assert {e[2] for e in expected.values()} == {True, False}
+    assert any(e[1] < textops.C4_MIN_KEPT_LINES for e in expected.values())
+    for r in got:
+        assert (
+            r.n_lines, r.n_kept, r.keep, r.clean_len, r.clean_hash
+        ) == expected[r.doc_id]
+
+
+def test_c4_line_filter_map_only_plan(spark, docs):
+    plan = textops.c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-speed projection, zero shuffles
