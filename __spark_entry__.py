@@ -349,6 +349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _zoned(s, d).select("uid", "zone_id")
     )
     q["user_displacement"] = lambda s, d: mobility.user_displacement(_cdr(s, d))
+    # co-presence contact graph (late r4, past-window): binned
+    # (zone, time-bucket) equi-join, exact |dt| filter — the
+    # co-location product, vs the oracle's direct all-pairs form
+    q["co_presence"] = lambda s, d: mobility.co_presence(
+        _zoned(s, d).select("uid", "zone_id", "call_time")
+    )
 
     # --- temporal primitives (NEW late-r4): the trajectory chain's
     # machinery generalized to any (key, ts) table — gap sessions,
@@ -1034,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
     o["radius_of_gyration"] = f"{base} {mobility.rog_oracle_body()}"
     o["location_entropy"] = f"{zone_base} {mobility.entropy_oracle_body()}"
     o["user_displacement"] = f"{base} {mobility.displacement_oracle_body()}"
+    o["co_presence"] = f"{zone_base} {mobility.co_presence_oracle_body()}"
 
     # temporal primitives (operators/temporal.py) — engine windows /
     # binned equi-joins vs the oracle's direct (quadratic-OK-at-sf0.01)

@@ -214,3 +214,76 @@ def displacement_oracle_body() -> str:
         "lag(lon) OVER (PARTITION BY uid ORDER BY call_time, event_id) AS plon "
         "FROM cdr)) GROUP BY uid"
     )
+
+
+# ---------------------------------------------------------------------------
+# co-presence contact graph
+
+#: default co-presence window: 15 minutes in microseconds — the same
+#: 15-min constant the reference's stay detection uses
+#: (TripSegmentationCDR bytecode TIME_MIN=15.0, SURVEY.md §2.9).
+CO_PRESENCE_US = 900 * 1_000_000
+
+
+def co_presence(zoned: DataFrame, window_us: int = CO_PRESENCE_US) -> DataFrame:
+    """Contact graph: for every unordered user pair, how many times
+    the two were observed in the SAME zone within ±``window_us`` of
+    each other — the co-location product CDR epidemiology and
+    social-tie studies derive (one row per contact pair per zone).
+
+    Binned formulation (same mechanics as
+    ``temporal.range_neighbor_counts``): bucket events by
+    floor(t / window); any in-window pair's buckets differ by at most
+    1, so probing the 3 adjacent buckets via a 3-row explode has 100%
+    recall, and the exact |dt| filter gives 100% precision. The join
+    is a plain equi-join on (zone_id, bucket) — shuffle-partitioned
+    and AQE-skew-splittable — never Spark's quadratic inequality-join
+    fallback. ``uid_a < uid_b`` on the probe side both drops
+    self-pairs and counts each event pair exactly once (the probe
+    explodes, the build side keeps its native bucket, so a given
+    (event, event) pair can only meet at the build row's bucket).
+
+    Scale: candidates are bounded by LOCAL (zone, window) density —
+    a stadium-zone burst concentrates one key, which AQE splits; the
+    global corpus size never enters the candidate count. Output is
+    the contact multigraph rolled up per (uid_a, uid_b, zone_id).
+
+    Output: (uid_a, uid_b, zone_id, n_contacts).
+    """
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
+    base = zoned.select(
+        "uid",
+        "zone_id",
+        F.unix_micros(F.col("call_time").cast("timestamp")).alias("tus"),
+    )
+    binned = base.withColumn("bin", F.floor(F.col("tus") / F.lit(window_us)))
+    probe = binned.select(
+        F.col("uid").alias("uid_a"),
+        "zone_id",
+        F.col("tus").alias("ptus"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    )
+    pairs = probe.join(binned, on=["zone_id", "bin"]).where(
+        (F.col("uid_a") < F.col("uid"))
+        & (F.abs(F.col("ptus") - F.col("tus")) <= window_us)
+    )
+    return pairs.groupBy(
+        "uid_a", F.col("uid").alias("uid_b"), "zone_id"
+    ).agg(F.count(F.lit(1)).alias("n_contacts"))
+
+
+def co_presence_oracle_body(window_us: int = CO_PRESENCE_US) -> str:
+    """DuckDB twin over the ``zoned`` CTE: the direct all-pairs
+    formulation (quadratic is fine at sf0.01), exact by definition."""
+    return (
+        "SELECT a.uid AS uid_a, b.uid AS uid_b, a.zone_id, "
+        "count(*) AS n_contacts FROM "
+        "(SELECT uid, zone_id, epoch_us(call_time) AS tus FROM zoned) a "
+        "JOIN (SELECT uid, zone_id, epoch_us(call_time) AS tus FROM zoned) b "
+        "ON a.zone_id = b.zone_id AND a.uid < b.uid "
+        f"AND abs(a.tus - b.tus) <= {window_us} "
+        "GROUP BY 1, 2, 3"
+    )

@@ -151,3 +151,76 @@ def test_displacement_single_exchange_plan(spark):
     )
     # the rollup reuses the lag window's hash partitioning on uid
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# co-presence contact graph
+
+
+def _zoned_ts(spark, rows):
+    """rows: (uid, sec_offset, zone_id)."""
+    return spark.createDataFrame(
+        [(int(u), T0 + dt.timedelta(seconds=s), int(z)) for u, s, z in rows],
+        "uid long, call_time timestamp, zone_id long",
+    )
+
+
+def _brute_pairs(rows, window_s):
+    out = {}
+    for i, (ua, sa, za) in enumerate(rows):
+        for ub, sb, zb in rows[i + 1:]:
+            a, b = sorted((ua, ub))
+            if a != b and za == zb and abs(sa - sb) <= window_s:
+                k = (a, b, za)
+                out[k] = out.get(k, 0) + 1
+    return out
+
+
+def test_co_presence_window_edges(spark):
+    w_us = 900 * 1_000_000
+    rows = [
+        (1, 0, 5), (2, 900, 5),      # exactly at the window -> contact
+        (1, 0, 5), (3, 901, 5),      # 1 s past -> no contact with uid1@0
+        (4, 0, 6), (5, 10, 7),       # same time, different zones -> none
+        (6, 5000, 5), (6, 5001, 5),  # same uid -> never a self-pair
+    ]
+    got = {
+        (r.uid_a, r.uid_b, r.zone_id): r.n_contacts
+        for r in mobility.co_presence(_zoned_ts(spark, rows), w_us).collect()
+    }
+    assert got == _brute_pairs(rows, 900)
+    assert (1, 2, 5) in got and not any(a == b for a, b, _ in got)
+
+
+def test_co_presence_matches_brute_force_randomized(spark):
+    rng = np.random.default_rng(42)
+    rows = [
+        (int(rng.integers(1, 12)), int(rng.integers(0, 20_000)),
+         int(rng.integers(0, 4)))
+        for _ in range(300)
+    ]
+    w_us = 1800 * 1_000_000
+    got = {
+        (r.uid_a, r.uid_b, r.zone_id): r.n_contacts
+        for r in mobility.co_presence(_zoned_ts(spark, rows), w_us).collect()
+    }
+    assert got == _brute_pairs(rows, 1800)
+
+
+def test_co_presence_bucket_boundary_pairs_counted_once(spark):
+    # two events straddling a bucket boundary (bins differ by 1) must
+    # appear exactly once despite the 3-bucket probe explode
+    w_us = 900 * 1_000_000
+    rows = [(1, 899, 3), (2, 901, 3)]
+    got = mobility.co_presence(_zoned_ts(spark, rows), w_us).collect()
+    assert len(got) == 1 and got[0].n_contacts == 1
+
+
+def test_co_presence_plans_as_equi_join(spark):
+    plan = (
+        mobility.co_presence(_zoned_ts(spark, [(1, 0, 0)]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # binned equi-join, never the quadratic fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
