@@ -355,6 +355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["co_presence"] = lambda s, d: mobility.co_presence(
         _zoned(s, d).select("uid", "zone_id", "call_time")
     )
+    # daily mobility motif census (late r4, past-window): engine =
+    # one trajectory-collect + array lambdas; oracle = the
+    # window/dense_rank formulation (different plans, same motifs)
+    q["motif_census"] = lambda s, d: mobility.motif_census(
+        _zoned(s, d).select("uid", "zone_id", "call_time", "event_id")
+    )
 
     # --- temporal primitives (NEW late-r4): the trajectory chain's
     # machinery generalized to any (key, ts) table — gap sessions,
@@ -1041,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
     o["location_entropy"] = f"{zone_base} {mobility.entropy_oracle_body()}"
     o["user_displacement"] = f"{base} {mobility.displacement_oracle_body()}"
     o["co_presence"] = f"{zone_base} {mobility.co_presence_oracle_body()}"
+    o["motif_census"] = f"{zone_base} {mobility.motif_census_oracle_body()}"
 
     # temporal primitives (operators/temporal.py) — engine windows /
     # binned equi-joins vs the oracle's direct (quadratic-OK-at-sf0.01)

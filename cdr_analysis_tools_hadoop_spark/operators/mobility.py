@@ -287,3 +287,104 @@ def co_presence_oracle_body(window_us: int = CO_PRESENCE_US) -> str:
         f"AND abs(a.tus - b.tus) <= {window_us} "
         "GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# daily mobility motifs
+
+#: cap on collapsed stops per user-day before a day is excluded from
+#: the census — the same role as the reference's 500-event trajectory
+#: guard (insert_la_cdr_all_with_ant_zone_by_uid_od.sql:6): a runaway
+#: key (logging artifact, tower ping-pong) is bounded, not collected.
+MOTIF_MAX_STOPS = 500
+
+
+def motif_census(zoned: DataFrame, max_stops: int = MOTIF_MAX_STOPS) -> DataFrame:
+    """Daily-mobility motif census (Schneider et al., "Unravelling
+    daily human mobility motifs", J. R. Soc. Interface 2013): each
+    user-day reduces to its canonical stop-sequence signature —
+    consecutive repeats collapsed, zones relabelled by first
+    appearance (A B A C -> "1-2-1-3") — and the census counts
+    user-days and distinct users per motif. The handful of motifs
+    covering most user-days is the standard regularity result.
+
+    Plan: ONE fact exchange. The per-day sequence is
+    array_sort(collect_list(struct(call_time, event_id, zone))) — the
+    A11 trajectory-collect shape — and the collapse, first-appearance
+    relabel (array_position into array_distinct, which preserves
+    first-occurrence order), and motif string are all array lambdas
+    in the same projection, so no window and no second fact shuffle;
+    the census rollup then aggregates |motifs|-bounded keys. Lambdas
+    guard index-0 with CASE (no out-of-bounds access under ANSI).
+
+    Output: (motif, n_stops, n_user_days, n_users).
+    """
+    if max_stops < 1:
+        raise ValueError("max_stops must be >= 1")
+    per_day = (
+        zoned.select(
+            "uid",
+            F.col("call_time").cast("date").alias("pdt"),
+            F.struct(
+                F.col("call_time").alias("ct"),
+                F.col("event_id").alias("eid"),
+                F.col("zone_id").alias("z"),
+            ).alias("s"),
+        )
+        .groupBy("uid", "pdt")
+        .agg(F.expr("transform(array_sort(collect_list(s)), x -> x.z)").alias("zs"))
+        .withColumn(
+            "stops",
+            F.expr(
+                "filter(zs, (x, i) -> CASE WHEN i = 0 THEN true "
+                "ELSE x != zs[i - 1] END)"
+            ),
+        )
+        .where(F.expr(f"size(stops) <= {max_stops}"))
+        .select(
+            "uid",
+            F.expr(
+                "array_join(transform(stops, x -> cast("
+                "array_position(array_distinct(stops), x) as string)), '-')"
+            ).alias("motif"),
+            F.expr("cast(size(stops) as bigint)").alias("n_stops"),
+        )
+    )
+    return per_day.groupBy("motif", "n_stops").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+
+
+def motif_census_oracle_body(max_stops: int = MOTIF_MAX_STOPS) -> str:
+    """DuckDB twin over the ``zoned`` CTE — the window/dense_rank
+    formulation (list_distinct's order is not guaranteed in DuckDB,
+    so the oracle relabels via each zone's min stop index instead;
+    same result by definition)."""
+    return (
+        "SELECT motif, n_stops, count(*) AS n_user_days, "
+        "count(DISTINCT uid) AS n_users FROM ("
+        "SELECT uid, pdt, string_agg(CAST(lab AS VARCHAR), '-' ORDER BY seq)"
+        " AS motif, count(*) AS n_stops FROM ("
+        "SELECT r.uid, r.pdt, r.seq, dense_rank() OVER ("
+        "PARTITION BY r.uid, r.pdt ORDER BY f.first_seen) AS lab FROM ("
+        "SELECT uid, pdt, zone_id, row_number() OVER ("
+        "PARTITION BY uid, pdt ORDER BY rn) AS seq FROM ("
+        "SELECT uid, pdt, zone_id, rn, lag(zone_id) OVER ("
+        "PARTITION BY uid, pdt ORDER BY rn) AS pz FROM ("
+        "SELECT uid, CAST(call_time AS DATE) AS pdt, zone_id, "
+        "row_number() OVER (PARTITION BY uid, CAST(call_time AS DATE) "
+        "ORDER BY call_time, event_id) AS rn FROM zoned)) "
+        "WHERE pz IS NULL OR zone_id <> pz) r JOIN ("
+        "SELECT uid, pdt, zone_id, min(seq) AS first_seen FROM ("
+        "SELECT uid, pdt, zone_id, row_number() OVER ("
+        "PARTITION BY uid, pdt ORDER BY rn) AS seq FROM ("
+        "SELECT uid, pdt, zone_id, rn, lag(zone_id) OVER ("
+        "PARTITION BY uid, pdt ORDER BY rn) AS pz FROM ("
+        "SELECT uid, CAST(call_time AS DATE) AS pdt, zone_id, "
+        "row_number() OVER (PARTITION BY uid, CAST(call_time AS DATE) "
+        "ORDER BY call_time, event_id) AS rn FROM zoned)) "
+        "WHERE pz IS NULL OR zone_id <> pz) GROUP BY 1, 2, 3) f "
+        "USING (uid, pdt, zone_id)) GROUP BY 1, 2 "
+        f"HAVING count(*) <= {max_stops}) GROUP BY 1, 2"
+    )

@@ -224,3 +224,100 @@ def test_co_presence_plans_as_equi_join(spark):
     # binned equi-join, never the quadratic fallback
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# daily mobility motifs
+
+
+def _zoned_ev(spark, rows):
+    """rows: (event_id, uid, sec_offset, zone_id)."""
+    return spark.createDataFrame(
+        [
+            (int(e), int(u), T0 + dt.timedelta(seconds=s), int(z))
+            for e, u, s, z in rows
+        ],
+        "event_id long, uid long, call_time timestamp, zone_id long",
+    )
+
+
+def _motif_python(rows, max_stops=500):
+    """Pure-Python reference census. rows: (event_id, uid, sec, zone)."""
+    days = {}
+    for e, u, s, z in rows:
+        days.setdefault((u, s // 86400), []).append((s, e, z))
+    census = {}
+    for (u, _d), evs in days.items():
+        zs = [z for _, _, z in sorted(evs)]
+        stops = [z for i, z in enumerate(zs) if i == 0 or z != zs[i - 1]]
+        if len(stops) > max_stops:
+            continue
+        order = list(dict.fromkeys(stops))
+        motif = "-".join(str(order.index(z) + 1) for z in stops)
+        k = (motif, len(stops))
+        n_days, users = census.get(k, (0, set()))
+        users.add(u)
+        census[k] = (n_days + 1, users)
+    return {k: (n, len(us)) for k, (n, us) in census.items()}
+
+
+def test_motif_canonical_relabel_and_collapse(spark):
+    # zones 9 4 9 9 7 -> collapse 9 4 9 7 -> relabel 1-2-1-3
+    rows = [(i, 1, i * 600, z) for i, z in enumerate([9, 4, 9, 9, 7])]
+    got = mobility.motif_census(_zoned_ev(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.motif, r.n_stops, r.n_user_days, r.n_users) == ("1-2-1-3", 4, 1, 1)
+
+
+def test_motif_census_counts_users_and_days(spark):
+    rows = (
+        # uid 1, two days, both A->B (same motif "1-2")
+        [(1, 1, 0, 5), (2, 1, 600, 6)]
+        + [(3, 1, 86400, 7), (4, 1, 87000, 8)]
+        # uid 2, one day, A->B
+        + [(5, 2, 0, 3), (6, 2, 900, 4)]
+        # uid 3, one day, single zone -> "1"
+        + [(7, 3, 0, 2), (8, 3, 600, 2)]
+    )
+    got = {
+        (r.motif, r.n_stops): (r.n_user_days, r.n_users)
+        for r in mobility.motif_census(_zoned_ev(spark, rows)).collect()
+    }
+    assert got == _motif_python(rows)
+    assert got[("1-2", 2)] == (3, 2) and got[("1", 1)] == (1, 1)
+
+
+def test_motif_equal_ts_tie_breaks_on_event_id(spark):
+    rows = [(1, 4, 0, 10), (2, 4, 0, 11), (3, 4, 60, 10)]
+    got = mobility.motif_census(_zoned_ev(spark, rows)).collect()
+    assert len(got) == 1 and got[0].motif == "1-2-1"
+
+
+def test_motif_max_stops_guard_drops_runaway_days(spark):
+    # a tower ping-pong day with 7 stops is excluded at max_stops=5
+    rows = [(i, 9, i * 60, i % 2) for i in range(7)]
+    rows += [(100, 8, 0, 1), (101, 8, 60, 2)]
+    got = mobility.motif_census(_zoned_ev(spark, rows), max_stops=5).collect()
+    assert len(got) == 1 and got[0].motif == "1-2"
+
+
+def test_motif_matches_python_randomized(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, int(rng.integers(1, 9)), int(rng.integers(0, 3 * 86400)),
+         int(rng.integers(0, 5)))
+        for i in range(400)
+    ]
+    got = {
+        (r.motif, r.n_stops): (r.n_user_days, r.n_users)
+        for r in mobility.motif_census(_zoned_ev(spark, rows)).collect()
+    }
+    assert got == _motif_python(rows)
+
+
+def test_motif_single_fact_exchange_plan(spark):
+    df = mobility.motif_census(_zoned_ev(spark, [(1, 1, 0, 0)]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # collect + lambdas in one shuffle lineage; no window, no join
+    assert "Window" not in plan and "Join" not in plan
