@@ -225,11 +225,12 @@ def displacement_oracle_body() -> str:
 CO_PRESENCE_US = 900 * 1_000_000
 
 
-def co_presence(zoned: DataFrame, window_us: int = CO_PRESENCE_US) -> DataFrame:
-    """Contact graph: for every unordered user pair, how many times
-    the two were observed in the SAME zone within ±``window_us`` of
-    each other — the co-location product CDR epidemiology and
-    social-tie studies derive (one row per contact pair per zone).
+def co_presence_pairs(
+    zoned: DataFrame, window_us: int = CO_PRESENCE_US
+) -> DataFrame:
+    """The raw contact-pair stream behind :func:`co_presence`: one
+    row per (event, event) pair observed in the same zone within
+    ±``window_us``, each pair exactly once.
 
     Binned formulation (same mechanics as
     ``temporal.range_neighbor_counts``): bucket events by
@@ -243,12 +244,7 @@ def co_presence(zoned: DataFrame, window_us: int = CO_PRESENCE_US) -> DataFrame:
     explodes, the build side keeps its native bucket, so a given
     (event, event) pair can only meet at the build row's bucket).
 
-    Scale: candidates are bounded by LOCAL (zone, window) density —
-    a stadium-zone burst concentrates one key, which AQE splits; the
-    global corpus size never enters the candidate count. Output is
-    the contact multigraph rolled up per (uid_a, uid_b, zone_id).
-
-    Output: (uid_a, uid_b, zone_id, n_contacts).
+    Output: (uid_a, uid_b, zone_id, tus_a, tus_b) — int64 micros.
     """
     if window_us <= 0:
         raise ValueError("window_us must be positive")
@@ -266,12 +262,39 @@ def co_presence(zoned: DataFrame, window_us: int = CO_PRESENCE_US) -> DataFrame:
             F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
         ).alias("bin"),
     )
-    pairs = probe.join(binned, on=["zone_id", "bin"]).where(
-        (F.col("uid_a") < F.col("uid"))
-        & (F.abs(F.col("ptus") - F.col("tus")) <= window_us)
+    return (
+        probe.join(binned, on=["zone_id", "bin"])
+        .where(
+            (F.col("uid_a") < F.col("uid"))
+            & (F.abs(F.col("ptus") - F.col("tus")) <= window_us)
+        )
+        .select(
+            "uid_a",
+            F.col("uid").alias("uid_b"),
+            "zone_id",
+            F.col("ptus").alias("tus_a"),
+            F.col("tus").alias("tus_b"),
+        )
     )
-    return pairs.groupBy(
-        "uid_a", F.col("uid").alias("uid_b"), "zone_id"
+
+
+def co_presence(zoned: DataFrame, window_us: int = CO_PRESENCE_US) -> DataFrame:
+    """Contact graph: for every unordered user pair, how many times
+    the two were observed in the SAME zone within ±``window_us`` of
+    each other — the co-location product CDR epidemiology and
+    social-tie studies derive (one row per contact pair per zone).
+
+    See :func:`co_presence_pairs` for the binned-equi-join mechanics.
+
+    Scale: candidates are bounded by LOCAL (zone, window) density —
+    a stadium-zone burst concentrates one key, which AQE splits; the
+    global corpus size never enters the candidate count. Output is
+    the contact multigraph rolled up per (uid_a, uid_b, zone_id).
+
+    Output: (uid_a, uid_b, zone_id, n_contacts).
+    """
+    return co_presence_pairs(zoned, window_us).groupBy(
+        "uid_a", "uid_b", "zone_id"
     ).agg(F.count(F.lit(1)).alias("n_contacts"))
 
 

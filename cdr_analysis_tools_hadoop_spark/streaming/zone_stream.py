@@ -372,3 +372,57 @@ def streaming_source_mixture(
             "n_tokens",
         )
     )
+
+
+def streaming_co_presence(
+    zoned: DataFrame,
+    window_us: int = 900 * 1_000_000,
+    watermark: str = "30 minutes",
+    ts_col: str = "call_time",
+) -> DataFrame:
+    """Live contact detection: the streaming twin of
+    ``mobility.co_presence_pairs`` — every (event, event) pair
+    observed in the same zone within ±``window_us``, emitted as the
+    stream advances. This is the engine's stream-stream JOIN shape
+    (every other streaming query here is map-only or a single
+    stateful aggregate): a watermarked self-join on zone equality
+    plus an event-time range condition.
+
+    State stays bounded because both sides carry a watermark and the
+    join condition bounds event-time distance: Spark evicts buffered
+    rows once the other side's watermark passes ts ± window (the
+    documented stream-stream inner-join state-cleanup contract) —
+    state is the last ~(watermark + window) of events per zone, not
+    the stream history. ``uid_a < uid_b`` keeps exactly one row per
+    unordered pair, matching the batch operator row-for-row; the
+    batch==stream parity test pins that on multi-micro-batch file
+    streams.
+
+    Output: (uid_a, uid_b, zone_id, tus_a, tus_b) — append mode.
+    """
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
+    a = zoned.select(
+        F.col("uid").alias("uid_a"),
+        F.col("zone_id").alias("zone_a"),
+        F.col(ts_col).cast("timestamp").alias("ts_a"),
+    ).withWatermark("ts_a", watermark)
+    b = zoned.select(
+        F.col("uid").alias("uid_b"),
+        F.col("zone_id").alias("zone_b"),
+        F.col(ts_col).cast("timestamp").alias("ts_b"),
+    ).withWatermark("ts_b", watermark)
+    iv = f"make_dt_interval(0, 0, 0, {window_us} / 1000000.0)"
+    return a.join(
+        b,
+        F.expr(
+            "zone_a = zone_b AND uid_a < uid_b "
+            f"AND ts_b >= ts_a - {iv} AND ts_b <= ts_a + {iv}"
+        ),
+    ).select(
+        "uid_a",
+        "uid_b",
+        F.col("zone_a").alias("zone_id"),
+        F.unix_micros("ts_a").alias("tus_a"),
+        F.unix_micros("ts_b").alias("tus_b"),
+    )

@@ -186,3 +186,73 @@ def test_streaming_cluster_counts_match_batch(spark, tmp_path):
     }
     assert got == want
     assert sum(want.values()) == 400
+
+
+def test_streaming_co_presence_matches_batch(spark, tmp_path):
+    """Stream-stream self-join parity: the watermarked range-join
+    emits exactly the batch operator's contact pairs across 3
+    micro-batches (both sides of every pair may land in DIFFERENT
+    batches — the buffered-state path)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from cdr_analysis_tools_hadoop_spark.operators import mobility
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    rng_zone = [3, 3, 7, 3, 7, 9, 3, 7, 9, 3]
+    for i in range(60):
+        rows.append(
+            (
+                i % 11 + 1,
+                t0 + dt.timedelta(seconds=(i * 613) % 7200),
+                rng_zone[i % len(rng_zone)],
+            )
+        )
+    zoned = spark.createDataFrame(
+        rows, "uid long, call_time timestamp, zone_id long"
+    )
+    w_us = 900 * 1_000_000
+
+    pdf = zoned.orderBy("call_time", "uid").toPandas()
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    in_dir = tmp_path / "cp_in"
+    in_dir.mkdir()
+    for i in range(3):
+        part = pdf.iloc[cuts[i]:cuts[i + 1]]
+        slice_dir = tmp_path / f"cp_slice_{i}"
+        spark.createDataFrame(part).coalesce(1).write.parquet(str(slice_dir))
+        src = glob.glob(str(slice_dir / "part-*.parquet"))[0]
+        path = in_dir / f"{i:03d}.parquet"
+        shutil.copy(src, path)
+        mtime = time.time() - 30 + i * 10
+        os.utime(path, (mtime, mtime))
+
+    schema = zoned.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    result = zone_stream.streaming_co_presence(stream, w_us)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("cop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.uid_a, r.uid_b, r.zone_id, r.tus_a, r.tus_b)
+        for r in spark.table("cop").collect()
+    }
+    want = {
+        (r.uid_a, r.uid_b, r.zone_id, r.tus_a, r.tus_b)
+        for r in mobility.co_presence_pairs(zoned, w_us).collect()
+    }
+    assert want  # the fixture must actually produce contacts
+    assert got == want
