@@ -456,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they join the r5 window with the rotation swap)
     q["text_repetition"] = lambda s, d: textops.repetition_scores(_docs(s, d))
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
+    # WIMBD-style per-source corpus report (late r4, past-window):
+    # volume + exact-dup ppm + PII ppm (planted, as in pii_redaction)
+    # + mean quality, fused into one scan + the text_hash window
+    q["corpus_report"] = lambda s, d: textops.corpus_report(
+        _docs(s, d), textops.planted_pii_sql("text", "doc_id", "spark")
+    )
     # C4-style line-level cleaning (late r4, past-window): the corpus
     # is single-line, so the contract query plants a deterministic
     # multi-line page per doc (planted_lines_sql — portable SQL, both
@@ -1148,6 +1154,9 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_curation"] = textops.corpus_curation_oracle()
     o["c4_line_filter"] = textops.c4_line_filter_oracle(
         "documents", textops.planted_lines_sql("text", "doc_id", "duckdb")
+    )
+    o["corpus_report"] = textops.corpus_report_oracle(
+        "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )
 
     sited_cte = _with(

@@ -1004,3 +1004,85 @@ def c4_line_filter_oracle(
         f"CAST(length({e['clean']}) AS BIGINT) AS clean_len, "
         f"md5({e['clean']}) AS clean_hash FROM {view}"
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. WIMBD-style corpus report
+
+def corpus_report(docs: DataFrame, pii_text_expr: str = "text") -> DataFrame:
+    """"What's in my big data" per-source corpus report (the WIMBD
+    audit, Elazar et al. 2023): document and token volume, exact-dup
+    rate, PII incidence, and mean quality — the first query a corpus
+    owner runs before any curation decision, fused into ONE scan.
+
+    Every per-document signal (token count, quality milli-score,
+    PII-match flag, normalized-text hash) is computed map-side in a
+    single projection; the only fact shuffle is the text_hash window
+    that marks exact dups (effectively unique keys — the
+    corpus_curation shuffle), and the report rollup then aggregates
+    |sources|-bounded keys. Rates are exact integer ppm (1e6 * n div
+    n_docs), so the DuckDB twin is FP-free except the 6dp-rounded
+    mean quality.
+
+    ``pii_text_expr`` lets the contract query plant deterministic PII
+    (planted_pii_sql) — the synthetic corpus contains none.
+
+    Output: (source, n_docs, n_tokens, dup_ppm, pii_ppm,
+    avg_quality_millis).
+    """
+    e = _quality_exprs("spark")
+    r = _redact_exprs(pii_text_expr, "spark")
+    norm = th.normalize_text_sql("text", "spark")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr(e["n_tokens"]).alias("n_tokens"),
+        F.expr(e["stopword_ratio"]).alias("stopword_ratio"),
+        F.expr(e["type_token_ratio"]).alias("type_token_ratio"),
+        F.expr(
+            f"({r['n_email']} + {r['n_phone']} + {r['n_ip']}) > 0"
+        ).alias("has_pii"),
+        F.md5(F.expr(norm)).alias("text_hash"),
+    ).withColumn("quality_millis", F.expr(_QUALITY_SCORE))
+    win = Window.partitionBy("text_hash").orderBy("doc_id")
+    flagged = base.withColumn(
+        "is_dup", F.row_number().over(win) > 1
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr(
+            "1000000 * sum(case when is_dup then 1 else 0 end) div count(*)"
+        ).alias("dup_ppm"),
+        F.expr(
+            "1000000 * sum(case when has_pii then 1 else 0 end) div count(*)"
+        ).alias("pii_ppm"),
+        F.expr("round(sum(quality_millis) / count(*), 6)").alias(
+            "avg_quality_millis"
+        ),
+    )
+
+
+def corpus_report_oracle(
+    view: str = "documents", pii_text_expr: str = "text"
+) -> str:
+    e = _quality_exprs("duckdb")
+    r = _redact_exprs(pii_text_expr, "duckdb")
+    norm = th.normalize_text_sql("text", "duckdb")
+    return (
+        f"WITH base AS (SELECT doc_id, source, {e['n_tokens']} AS n_tokens, "
+        f"{e['stopword_ratio']} AS stopword_ratio, "
+        f"{e['type_token_ratio']} AS type_token_ratio, "
+        f"({r['n_email']} + {r['n_phone']} + {r['n_ip']}) > 0 AS has_pii, "
+        f"md5({norm}) AS text_hash FROM {view}), "
+        f"q AS (SELECT *, {_QUALITY_SCORE} AS quality_millis, "
+        "row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) > 1"
+        " AS is_dup FROM base) "
+        "SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens, "
+        "1000000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END) // count(*)"
+        " AS dup_ppm, "
+        "1000000 * sum(CASE WHEN has_pii THEN 1 ELSE 0 END) // count(*)"
+        " AS pii_ppm, "
+        "round(sum(quality_millis) / count(*), 6) AS avg_quality_millis "
+        "FROM q GROUP BY source"
+    )

@@ -387,3 +387,50 @@ def test_c4_line_filter_matches_python_on_planted_corpus(spark, docs):
 def test_c4_line_filter_map_only_plan(spark, docs):
     plan = textops.c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scan-speed projection, zero shuffles
+
+
+# ---------------------------------------------------------------------------
+# WIMBD-style corpus report
+
+
+def test_corpus_report_fuses_volume_dup_pii_quality(spark):
+    rich = "the " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            # src a: 2 docs, one exact dup pair, no PII
+            (1, "a", rich),
+            (2, "a", rich),
+            # src b: 2 distinct docs, one with an email
+            (3, "b", rich + " extra"),
+            (4, "b", "mail me at bob@example.com today " + rich),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in textops.corpus_report(docs).collect()}
+    assert got["a"].n_docs == 2 and got["b"].n_docs == 2
+    assert got["a"].dup_ppm == 500_000 and got["b"].dup_ppm == 0
+    assert got["a"].pii_ppm == 0 and got["b"].pii_ppm == 500_000
+    # per-source token totals and mean quality agree with the
+    # per-document operators the report fuses
+    q = {r.doc_id: r.quality_millis for r in textops.quality_scores(docs).collect()}
+    t = {r.doc_id: r.n_tokens for r in textops.token_stats(docs).collect()}
+    assert got["a"].n_tokens == t[1] + t[2]
+    assert abs(got["a"].avg_quality_millis - (q[1] + q[2]) / 2) < 1e-6
+    assert abs(got["b"].avg_quality_millis - (q[3] + q[4]) / 2) < 1e-6
+
+
+def test_corpus_report_dup_ppm_matches_corpus_curation(docs):
+    # per-source dup ppm recomputed from corpus_curation's flags
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    dups = {}
+    tot = {}
+    for r in textops.corpus_curation(docs).collect():
+        s = src[r.doc_id]
+        tot[s] = tot.get(s, 0) + 1
+        if r.is_exact_dup:
+            dups[s] = dups.get(s, 0) + 1
+    want = {s: 1_000_000 * dups.get(s, 0) // n for s, n in tot.items()}
+    got = {
+        r.source: r.dup_ppm for r in textops.corpus_report(docs).collect()
+    }
+    assert got == want
