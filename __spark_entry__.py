@@ -456,6 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they join the r5 window with the rotation swap)
     q["text_repetition"] = lambda s, d: textops.repetition_scores(_docs(s, d))
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
+    # seeded weighted sampling without replacement (late r4,
+    # past-window): Efraimidis-Spirakis exponential race keyed by the
+    # MINSTD hash, quality-weighted by default
+    q["weighted_sample"] = lambda s, d: sampling.weighted_sample(_docs(s, d))
     # WIMBD-style per-source corpus report (late r4, past-window):
     # volume + exact-dup ppm + PII ppm (planted, as in pii_redaction)
     # + mean quality, fused into one scan + the text_hash window
@@ -1158,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_report"] = textops.corpus_report_oracle(
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )
+    o["weighted_sample"] = sampling.weighted_sample_oracle()
 
     sited_cte = _with(
         _CDR_CTE,

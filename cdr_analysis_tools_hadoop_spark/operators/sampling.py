@@ -362,3 +362,96 @@ def mixture_resample_oracle(
         "THEN 1 ELSE 0 END) AS INT) AS n_copies "
         "FROM toked JOIN q ON toked.source = q.source"
     )
+
+
+# ---------------------------------------------------------------------------
+# seeded weighted sampling without replacement
+
+SAMPLE_SEED = 29
+
+
+def _es_key_sql(id_col: str, weight_sql: str, seed: int) -> str:
+    """Efraimidis-Spirakis exponential-race key, seeded + portable:
+    key = -ln(u) / w with u = (h + 1) / (M + 1) in (0, 1] from the
+    integer MINSTD hash — the k SMALLEST keys are a weight-
+    proportional sample without replacement (WRS-ES, Efraimidis &
+    Spirakis 2006, via the exponential-clocks equivalence). u never
+    hits 0 (no -ln(0) infinity), and the key is rounded to 9 dp so
+    the ~1-ulp ln() disagreement between Java Math.log and libm
+    cannot flip the cross-engine order (ties broken by doc_id)."""
+    h = minstd_h_sql(id_col, seed)
+    u = f"((({h}) + 1) / {MINSTD_MOD + 1}.0)"
+    return f"round(-ln({u}) / ({weight_sql}), 9)"
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 64,
+    weight_sql: str | None = None,
+    seed: int = SAMPLE_SEED,
+) -> DataFrame:
+    """Sample ``k`` documents WITHOUT replacement with probability
+    proportional to a weight — the corpus-subsampling step ("take
+    10B tokens, quality-weighted") run as one deterministic pass.
+
+    The weight defaults to quality_millis + 1 (the Gopher-rules
+    milli-score), so higher-quality documents win the exponential
+    race more often, but any positive SQL expression works
+    (n_tokens for token-budget sampling, 1 for uniform). Rows with
+    weight <= 0 are excluded (zero-probability by definition).
+
+    Determinism: the race key depends only on (doc_id, seed, weight),
+    so reruns, resumes, and cluster sizes reproduce the same sample —
+    the property rand()-based sampling lacks. Scale: ORDER BY + LIMIT
+    plans as TakeOrderedAndProject — each task keeps its local top-k
+    and the driver merges |tasks| * k rows, so cost is k-bounded, not
+    corpus-bounded; for k beyond driver comfort (~10^6), shard the
+    race through quota_sample's two-phase exact top-k instead.
+
+    Output: (doc_id, source, weight, key), the k winners.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from . import textops
+
+    if weight_sql is None:
+        e = textops._quality_exprs("spark")
+        q = textops._QUALITY_SCORE.replace("n_tokens", f"({e['n_tokens']})")
+        q = q.replace("stopword_ratio", f"({e['stopword_ratio']})")
+        q = q.replace("type_token_ratio", f"({e['type_token_ratio']})")
+        weight_sql = f"({q}) + 1"
+    key = _es_key_sql("doc_id", weight_sql, seed)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(f"cast({weight_sql} as bigint)").alias("weight"),
+            F.expr(key).alias("key"),
+        )
+        .where(F.col("weight") > 0)
+        .orderBy("key", "doc_id")
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle(
+    view: str = "documents",
+    k: int = 64,
+    weight_sql: str | None = None,
+    seed: int = SAMPLE_SEED,
+) -> str:
+    from . import textops
+
+    if weight_sql is None:
+        e = textops._quality_exprs("duckdb")
+        q = textops._QUALITY_SCORE.replace("n_tokens", f"({e['n_tokens']})")
+        q = q.replace("stopword_ratio", f"({e['stopword_ratio']})")
+        q = q.replace("type_token_ratio", f"({e['type_token_ratio']})")
+        weight_sql = f"({q}) + 1"
+    key = _es_key_sql("doc_id", weight_sql, seed)
+    return (
+        f"SELECT doc_id, source, CAST({weight_sql} AS BIGINT) AS weight, "
+        f"{key} AS key FROM {view} "
+        f"WHERE CAST({weight_sql} AS BIGINT) > 0 "
+        f"ORDER BY key, doc_id LIMIT {k}"
+    )

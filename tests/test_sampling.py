@@ -221,3 +221,81 @@ def test_mixture_resample_rebalances_token_mass(docs):
     target = sum(masses) / len(masses)
     for m in masses:
         assert abs(m - target) / target < 0.12
+
+
+# ---------------------------------------------------------------------------
+# seeded weighted sampling without replacement
+
+
+def _minstd_py(i, seed):
+    h = ((i % sampling.MINSTD_MOD) + sampling.MINSTD_MOD + seed) % sampling.MINSTD_MOD
+    for _ in range(3):
+        h = h * sampling.MINSTD_MULT % sampling.MINSTD_MOD
+    return h
+
+
+def _es_winners_py(weights, k, seed):
+    """Pure-Python twin of the exponential race."""
+    import math
+
+    keyed = []
+    for i, w in weights.items():
+        if w <= 0:
+            continue
+        u = (_minstd_py(i, seed) + 1) / (sampling.MINSTD_MOD + 1)
+        keyed.append((round(-math.log(u) / w, 9), i))
+    return [i for _, i in sorted(keyed)[:k]]
+
+
+def test_weighted_sample_matches_python_race(spark):
+    weights = {i: (i % 7) + 1 for i in range(300)}
+    df = spark.createDataFrame(
+        [(i, "s", w) for i, w in weights.items()],
+        "doc_id long, source string, w long",
+    )
+    got = sampling.weighted_sample(df, k=25, weight_sql="w", seed=11).collect()
+    assert [r.doc_id for r in got] == _es_winners_py(weights, 25, 11)
+    assert len({r.doc_id for r in got}) == 25  # without replacement
+
+
+def test_weighted_sample_zero_weight_never_wins(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 0 if i < 90 else 1) for i in range(100)],
+        "doc_id long, source string, w long",
+    )
+    got = sampling.weighted_sample(df, k=10, weight_sql="w", seed=3).collect()
+    assert all(r.doc_id >= 90 for r in got) and len(got) == 10
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    # 9x-weighted docs should dominate winners across seeds
+    df = spark.createDataFrame(
+        [(i, "s", 9 if i % 2 == 0 else 1) for i in range(400)],
+        "doc_id long, source string, w long",
+    )
+    heavy = 0
+    for seed in range(5):
+        rows = sampling.weighted_sample(df, k=40, weight_sql="w", seed=seed).collect()
+        heavy += sum(1 for r in rows if r.doc_id % 2 == 0)
+    assert heavy / 200 > 0.7  # exact expectation ~0.88 at these k/N
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "s", (i % 5) + 1) for i in range(500)],
+        "doc_id long, source string, w long",
+    )
+    a = sampling.weighted_sample(df.repartition(1), k=30, weight_sql="w").collect()
+    b = sampling.weighted_sample(df.repartition(17), k=30, weight_sql="w").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+
+
+def test_weighted_sample_k_bounded_plan(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 1) for i in range(50)], "doc_id long, source string, w long"
+    )
+    plan = (
+        sampling.weighted_sample(df, k=5, weight_sql="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # local top-k, driver merges k/task
