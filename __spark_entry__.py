@@ -332,6 +332,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantics -> in-window driver row
     q["od_matrix_kanon"] = _od_kanon
 
+    def _od_gravity(s, d):
+        sited = trajectory.with_site(_zoned(s, d))
+        home = trajectory.user_home_site(sited)
+        return trajectory.od_gravity(
+            trajectory.od_edges(sited, home), _towers(s, d)
+        )
+
+    # gravity-model OD diagnostics (late r4, past-window): per-row
+    # log-residual vs the m_o*m_d/d^2 null — no global FP sums
+    q["od_gravity"] = _od_gravity
+
     def _od_detail(s, d):
         sited = trajectory.with_site(_zoned(s, d))
         home = trajectory.user_home_site(sited)
@@ -1047,6 +1058,25 @@ def oracle_sql() -> dict[str, str]:
     o["od_detail"] = (
         f"{_OD_CTES} SELECT uid, pdt, origin_site, dest_site, "
         "origin_zone, dest_zone, ts FROM edges"
+    )
+    _grav_d2 = geo.planar_d2_sql("o.tlat", "o.tlon", "d.tlat", "d.tlon")
+    o["od_gravity"] = (
+        f"{_OD_CTES}, flows AS (SELECT origin_zone, dest_zone, "
+        "count(*) AS tcount FROM edges WHERE origin_zone IS NOT NULL "
+        "AND dest_zone IS NOT NULL AND origin_zone <> dest_zone "
+        "GROUP BY 1, 2), "
+        "prod AS (SELECT origin_zone, CAST(sum(tcount) AS BIGINT) AS m_o "
+        "FROM flows GROUP BY 1), "
+        "attr AS (SELECT dest_zone, CAST(sum(tcount) AS BIGINT) AS m_d "
+        "FROM flows GROUP BY 1) "
+        "SELECT origin_zone, dest_zone, tcount, m_o, m_d, "
+        f"round(sqrt({_grav_d2}) * {geo.dlit(111320.0)}, 3) AS dist_m, "
+        f"round(ln(CAST(tcount AS DOUBLE) * ({_grav_d2}) / (m_o * m_d)), 6)"
+        " AS gravity_index "
+        "FROM flows JOIN prod USING (origin_zone) "
+        "JOIN attr USING (dest_zone) "
+        "JOIN towers o ON flows.origin_zone = o.zone_id "
+        "JOIN towers d ON flows.dest_zone = d.zone_id"
     )
 
     # mobility indicators (operators/mobility.py) — the engine's

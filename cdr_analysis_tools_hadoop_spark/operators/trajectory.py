@@ -207,3 +207,74 @@ def od_sum_kanon(edges: DataFrame, k: int = OD_KANON_K) -> DataFrame:
     if k < 1:
         raise ValueError("k must be >= 1")
     return od_sum(edges).filter(F.col("tusercount") >= k)
+
+
+def od_gravity(edges: DataFrame, towers: DataFrame) -> DataFrame:
+    """Gravity-model diagnostics over the OD matrix: per directed
+    zone pair, the observed flow against the classic
+    production-attraction-distance structure (flow ~ m_o * m_d / d²)
+    — the transport-planning read of an OD export. gravity_index =
+    ln(flow * d² / (m_o * m_d)) is the log-residual against an
+    unnormalized beta=2 gravity null: pairs with index far above the
+    corpus mean over-attract relative to their masses and distance
+    (a corridor), far below under-attract (a barrier).
+
+    Masses are derived from the SAME flow table (m_o = zone total
+    outflow, m_d = total inflow, self-flows excluded), so the op is
+    self-contained: one aggregate over the edge stream, two
+    re-aggregates of the |zones|²-bounded flow table, two broadcast
+    joins to the tower dim for coordinates. Distance is the planar
+    Voronoi metric (geo.planar_d2_sql — arithmetic-only, so the
+    DuckDB twin is expression-identical), and the index is computed
+    per-row from exact int64 masses — no global FP sums, every
+    emitted double deterministic.
+
+    Output: (origin_zone, dest_zone, tcount, m_o, m_d, dist_m,
+    gravity_index).
+    """
+    flows = (
+        edges.filter(
+            F.col("origin_zone").isNotNull()
+            & F.col("dest_zone").isNotNull()
+            & (F.col("origin_zone") != F.col("dest_zone"))
+        )
+        .groupBy("origin_zone", "dest_zone")
+        .agg(F.count(F.lit(1)).alias("tcount"))
+    )
+    prod = flows.groupBy("origin_zone").agg(
+        F.sum("tcount").cast("bigint").alias("m_o")
+    )
+    attr = flows.groupBy("dest_zone").agg(
+        F.sum("tcount").cast("bigint").alias("m_d")
+    )
+    t_o = towers.select(
+        F.col("zone_id").alias("origin_zone"),
+        F.col("tlat").alias("olat"),
+        F.col("tlon").alias("olon"),
+    )
+    t_d = towers.select(
+        F.col("zone_id").alias("dest_zone"),
+        F.col("tlat").alias("dlat"),
+        F.col("tlon").alias("dlon"),
+    )
+    d2 = geo.planar_d2_sql("olat", "olon", "dlat", "dlon")
+    return (
+        flows.join(F.broadcast(prod), "origin_zone")
+        .join(F.broadcast(attr), "dest_zone")
+        .join(F.broadcast(t_o), "origin_zone")
+        .join(F.broadcast(t_d), "dest_zone")
+        .select(
+            "origin_zone",
+            "dest_zone",
+            "tcount",
+            "m_o",
+            "m_d",
+            F.expr(
+                f"round(sqrt({d2}) * {geo.dlit(111320.0)}, 3)"
+            ).alias("dist_m"),
+            F.expr(
+                f"round(ln(cast(tcount as double) * ({d2}) "
+                "/ (m_o * m_d)), 6)"
+            ).alias("gravity_index"),
+        )
+    )

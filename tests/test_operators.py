@@ -302,3 +302,65 @@ def test_od_kanon_suppresses_small_cells(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         trajectory.od_sum_kanon(edges, k=0)
+
+
+def test_od_gravity_masses_distance_and_index(spark):
+    """Hand-built directed flows -> masses, planar distance, and the
+    per-pair log-residual recomputed in numpy."""
+    import math
+
+    import numpy as np
+
+    from cdr_analysis_tools_hadoop_spark.functions import geo
+
+    # edges: zone 0 -> 1 x3, 1 -> 0 x2, 0 -> 2 x1, plus a self-flow
+    # (1 -> 1) and a null-zone edge, both of which must be excluded
+    rows = [(0, 1)] * 3 + [(1, 0)] * 2 + [(0, 2), (1, 1), (None, 2)]
+    edges = spark.createDataFrame(
+        [(i, str(o) if o is not None else None, str(d)) for i, (o, d) in enumerate(rows)],
+        "uid long, origin_zone string, dest_zone string",
+    ).selectExpr(
+        "uid",
+        "cast(origin_zone as bigint) as origin_zone",
+        "cast(dest_zone as bigint) as dest_zone",
+    )
+    towers = spark.createDataFrame(
+        [(0, 35.0, 139.0), (1, 35.2, 139.1), (2, 35.1, 139.4)],
+        "zone_id long, tlat double, tlon double",
+    )
+    got = {
+        (r.origin_zone, r.dest_zone): r
+        for r in trajectory.od_gravity(edges, towers).collect()
+    }
+    assert set(got) == {(0, 1), (1, 0), (0, 2)}
+    assert got[(0, 1)].tcount == 3 and got[(1, 0)].tcount == 2
+    # masses: outflow of 0 = 4, inflow of 1 = 3, etc.
+    assert (got[(0, 1)].m_o, got[(0, 1)].m_d) == (4, 3)
+    assert (got[(1, 0)].m_o, got[(1, 0)].m_d) == (2, 2)
+    coords = {0: (35.0, 139.0), 1: (35.2, 139.1), 2: (35.1, 139.4)}
+    for (o, d), r in got.items():
+        d2 = float(
+            geo.planar_d2_np(
+                np.array([coords[o][0]]), np.array([coords[o][1]]),
+                np.array([coords[d][0]]), np.array([coords[d][1]]),
+            )[0]
+        )
+        assert abs(r.dist_m - round(math.sqrt(d2) * 111320.0, 3)) < 1e-9
+        want_idx = round(math.log(r.tcount * d2 / (r.m_o * r.m_d)), 6)
+        assert abs(r.gravity_index - want_idx) < 1e-9
+
+
+def test_od_gravity_broadcasts_all_dims(spark):
+    edges = spark.createDataFrame(
+        [(1, 0, 1)], "uid long, origin_zone long, dest_zone long"
+    )
+    towers = spark.createDataFrame(
+        [(0, 35.0, 139.0), (1, 35.2, 139.1)],
+        "zone_id long, tlat double, tlon double",
+    )
+    plan = (
+        trajectory.od_gravity(edges, towers)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # masses + tower dims all broadcast: no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
