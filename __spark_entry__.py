@@ -34,6 +34,7 @@ from cdr_analysis_tools_hadoop_spark.operators import (
     prepare,
     sampling,
     similarity,
+    spatialstats,
     statistics,
     temporal,
     textops,
@@ -371,6 +372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window/dense_rank formulation (different plans, same motifs)
     q["motif_census"] = lambda s, d: mobility.motif_census(
         _zoned(s, d).select("uid", "zone_id", "call_time", "event_id")
+    )
+    # zone-level spatial statistics (late r4, past-window, r5
+    # rotation candidates): Gi* hotspots via the EXACT binned
+    # distance-band equi-join, global Moran's I and per-zone LISA
+    # over the zone-population surface (operators/spatialstats.py)
+    q["zone_hotspot_gi"] = lambda s, d: spatialstats.getis_ord_gi_star(
+        _zoned(s, d), _towers(s, d)
+    )
+    q["morans_i"] = lambda s, d: spatialstats.morans_i(_zoned(s, d), _towers(s, d))
+    q["zone_lisa"] = lambda s, d: spatialstats.local_morans_i(
+        _zoned(s, d), _towers(s, d)
     )
 
     # --- temporal primitives (NEW late-r4): the trajectory chain's
@@ -1088,6 +1100,14 @@ def oracle_sql() -> dict[str, str]:
     o["user_displacement"] = f"{base} {mobility.displacement_oracle_body()}"
     o["co_presence"] = f"{zone_base} {mobility.co_presence_oracle_body()}"
     o["motif_census"] = f"{zone_base} {mobility.motif_census_oracle_body()}"
+
+    # zone-level spatial statistics (operators/spatialstats.py) —
+    # the bodies CONTINUE the zoned WITH chain (leading ", zc AS");
+    # engine binned equi-join vs the oracle's cross join under the
+    # IDENTICAL band predicate / weight snippets, stats rounded to 6.
+    o["zone_hotspot_gi"] = f"{zone_base}{spatialstats.gi_star_oracle_body()}"
+    o["morans_i"] = f"{zone_base}{spatialstats.morans_i_oracle_body()}"
+    o["zone_lisa"] = f"{zone_base}{spatialstats.lisa_oracle_body()}"
 
     # temporal primitives (operators/temporal.py) — engine windows /
     # binned equi-joins vs the oracle's direct (quadratic-OK-at-sf0.01)

@@ -1,0 +1,371 @@
+"""Zone-level spatial statistics: Getis–Ord Gi* hotspots, global
+Moran's I, and local Moran (LISA) over the zone-population surface.
+
+The reference's analysis chain stops at the J3 zone-population
+aggregate (reference queries/statistics/zone_population.sql:1-4):
+per-zone event counts over the tower-Voronoi layer. These operators
+add the standard next step of a geospatial analyst — spatial-
+autocorrelation statistics over exactly that per-zone count surface:
+
+- ``getis_ord_gi_star``: the Gi* hotspot z-score (Getis & Ord,
+  "The Analysis of Spatial Association by Use of Distance
+  Statistics", Geographical Analysis 1992; the starred 1995 form
+  that includes the focal zone) with binary distance-band weights.
+- ``morans_i``: global Moran's I (Moran, Biometrika 1950) with
+  inverse-distance weights — one row: is the count surface
+  clustered (I > E[I]) or dispersed?
+- ``local_morans_i``: the per-zone LISA decomposition (Anselin,
+  "Local Indicators of Spatial Association", Geographical Analysis
+  1995) under the same inverse-distance weights.
+
+Scale shapes (the tower layer is a DIMENSION — 10^2..10^5 rows vs
+10^12 fact rows, operators/zones.py):
+
+- The ONLY fact-scale work in all three is the per-zone count:
+  one partial-aggregatable groupBy (map-side combine, one exchange
+  of |zones| rows). Everything after runs on the zone dimension.
+- Gi* finds distance-band neighbors with an EXACT binned equi-join
+  (cell side = radius, 9-offset explode — the co_presence shape):
+  |zones| * 9 probe rows against a hash join, never |zones|^2, so
+  a 10^5-tower layer stays ~10^6 candidate pairs. Correctness is
+  pinned against the brute-force cross join in pytest.
+- Moran/LISA use DENSE inverse-distance weights, which are
+  inherently all-pairs; the dim self-join is broadcast and guarded
+  (``MAX_DENSE_ZONES``) — for larger layers use the distance-band
+  Gi* (sparse weights) instead, as any production GIS does.
+
+Cross-engine determinism: per-zone counts, neighbor sums and
+neighbor counts are exact BIGINTs; means and weights are closed-form
+doubles shared snippet-for-snippet with the DuckDB twins; x*x sums
+are accumulated in DOUBLE (exact while counts < 2^26; at larger
+magnitudes only the final rounding digit can move) so int64 can
+never overflow at 10^12-event scale. The only cross-engine
+nondeterminism — floating sum ORDER over the (tiny) zone dimension —
+is absorbed by rounding every emitted statistic to 6 decimals and
+adding +0.0 (collapsing IEEE -0.0, which the two engines round to
+with opposite signs on |v| < 5e-7), the same contract as
+operators/mobility.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..functions.geo import dlit
+
+#: metres per degree of latitude — the constant the Voronoi metric,
+#: kNN dist_m, and the mobility indicators all share.
+M_PER_DEG = 111320.0
+
+#: dense (all-pairs) weights are dimension-only work; past this the
+#: caller should switch to the sparse distance-band Gi*.
+MAX_DENSE_ZONES = 5000
+
+#: default Gi* distance band: 30 km on the ~111 x 90 km fixture box
+#: gives each zone a genuine neighborhood without spanning the box.
+DEFAULT_RADIUS_M = 30000.0
+
+_D2_IJ = geo.planar_d2_sql("i_tlat", "i_tlon", "j_tlat", "j_tlon")
+
+#: inverse-distance weight in 1/metres (i != j rows only).
+_W_INV = f"({dlit(1.0)} / (sqrt({_D2_IJ}) * {dlit(M_PER_DEG)}))"
+
+
+def _band_pred(radius_m: float) -> str:
+    """d(i, j) <= radius_m in the shared planar metric, sqrt-free:
+    d2_degrees <= (r / m_per_deg)^2 with the bound folded into ONE
+    python-side literal so both engines compare identical doubles."""
+    bound = (float(radius_m) / M_PER_DEG) ** 2
+    return f"({_D2_IJ}) <= {dlit(bound)}"
+
+
+def _gi_formula() -> str:
+    """Gi* z-score from (x, sx, wi) x (n, mean, s2) — Getis & Ord
+    1995 eq. 6/7 with binary weights: sum(w^2) == sum(w) == wi."""
+    return (
+        f"CASE WHEN n <= 1 OR s2 <= {dlit(0.0)} OR (n * wi - wi * wi) <= 0 "
+        "THEN CAST(NULL AS DOUBLE) ELSE "
+        "(round((sx - mean * wi) / (sqrt(s2) * "
+        f"sqrt(CAST(n * wi - wi * wi AS DOUBLE) / (n - {dlit(1.0)}))), 6)"
+        f" + {dlit(0.0)}) END"
+    )
+
+
+# mean and population variance from exact integer sum_x and the
+# double-accumulated sum_x2; shared verbatim with the oracle bodies.
+_MEAN = "(CAST(sum_x AS DOUBLE) / n)"
+_S2 = f"((sum_x2 / n) - {_MEAN} * {_MEAN})"
+
+
+def zone_value_frame(zoned: DataFrame, towers: DataFrame) -> DataFrame:
+    """Per-zone event count x with the zone centroid, INCLUDING
+    zero-count zones (a hotspot statistic over a surface that drops
+    its empty cells is biased): towers LEFT JOIN the one-exchange
+    fact aggregate."""
+    counts = zoned.groupBy("zone_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    return (
+        towers.select("zone_id", "tlat", "tlon")
+        .join(counts, "zone_id", "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0).cast("bigint")))
+    )
+
+
+def _globals_row(zc: DataFrame) -> DataFrame:
+    return zc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sum_x2"),
+    )
+
+
+def getis_ord_gi_star(
+    zoned: DataFrame,
+    towers: DataFrame,
+    radius_m: float = DEFAULT_RADIUS_M,
+) -> DataFrame:
+    """Per-zone Gi* hotspot z-score with binary weights within
+    ``radius_m`` (the focal zone included — the starred statistic).
+
+    Physical plan: one fact exchange (zone counts), then the EXACT
+    binned neighbor equi-join on the dimension — bin side == radius,
+    so every in-band pair lands in one of the 9 neighboring cells;
+    each (i, j) matches exactly one offset, making the join a
+    bijection onto the cross-join's in-band pairs (pinned in
+    tests/test_spatialstats.py). Output: (zone_id, n_events,
+    n_neighbors, gi_z).
+    """
+    r = float(radius_m)
+    if r <= 0.0:
+        raise ValueError("radius_m must be positive")
+    zc = zone_value_frame(zoned, towers)
+    cu = F.floor(F.col("tlat") * F.lit(M_PER_DEG) / F.lit(r))
+    cv = F.floor(
+        F.col("tlon") * F.lit(geo.LON_SCALE * M_PER_DEG) / F.lit(r)
+    )
+    binned = zc.select("zone_id", "tlat", "tlon", "x", cu.alias("cu"), cv.alias("cv"))
+    probe = (
+        binned.select(
+            F.col("zone_id").alias("i_zone"),
+            F.col("tlat").alias("i_tlat"),
+            F.col("tlon").alias("i_tlon"),
+            F.col("x").alias("i_x"),
+            "cu",
+            "cv",
+        )
+        .withColumn("du", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dv", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    )
+    build = binned.select(
+        F.col("tlat").alias("j_tlat"),
+        F.col("tlon").alias("j_tlon"),
+        F.col("x").alias("j_x"),
+        F.col("cu").alias("j_cu"),
+        F.col("cv").alias("j_cv"),
+    )
+    pairs = probe.join(
+        build,
+        (probe.cu + probe.du == build.j_cu) & (probe.cv + probe.dv == build.j_cv),
+    ).where(F.expr(_band_pred(r)))
+    nb = pairs.groupBy(F.col("i_zone").alias("zone_id"), F.col("i_x").alias("x")).agg(
+        F.sum("j_x").cast("bigint").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("wi"),
+    )
+    out = nb.crossJoin(F.broadcast(_globals_row(zc)))
+    return (
+        out.withColumn("mean", F.expr(_MEAN))
+        .withColumn("s2", F.expr(_S2))
+        .select(
+            "zone_id",
+            F.col("x").alias("n_events"),
+            F.col("wi").alias("n_neighbors"),
+            F.expr(_gi_formula()).alias("gi_z"),
+        )
+    )
+
+
+def _dense_pairs(zc: DataFrame) -> DataFrame:
+    """All i != j zone pairs with centred values — dimension-only
+    (guarded) broadcast self-join for the dense-weight statistics."""
+    n_zones = zc.count()
+    if n_zones > MAX_DENSE_ZONES:
+        raise ValueError(
+            "dense inverse-distance weights are all-pairs; for "
+            f"{n_zones} zones use the distance-band getis_ord_gi_star"
+        )
+    g = _globals_row(zc)
+    zcz = zc.crossJoin(F.broadcast(g)).select(
+        "zone_id",
+        "tlat",
+        "tlon",
+        "x",
+        "n",
+        "sum_x",
+        "sum_x2",
+        (F.col("x").cast("double") - F.expr(_MEAN)).alias("z"),
+    )
+    i = zcz.select(
+        F.col("zone_id").alias("i_zone"),
+        F.col("tlat").alias("i_tlat"),
+        F.col("tlon").alias("i_tlon"),
+        F.col("x").alias("i_x"),
+        F.col("z").alias("i_z"),
+        "n",
+        "sum_x",
+        "sum_x2",
+    )
+    j = zcz.select(
+        F.col("zone_id").alias("j_zone"),
+        F.col("tlat").alias("j_tlat"),
+        F.col("tlon").alias("j_tlon"),
+        F.col("z").alias("j_z"),
+    )
+    return i.join(F.broadcast(j), F.col("i_zone") != F.col("j_zone"))
+
+
+def morans_i(zoned: DataFrame, towers: DataFrame) -> DataFrame:
+    """Global Moran's I over the zone-count surface with
+    inverse-distance weights: one row (n_zones, s0, morans_i,
+    expected_i). I > E[I] = -1/(n-1) reads as spatial clustering.
+
+    Plan: one fact exchange for the counts; the pair stage and both
+    final aggregates are dimension-only single-row reductions.
+    """
+    pairs = _dense_pairs(zone_value_frame(zoned, towers))
+    # m2 = sum(z^2) over ZONES (not pairs), folded from the exact
+    # global moments instead of a second scan: sum(z^2) =
+    # sum_x2 - n * mean^2.
+    m2 = f"(sum_x2 - n * {_MEAN} * {_MEAN})"
+    agg = pairs.groupBy().agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.first("sum_x").alias("sum_x"),
+        F.first("sum_x2").alias("sum_x2"),
+        F.sum(F.expr(_W_INV)).alias("s0"),
+        F.sum(F.expr(_W_INV) * F.col("i_z") * F.col("j_z")).alias("num"),
+    )
+    return agg.select(
+        F.col("n").alias("n_zones"),
+        F.round("s0", 6).alias("s0"),
+        F.expr(
+            f"CASE WHEN n <= 1 OR {m2} <= {dlit(0.0)} THEN CAST(NULL AS DOUBLE) "
+            f"ELSE round((n / s0) * num / {m2}, 6) + {dlit(0.0)} END"
+        ).alias("morans_i"),
+        F.expr(
+            f"CASE WHEN n <= 1 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE round({dlit(-1.0)} / (n - {dlit(1.0)}), 6) END"
+        ).alias("expected_i"),
+    )
+
+
+def local_morans_i(zoned: DataFrame, towers: DataFrame) -> DataFrame:
+    """Per-zone LISA: I_i = z_i * sum_j(w_ij z_j) / (sum(z^2) / n)
+    under the same inverse-distance weights as :func:`morans_i`
+    (Anselin 1995 eq. 7 with m2 the population second moment).
+    Output: (zone_id, n_events, lisa); positive = the zone sits in a
+    like-valued cluster, negative = a spatial outlier.
+    """
+    pairs = _dense_pairs(zone_value_frame(zoned, towers))
+    li = pairs.groupBy(
+        F.col("i_zone").alias("zone_id"),
+        F.col("i_x").alias("x"),
+        F.col("i_z").alias("z"),
+        "n",
+        "sum_x",
+        "sum_x2",
+    ).agg(F.sum(F.expr(_W_INV) * F.col("j_z")).alias("lag"))
+    m2n = f"((sum_x2 - n * {_MEAN} * {_MEAN}) / n)"
+    return li.select(
+        "zone_id",
+        F.col("x").alias("n_events"),
+        F.expr(
+            f"CASE WHEN n <= 1 OR {m2n} <= {dlit(0.0)} THEN CAST(NULL AS DOUBLE) "
+            f"ELSE round(z * lag / {m2n}, 6) + {dlit(0.0)} END"
+        ).alias("lisa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins — same snippets over the shared `zoned` + `towers` CTEs.
+# Each body CONTINUES the caller's WITH chain (leading ", zc AS ...")
+# and must be appended directly to the zoned CTE prefix.
+
+_ZC_CTE = (
+    "zc AS (SELECT t.zone_id, t.tlat, t.tlon, "
+    "CAST(coalesce(e.x, 0) AS BIGINT) AS x FROM towers t LEFT JOIN ("
+    "SELECT zone_id, CAST(count(*) AS BIGINT) AS x FROM zoned "
+    "GROUP BY zone_id) e ON t.zone_id = e.zone_id)"
+)
+
+_G_CTE = (
+    "g AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sum_x, "
+    "sum(CAST(x AS DOUBLE) * x) AS sum_x2 FROM zc)"
+)
+
+_PAIR_COLS = (
+    "i.zone_id AS i_zone, i.tlat AS i_tlat, i.tlon AS i_tlon, "
+    "i.x AS i_x, j.zone_id AS j_zone, j.tlat AS j_tlat, "
+    "j.tlon AS j_tlon, j.x AS j_x"
+)
+
+
+def gi_star_oracle_body(radius_m: float = DEFAULT_RADIUS_M) -> str:
+    """DuckDB twin of :func:`getis_ord_gi_star` (cross join + the
+    identical band predicate stands in for the binned equi-join —
+    pinned equal in pytest)."""
+    return (
+        f", {_ZC_CTE}, {_G_CTE}, "
+        f"nb AS (SELECT i_zone AS zone_id, i_x AS x, "
+        "CAST(sum(j_x) AS BIGINT) AS sx, "
+        f"CAST(count(*) AS BIGINT) AS wi FROM (SELECT {_PAIR_COLS} "
+        f"FROM zc i, zc j) p WHERE {_band_pred(radius_m)} "
+        "GROUP BY i_zone, i_x) "
+        "SELECT zone_id, x AS n_events, wi AS n_neighbors, "
+        f"{_gi_formula()} AS gi_z FROM ("
+        f"SELECT nb.zone_id, nb.x, nb.sx, nb.wi, g.n, g.sum_x, g.sum_x2, "
+        f"{_MEAN} AS mean, {_S2} AS s2 FROM nb CROSS JOIN g)"
+    )
+
+
+def _pairs_cte() -> str:
+    return (
+        f"zz AS (SELECT zc.*, CAST(x AS DOUBLE) - {_MEAN} AS z, "
+        "g.n, g.sum_x, g.sum_x2 FROM zc CROSS JOIN g), "
+        "pairs AS (SELECT i.zone_id AS i_zone, i.tlat AS i_tlat, "
+        "i.tlon AS i_tlon, i.x AS i_x, i.z AS i_z, i.n, i.sum_x, "
+        "i.sum_x2, j.tlat AS j_tlat, j.tlon AS j_tlon, j.z AS j_z "
+        "FROM zz i JOIN zz j ON i.zone_id <> j.zone_id)"
+    )
+
+
+def morans_i_oracle_body() -> str:
+    """DuckDB twin of :func:`morans_i`."""
+    m2 = f"(sum_x2 - n * {_MEAN} * {_MEAN})"
+    return (
+        f", {_ZC_CTE}, {_G_CTE}, {_pairs_cte()} "
+        "SELECT n AS n_zones, round(s0, 6) AS s0, "
+        f"CASE WHEN n <= 1 OR {m2} <= {dlit(0.0)} THEN CAST(NULL AS DOUBLE) "
+        f"ELSE round((n / s0) * num / {m2}, 6) + {dlit(0.0)} END AS morans_i, "
+        f"CASE WHEN n <= 1 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE round({dlit(-1.0)} / (n - {dlit(1.0)}), 6) END AS expected_i "
+        "FROM (SELECT CAST(min(n) AS BIGINT) AS n, min(sum_x) AS sum_x, "
+        f"min(sum_x2) AS sum_x2, sum({_W_INV}) AS s0, "
+        f"sum({_W_INV} * i_z * j_z) AS num FROM pairs)"
+    )
+
+
+def lisa_oracle_body() -> str:
+    """DuckDB twin of :func:`local_morans_i`."""
+    m2n = f"((sum_x2 - n * {_MEAN} * {_MEAN}) / n)"
+    return (
+        f", {_ZC_CTE}, {_G_CTE}, {_pairs_cte()} "
+        "SELECT zone_id, x AS n_events, "
+        f"CASE WHEN n <= 1 OR {m2n} <= {dlit(0.0)} THEN CAST(NULL AS DOUBLE) "
+        f"ELSE round(z * lag / {m2n}, 6) + {dlit(0.0)} END AS lisa FROM ("
+        "SELECT i_zone AS zone_id, i_x AS x, i_z AS z, n, sum_x, sum_x2, "
+        f"sum({_W_INV} * j_z) AS lag FROM pairs "
+        "GROUP BY i_zone, i_x, i_z, n, sum_x, sum_x2)"
+    )
