@@ -602,6 +602,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for r in _towers(s, d).collect()
         ],
     )
+    # POI discovery (late r4, past-window, r5 rotation candidate):
+    # DBSCAN over the faithful-dwell STAY segments — eps-binned
+    # neighbor join + the dedup pointer-doubling components; the
+    # deterministic min-label variant so the oracle's recursive-CTE
+    # closure hash-matches (operators/spatialstats.py)
+    q["stay_point_clusters"] = lambda s, d: spatialstats.stay_point_clusters(
+        interpolation.stay_points(prepare.events_as_dwell_cdr(s, d))
+    )
     # reference reads the PADDED trip table (*_trip_routing_array_apd)
     q["gps_export"] = lambda s, d: interpolation.export_gps_format(
         interpolation.trip_24h_padding(
@@ -699,8 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 70 oracle-backed queries, so
-    # 20 oracle queries necessarily sit past the window each round.
+    # in insertion order; the contract has 95 oracle-backed queries, so
+    # 45 oracle queries necessarily sit past the window each round.
     # Rotation invariant (r3 verdict item 2): the window is
     #   [9 rotating-in] + [always-in core] = 50,
     # and the two 9-query rotation sets SWAP every round, so every
@@ -1238,5 +1246,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["trip_od_stay_faithful"] = interpolation.trip_od_stay_oracle(
         interpolation.trip_segments_oracle(dwell_cte), _TOWERS_CTE
+    )
+    o["stay_point_clusters"] = spatialstats.stay_point_clusters_oracle(
+        interpolation.stay_points_oracle(dwell_cte)
     )
     return o

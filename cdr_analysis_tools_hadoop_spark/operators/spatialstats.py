@@ -369,3 +369,217 @@ def lisa_oracle_body() -> str:
         f"sum({_W_INV} * j_z) AS lag FROM pairs "
         "GROUP BY i_zone, i_x, i_z, n, sum_x, sum_x2)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stay-point DBSCAN: clustering detected stays into discovered POIs.
+# The canonical step AFTER the reference's TripSegmentationCDR stay
+# detection (operators/interpolation.py stay_points, reference
+# bytecode parity documented there): density-cluster everyone's stay
+# points into places (Ester et al., "A Density-Based Algorithm for
+# Discovering Clusters", KDD 1996; applied to location history as in
+# Ye et al. 2009 / Zheng et al. 2010's stay-point -> POI pipelines).
+#
+# DBSCAN's textbook labeling is visit-order-dependent for border
+# points (a border point in reach of two clusters joins whichever
+# was expanded first). This implementation is the DETERMINISTIC
+# variant every distributed DBSCAN uses: core points take the MIN
+# core sid of their density-connected component (exact connected
+# components, not an approximation); border points take the MIN
+# cluster id among their core neighbors. Same rule in the oracle,
+# so labels hash-match.
+#
+# Scale shape: neighbor search is the same exact eps-binned
+# equi-join as Gi* (|stays| * 9 probe rows, candidates bounded by
+# LOCAL density); components run on the CORE-EDGE graph via the
+# pointer-doubling min-label propagation already proven in
+# dedup.dedup_clusters (O(log diameter) rounds, fixpoint-checked,
+# raises on non-convergence). A pathological coincident mass (every
+# event at one mall anchor) would make the cell join quadratic, so
+# ``max_cell_points`` REFUSES (banding_for_corpus style) instead of
+# silently exploding.
+
+#: DBSCAN defaults tuned on the faithful-dwell fixture at sf0.01:
+#: 3 km bands merge nearby dwell anchors (min anchor spacing 2.2 km)
+#: into 89 multi-anchor places with all three roles present.
+DBSCAN_EPS_M = 3000.0
+DBSCAN_MIN_PTS = 4
+MAX_CELL_POINTS = 100_000
+
+
+def _sid_sql(dialect: str) -> str:
+    """Deterministic 60-bit stay id from the (uid, pdt, seg_id)
+    natural key — portable md5 snippet, identical in both engines
+    (collisions ~ n^2 / 2^60: negligible and deterministic)."""
+    from ..functions import texthash
+
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    key = (
+        f"concat_ws('|', CAST(uid AS {str_t}), "
+        f"CAST(pdt AS {str_t}), CAST(seg_id AS {str_t}))"
+    )
+    return texthash.md5_int_sql(key, dialect)
+
+
+def dbscan_points(
+    pts: DataFrame,
+    eps_m: float = DBSCAN_EPS_M,
+    min_pts: int = DBSCAN_MIN_PTS,
+    max_cell_points: int = MAX_CELL_POINTS,
+) -> DataFrame:
+    """Exact DBSCAN over a (sid, lat, lon) point set (deterministic
+    min-label variant, see module notes). Output: one row per input
+    point — (sid, n_in_eps, role 'core'|'border'|'noise',
+    cluster_id = min core sid of the place, NULL for noise)."""
+    from . import dedup
+
+    r = float(eps_m)
+    if r <= 0.0:
+        raise ValueError("eps_m must be positive")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    cu = F.floor(F.col("lat") * F.lit(M_PER_DEG) / F.lit(r))
+    cv = F.floor(F.col("lon") * F.lit(geo.LON_SCALE * M_PER_DEG) / F.lit(r))
+    binned = pts.select("sid", "lat", "lon", cu.alias("cu"), cv.alias("cv"))
+    occ = binned.groupBy("cu", "cv").count().agg(F.max("count")).collect()[0][0]
+    if occ is not None and occ > max_cell_points:
+        raise ValueError(
+            f"a single eps-cell holds {occ} points (> {max_cell_points}): "
+            "the neighbor join would go quadratic on a coincident mass; "
+            "shrink eps_m or pre-aggregate coincident points"
+        )
+    probe = (
+        binned.select(
+            F.col("sid").alias("i_sid"),
+            F.col("lat").alias("i_lat"),
+            F.col("lon").alias("i_lon"),
+            "cu",
+            "cv",
+        )
+        .withColumn("du", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dv", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    )
+    build = binned.select(
+        F.col("sid").alias("j_sid"),
+        F.col("lat").alias("j_lat"),
+        F.col("lon").alias("j_lon"),
+        F.col("cu").alias("j_cu"),
+        F.col("cv").alias("j_cv"),
+    )
+    d2 = geo.planar_d2_sql("i_lat", "i_lon", "j_lat", "j_lon")
+    bound = (r / M_PER_DEG) ** 2
+    pairs = (
+        probe.join(
+            build,
+            (probe.cu + probe.du == build.j_cu)
+            & (probe.cv + probe.dv == build.j_cv),
+        )
+        .where(F.col("i_sid") != F.col("j_sid"))
+        .where(F.expr(f"({d2}) <= {dlit(bound)}"))
+        .select("i_sid", "j_sid")
+    )
+    # both directions are present (every point plays i and j), so
+    # one groupBy gives the full neighbor count and the edge set is
+    # already symmetric for the component step.
+    nbc = pairs.groupBy(F.col("i_sid").alias("sid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn")
+    )
+    graded = pts.select("sid").join(nbc, "sid", "left").select(
+        "sid",
+        (F.coalesce(F.col("nn"), F.lit(0)) + F.lit(1)).cast("bigint").alias("n_in_eps"),
+    )
+    core = graded.where(F.col("n_in_eps") >= min_pts).select("sid")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("sid", "i_sid"), "i_sid")
+        .join(core.withColumnRenamed("sid", "j_sid"), "j_sid")
+        .select(F.col("i_sid").alias("doc_a"), F.col("j_sid").alias("doc_b"))
+    )
+    labels = dedup.dedup_clusters(
+        core.select(F.col("sid").alias("doc_id")), pairs=core_edges
+    ).select(F.col("doc_id").alias("sid"), "cluster_id")
+    border = (
+        pairs.join(labels.withColumnRenamed("sid", "j_sid"), "j_sid")
+        .join(core.withColumnRenamed("sid", "i_sid"), "i_sid", "left_anti")
+        .groupBy(F.col("i_sid").alias("sid"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out = (
+        graded.join(labels.withColumnRenamed("cluster_id", "core_cid"), "sid", "left")
+        .join(border.withColumnRenamed("cluster_id", "border_cid"), "sid", "left")
+        .select(
+            "sid",
+            "n_in_eps",
+            F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+            .when(F.col("border_cid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cid", "border_cid").alias("cluster_id"),
+        )
+    )
+    return out
+
+
+def stay_point_clusters(
+    stays: DataFrame,
+    eps_m: float = DBSCAN_EPS_M,
+    min_pts: int = DBSCAN_MIN_PTS,
+) -> DataFrame:
+    """POI discovery over a stay-point table (the
+    interpolation.stay_points output): DBSCAN the genuine stays
+    (is_stay) and return every stay with its natural key —
+    (uid, pdt, seg_id, n_in_eps, role, cluster_id)."""
+    sp = stays.where(F.col("is_stay")).select(
+        "uid",
+        "pdt",
+        "seg_id",
+        F.expr(_sid_sql("spark")).alias("sid"),
+        "lat",
+        "lon",
+    )
+    lab = dbscan_points(sp.select("sid", "lat", "lon"), eps_m, min_pts)
+    return sp.select("uid", "pdt", "seg_id", "sid").join(lab, "sid").select(
+        "uid", "pdt", "seg_id", "n_in_eps", "role", "cluster_id"
+    )
+
+
+def stay_point_clusters_oracle(
+    stays_sql: str,
+    eps_m: float = DBSCAN_EPS_M,
+    min_pts: int = DBSCAN_MIN_PTS,
+) -> str:
+    """DuckDB twin of :func:`stay_point_clusters`: cross-join
+    neighbors under the identical band arithmetic + recursive-CTE
+    transitive closure with the same min-label rule (the
+    dedup_clusters_oracle pattern). ``stays_sql`` is a full SELECT
+    producing the stay_points schema."""
+    d2 = geo.planar_d2_sql("i.lat", "i.lon", "j.lat", "j.lon")
+    bound = (float(eps_m) / M_PER_DEG) ** 2
+    return (
+        "WITH RECURSIVE "
+        f"sp AS (SELECT {_sid_sql('duckdb')} AS sid, uid, pdt, seg_id, "
+        f"lat, lon FROM ({stays_sql}) WHERE is_stay), "
+        "prs AS (SELECT i.sid AS i_sid, j.sid AS j_sid FROM sp i "
+        f"JOIN sp j ON i.sid <> j.sid AND ({d2}) <= {dlit(bound)}), "
+        "graded AS (SELECT sp.sid, CAST(coalesce(nbc.nn, 0) + 1 AS BIGINT) "
+        "AS n_in_eps FROM sp LEFT JOIN (SELECT i_sid AS sid, count(*) AS nn "
+        "FROM prs GROUP BY 1) nbc ON sp.sid = nbc.sid), "
+        f"core AS (SELECT sid FROM graded WHERE n_in_eps >= {int(min_pts)}), "
+        "edges AS (SELECT i_sid AS src, j_sid AS dst FROM prs "
+        "WHERE i_sid IN (SELECT sid FROM core) "
+        "AND j_sid IN (SELECT sid FROM core)), "
+        "reach AS (SELECT src, dst FROM edges "
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+        "lab AS (SELECT c.sid, least(c.sid, coalesce(min(r.dst), c.sid)) "
+        "AS cluster_id FROM core c LEFT JOIN reach r ON r.src = c.sid "
+        "GROUP BY c.sid), "
+        "brd AS (SELECT p.i_sid AS sid, min(l.cluster_id) AS cluster_id "
+        "FROM prs p JOIN lab l ON p.j_sid = l.sid "
+        "WHERE p.i_sid NOT IN (SELECT sid FROM core) GROUP BY 1) "
+        "SELECT sp.uid, sp.pdt, sp.seg_id, graded.n_in_eps, "
+        "CASE WHEN lab.sid IS NOT NULL THEN 'core' "
+        "WHEN brd.sid IS NOT NULL THEN 'border' ELSE 'noise' END AS role, "
+        "coalesce(lab.cluster_id, brd.cluster_id) AS cluster_id "
+        "FROM sp JOIN graded ON sp.sid = graded.sid "
+        "LEFT JOIN lab ON sp.sid = lab.sid "
+        "LEFT JOIN brd ON sp.sid = brd.sid"
+    )

@@ -200,3 +200,146 @@ def test_guards(spark):
     )
     with pytest.raises(ValueError, match="distance-band"):
         ss.morans_i(_zoned(spark, {0: 1}), many)
+
+
+# --- stay-point DBSCAN -----------------------------------------------------
+
+
+def _np_dbscan(pts, eps_m, min_pts):
+    """Independent brute-force DBSCAN with the deterministic
+    min-label rule (core: min sid of the density-connected
+    component; border: min cluster id among core neighbors).
+    pts: [(sid, lat, lon)] -> {sid: (n_in_eps, role, cluster_id)}."""
+    sids = [p[0] for p in pts]
+    a = np.array([(p[1], p[2]) for p in pts], dtype=np.float64)
+    dlat = a[:, 0][:, None] - a[:, 0][None, :]
+    dlon = (a[:, 1][:, None] - a[:, 1][None, :]) * geo.LON_SCALE
+    nb = dlat**2 + dlon**2 <= (eps_m / ss.M_PER_DEG) ** 2  # includes self
+    n_in_eps = nb.sum(axis=1)
+    core = n_in_eps >= min_pts
+    n = len(pts)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if core[i] and core[j] and nb[i, j]:
+                parent[find(i)] = find(j)
+    comp_min = {}
+    for i in range(n):
+        if core[i]:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, sids[i]), sids[i])
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[sids[i]] = (int(n_in_eps[i]), "core", comp_min[find(i)])
+        else:
+            cands = [
+                comp_min[find(j)] for j in range(n) if core[j] and nb[i, j] and j != i
+            ]
+            if cands:
+                out[sids[i]] = (int(n_in_eps[i]), "border", min(cands))
+            else:
+                out[sids[i]] = (int(n_in_eps[i]), "noise", None)
+    return out
+
+
+def _dbscan_pts(spark, pts):
+    return spark.createDataFrame(
+        [(int(s), float(la), float(lo)) for s, la, lo in pts],
+        "sid long, lat double, lon double",
+    )
+
+
+def _blob_fixture(eps_m=3000.0, seed=5):
+    """Three blobs (tight core + fringe members reachable only
+    through the core -> genuine border points), plus isolated noise,
+    spread across several eps-cells so the binned join must cross
+    bin edges."""
+    rng = np.random.default_rng(seed)
+    deg = eps_m / ss.M_PER_DEG
+    pts, sid = [], 0
+    for cx, cy in [(0.0, 0.0), (5.0, 1.0), (2.0, 6.0)]:
+        base = (geo.LAT0 + 0.3 + cx * deg, geo.LON0 + 0.3 + cy * deg)
+        for _ in range(8):  # tight core, well inside eps of each other
+            pts.append(
+                (
+                    sid,
+                    base[0] + rng.uniform(-0.2, 0.2) * deg,
+                    base[1] + rng.uniform(-0.2, 0.2) * deg,
+                )
+            )
+            sid += 1
+        for ang in (0.3, 2.1, 4.4):  # fringe at ~0.9 eps from center
+            pts.append(
+                (
+                    sid,
+                    base[0] + 0.9 * deg * math.cos(ang),
+                    base[1] + 0.9 * deg * math.sin(ang) / geo.LON_SCALE,
+                )
+            )
+            sid += 1
+    for k in range(4):  # isolated noise, > eps from everything
+        pts.append((sid, geo.LAT0 + 0.8 + 3 * k * deg, geo.LON0 + 0.9))
+        sid += 1
+    return pts
+
+
+def test_dbscan_matches_bruteforce(spark):
+    pts = _blob_fixture()
+    want = _np_dbscan(pts, 3000.0, 6)
+    got = {
+        r.sid: (r.n_in_eps, r.role, r.cluster_id)
+        for r in ss.dbscan_points(_dbscan_pts(spark, pts), 3000.0, 6).collect()
+    }
+    assert got == want
+    roles = {v[1] for v in want.values()}
+    assert roles == {"core", "border", "noise"}  # fixture exercises all three
+    assert len({v[2] for v in want.values() if v[2] is not None}) == 3
+
+
+def test_dbscan_bin_straddling_eps(spark):
+    """Pairs just under/over eps across cell boundaries: compare the
+    full labeling against brute force at an eps that is NOT the
+    fixture's natural spacing."""
+    pts = _blob_fixture(eps_m=2000.0, seed=11)
+    for eps in (1700.0, 2000.0, 2600.0):
+        want = _np_dbscan(pts, eps, 3)
+        got = {
+            r.sid: (r.n_in_eps, r.role, r.cluster_id)
+            for r in ss.dbscan_points(_dbscan_pts(spark, pts), eps, 3).collect()
+        }
+        assert got == want, eps
+
+
+def test_dbscan_deterministic_across_partitioning(spark):
+    pts = _blob_fixture(seed=3)
+    df = _dbscan_pts(spark, pts)
+    a = sorted(map(tuple, ss.dbscan_points(df, 3000.0, 4).collect()))
+    b = sorted(map(tuple, ss.dbscan_points(df.repartition(13), 3000.0, 4).collect()))
+    assert a == b
+
+
+def test_dbscan_guards(spark):
+    pts = _dbscan_pts(spark, [(i, geo.LAT0, geo.LON0) for i in range(11)])
+    with pytest.raises(ValueError, match="quadratic"):
+        ss.dbscan_points(pts, 3000.0, 4, max_cell_points=10)
+    with pytest.raises(ValueError, match="eps_m"):
+        ss.dbscan_points(pts, 0.0, 4)
+    with pytest.raises(ValueError, match="min_pts"):
+        ss.dbscan_points(pts, 10.0, 0)
+
+
+def test_dbscan_min_pts_one_has_no_noise(spark):
+    """min_pts=1: every point is core (self counts), singletons are
+    their own cluster."""
+    pts = [(0, geo.LAT0, geo.LON0), (1, geo.LAT0 + 0.5, geo.LON0)]
+    rows = ss.dbscan_points(_dbscan_pts(spark, pts), 100.0, 1).collect()
+    assert {r.role for r in rows} == {"core"}
+    assert sorted(r.cluster_id for r in rows) == [0, 1]
