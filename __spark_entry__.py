@@ -604,7 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # POI discovery (late r4, past-window, r5 rotation candidate):
     # DBSCAN over the faithful-dwell STAY segments — eps-binned
-    # neighbor join + the dedup pointer-doubling components; the
+    # neighbor join + the dedup alternating-star components; the
     # deterministic min-label variant so the oracle's recursive-CTE
     # closure hash-matches (operators/spatialstats.py)
     q["stay_point_clusters"] = lambda s, d: spatialstats.stay_point_clusters(

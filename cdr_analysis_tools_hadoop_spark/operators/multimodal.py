@@ -852,9 +852,9 @@ def image_dup_clusters(
     Pairwise near-dup alone under-drops: if A~B and B~C but A!~C,
     pair-level keep-lowest keeps A and C even though they are the
     same underlying image two hops apart. Components close the
-    chain. Reuses dedup.dedup_clusters (pointer-doubling min-label
-    propagation, O(log diameter) rounds, raises on non-convergence)
-    over image_near_dup's exact Hamming pairs.
+    chain. Reuses dedup.dedup_clusters (alternating-star edge
+    rewrite, Kiveris et al. SoCC'14, O(log^2 n) rounds, raises on
+    non-convergence) over image_near_dup's exact Hamming pairs.
 
     Output: (image_id, cluster_id, is_representative). Rows-only in
     the driver contract (pixel hashing + the iterative CC are not

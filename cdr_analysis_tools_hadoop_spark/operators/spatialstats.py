@@ -391,10 +391,10 @@ def lisa_oracle_body() -> str:
 #
 # Scale shape: neighbor search is the same exact eps-binned
 # equi-join as Gi* (|stays| * 9 probe rows, candidates bounded by
-# LOCAL density); components run on the CORE-EDGE graph via the
-# pointer-doubling min-label propagation already proven in
-# dedup.dedup_clusters (O(log diameter) rounds, fixpoint-checked,
-# raises on non-convergence). A pathological coincident mass (every
+# LOCAL density); components run on the CORE-EDGE graph via
+# dedup.dedup_clusters' alternating-star rewrite (Kiveris et al.
+# SoCC'14, O(log^2 n) rounds regardless of id layout,
+# fixpoint-checked, raises on non-convergence). A pathological coincident mass (every
 # event at one mall anchor) would make the cell join quadratic, so
 # ``max_cell_points`` REFUSES (banding_for_corpus style) instead of
 # silently exploding.

@@ -96,20 +96,83 @@ def _path_graph(spark, n=300):
     return docs, pairs
 
 
-def test_dedup_clusters_long_chain_pointer_doubling(spark):
-    """Diameter 299 >> 20 rounds: one-hop propagation alone cannot
-    reach the fixpoint in max_iters=20; the pointer-doubling hop
-    (reach ~2^k after k rounds) converges and labels the path 0."""
+def test_dedup_clusters_long_chain(spark):
+    """Diameter 299 >> 20 rounds: one-hop min propagation alone
+    cannot reach the fixpoint in max_iters=20; the alternating-star
+    edge rewrite converges in O(log^2 n) rounds and labels the path
+    0."""
     docs, pairs = _path_graph(spark)
     out = dedup.dedup_clusters(docs, pairs=pairs).collect()
     assert len(out) == 300
     assert all(r.cluster_id == 0 for r in out)
 
 
+def test_dedup_clusters_adversarial_id_path(spark):
+    """The id layout that defeats min-label propagation even WITH a
+    label-over-label jump (the jump target is a local minimum whose
+    label is itself): a 2000-node path with RANDOMLY permuted ids
+    needs ~n/2 one-hop rounds (measured 4554 for n=10000) but must
+    converge inside the default 20 alternating-star rounds, labeling
+    every node with the global min id."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(2000))
+    rng.shuffle(ids)
+    docs = spark.createDataFrame(
+        [(i, "d") for i in ids], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)],
+        "doc_a long, doc_b long",
+    )
+    out = dedup.dedup_clusters(docs, pairs=pairs).collect()
+    assert len(out) == 2000
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_representative for r in out) == 1
+
+
+def test_dedup_clusters_matches_union_find_on_random_graph(spark):
+    """Exactness vs an independent union-find on a random sparse
+    graph (mixed component sizes, isolated nodes)."""
+    import random
+
+    rng = random.Random(23)
+    n = 500
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(400)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(m) for m in comp.values() for i in m}
+    docs = spark.createDataFrame(
+        [(i, "d") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == want
+
+
 def test_dedup_clusters_raises_without_convergence(spark):
     docs, pairs = _path_graph(spark)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dedup_clusters(docs, pairs=pairs, max_iters=3)
+        dedup.dedup_clusters(docs, pairs=pairs, max_iters=2)
 
 
 def test_ngram_max_df_prunes_hot_shingle(spark):
