@@ -343,3 +343,19 @@ def test_dbscan_min_pts_one_has_no_noise(spark):
     rows = ss.dbscan_points(_dbscan_pts(spark, pts), 100.0, 1).collect()
     assert {r.role for r in rows} == {"core"}
     assert sorted(r.cluster_id for r in rows) == [0, 1]
+
+
+def test_dbscan_all_noise_and_empty(spark):
+    """No core points: every point is noise with NULL cluster_id
+    (the CC runs on an empty edge set and must converge round 1);
+    empty input yields an empty frame with the right schema."""
+    pts = [(i, geo.LAT0 + 0.1 * i, geo.LON0) for i in range(5)]
+    rows = ss.dbscan_points(_dbscan_pts(spark, pts), 100.0, 3).collect()
+    assert len(rows) == 5
+    assert all(r.role == "noise" and r.cluster_id is None for r in rows)
+    assert all(r.n_in_eps == 1 for r in rows)
+    empty = ss.dbscan_points(_dbscan_pts(spark, []), 100.0, 3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == [
+        "sid", "n_in_eps", "role", "cluster_id"
+    ]
