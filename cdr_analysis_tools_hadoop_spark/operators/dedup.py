@@ -563,19 +563,37 @@ def dedup_clusters(
     near-dup pairs.
     """
     if pairs is None:
-        pairs = minhash_lsh_pairs(docs, threshold)
-    edges = _canon_edges(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint(eager=True)
+        e = minhash_lsh_pairs(docs, threshold).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    else:
+        # caller-supplied edge frames may reference ids absent from
+        # docs; ignore those edges (two semi-joins, once, before the
+        # loop) so cluster_id always names a docs row and every
+        # component keeps a representative — the label loop this
+        # replaced never created labels for foreign ids, and silently
+        # letting one become a component minimum would leave the
+        # whole component unrepresented. The default MinHash pairs
+        # derive FROM docs, so they skip the check.
+        ids = docs.select(F.col("doc_id").alias("u")).distinct()
+        e = (
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .join(ids, "u", "left_semi")
+            .join(ids.withColumnRenamed("u", "v"), "v", "left_semi")
+        )
+    edges = _canon_edges(e).localCheckpoint(eager=True)
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iters):
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixpoint test on canonical distinct sets: equal counts +
-        # empty one-sided difference <=> equal sets
-        if new.count() == edges.count() and new.exceptAll(edges).isEmpty():
+        # empty one-sided difference <=> equal sets (the previous
+        # round's count is carried, one count job per round)
+        n_new = new.count()
+        if n_new == n_edges and new.exceptAll(edges).isEmpty():
             converged = True
             break
-        edges = new
+        edges, n_edges = new, n_new
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "

@@ -122,6 +122,69 @@ def _globals_row(zc: DataFrame) -> DataFrame:
     )
 
 
+def _bin_cells(
+    pts: DataFrame, radius_m: float, cols: tuple[str, ...]
+) -> DataFrame:
+    """Attach (cu, cv) grid-cell ids with cell side == ``radius_m``
+    (planar meters) to a (*cols, lat, lon) frame. One binning
+    implementation shared by every exact band join in this module —
+    the bijection argument below depends on cell side == radius."""
+    r = float(radius_m)
+    cu = F.floor(F.col("lat") * F.lit(M_PER_DEG) / F.lit(r))
+    cv = F.floor(F.col("lon") * F.lit(geo.LON_SCALE * M_PER_DEG) / F.lit(r))
+    return pts.select(*cols, "lat", "lon", cu.alias("cu"), cv.alias("cv"))
+
+
+def _eps_binned_pairs(
+    binned: DataFrame,
+    radius_m: float,
+    cols: tuple[str, ...],
+    include_self: bool,
+) -> DataFrame:
+    """EXACT within-radius ordered pairs over a :func:`_bin_cells`
+    frame via the 9-offset equi-join: because cell side == radius,
+    every in-band pair lands in one of the 9 neighboring cells, and
+    each (i, j) matches exactly ONE offset — a bijection onto the
+    cross join's in-band pairs (pinned in tests/test_spatialstats.py
+    for both consumers). Candidates are bounded by LOCAL density,
+    never |pts|^2. Output: ``i_``/``j_``-prefixed copies of ``cols``
+    for every pair with planar distance <= radius; both directions
+    present; ``cols[0]`` is the identity column used to drop the
+    zero-distance self pair when ``include_self`` is False (Gi*'s
+    starred form keeps it)."""
+    r = float(radius_m)
+    probe = (
+        binned.select(
+            *[F.col(c).alias(f"i_{c}") for c in cols],
+            F.col("lat").alias("i_lat"),
+            F.col("lon").alias("i_lon"),
+            "cu",
+            "cv",
+        )
+        .withColumn("du", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dv", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    )
+    build = binned.select(
+        *[F.col(c).alias(f"j_{c}") for c in cols],
+        F.col("lat").alias("j_lat"),
+        F.col("lon").alias("j_lon"),
+        F.col("cu").alias("j_cu"),
+        F.col("cv").alias("j_cv"),
+    )
+    d2 = geo.planar_d2_sql("i_lat", "i_lon", "j_lat", "j_lon")
+    bound = (r / M_PER_DEG) ** 2
+    pairs = probe.join(
+        build,
+        (probe.cu + probe.du == build.j_cu)
+        & (probe.cv + probe.dv == build.j_cv),
+    ).where(F.expr(f"({d2}) <= {dlit(bound)}"))
+    if not include_self:
+        pairs = pairs.where(F.col(f"i_{cols[0]}") != F.col(f"j_{cols[0]}"))
+    return pairs.select(
+        *[f"i_{c}" for c in cols], *[f"j_{c}" for c in cols]
+    )
+
+
 def getis_ord_gi_star(
     zoned: DataFrame,
     towers: DataFrame,
@@ -142,35 +205,20 @@ def getis_ord_gi_star(
     if r <= 0.0:
         raise ValueError("radius_m must be positive")
     zc = zone_value_frame(zoned, towers)
-    cu = F.floor(F.col("tlat") * F.lit(M_PER_DEG) / F.lit(r))
-    cv = F.floor(
-        F.col("tlon") * F.lit(geo.LON_SCALE * M_PER_DEG) / F.lit(r)
+    binned = _bin_cells(
+        zc.select(
+            "zone_id",
+            "x",
+            F.col("tlat").alias("lat"),
+            F.col("tlon").alias("lon"),
+        ),
+        r,
+        ("zone_id", "x"),
     )
-    binned = zc.select("zone_id", "tlat", "tlon", "x", cu.alias("cu"), cv.alias("cv"))
-    probe = (
-        binned.select(
-            F.col("zone_id").alias("i_zone"),
-            F.col("tlat").alias("i_tlat"),
-            F.col("tlon").alias("i_tlon"),
-            F.col("x").alias("i_x"),
-            "cu",
-            "cv",
-        )
-        .withColumn("du", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dv", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-    )
-    build = binned.select(
-        F.col("tlat").alias("j_tlat"),
-        F.col("tlon").alias("j_tlon"),
-        F.col("x").alias("j_x"),
-        F.col("cu").alias("j_cu"),
-        F.col("cv").alias("j_cv"),
-    )
-    pairs = probe.join(
-        build,
-        (probe.cu + probe.du == build.j_cu) & (probe.cv + probe.dv == build.j_cv),
-    ).where(F.expr(_band_pred(r)))
-    nb = pairs.groupBy(F.col("i_zone").alias("zone_id"), F.col("i_x").alias("x")).agg(
+    pairs = _eps_binned_pairs(binned, r, ("zone_id", "x"), include_self=True)
+    nb = pairs.groupBy(
+        F.col("i_zone_id").alias("zone_id"), F.col("i_x").alias("x")
+    ).agg(
         F.sum("j_x").cast("bigint").alias("sx"),
         F.count(F.lit(1)).cast("bigint").alias("wi"),
     )
@@ -438,9 +486,15 @@ def dbscan_points(
         raise ValueError("eps_m must be positive")
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
-    cu = F.floor(F.col("lat") * F.lit(M_PER_DEG) / F.lit(r))
-    cv = F.floor(F.col("lon") * F.lit(geo.LON_SCALE * M_PER_DEG) / F.lit(r))
-    binned = pts.select("sid", "lat", "lon", cu.alias("cu"), cv.alias("cv"))
+    # the point set is consumed by several independent actions (the
+    # occupancy guard, the neighbor aggregate, the CC's eager
+    # checkpoint, the border join), so materialize the binned points
+    # and the pair set ONCE — without this every action replays the
+    # full upstream lineage (for stay_point_clusters, the stay
+    # detection window over the event fact)
+    binned = _bin_cells(
+        pts.select("sid", "lat", "lon"), r, ("sid",)
+    ).localCheckpoint(eager=True)
     occ = binned.groupBy("cu", "cv").count().agg(F.max("count")).collect()[0][0]
     if occ is not None and occ > max_cell_points:
         raise ValueError(
@@ -448,45 +502,25 @@ def dbscan_points(
             "the neighbor join would go quadratic on a coincident mass; "
             "shrink eps_m or pre-aggregate coincident points"
         )
-    probe = (
-        binned.select(
-            F.col("sid").alias("i_sid"),
-            F.col("lat").alias("i_lat"),
-            F.col("lon").alias("i_lon"),
-            "cu",
-            "cv",
-        )
-        .withColumn("du", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dv", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-    )
-    build = binned.select(
-        F.col("sid").alias("j_sid"),
-        F.col("lat").alias("j_lat"),
-        F.col("lon").alias("j_lon"),
-        F.col("cu").alias("j_cu"),
-        F.col("cv").alias("j_cv"),
-    )
-    d2 = geo.planar_d2_sql("i_lat", "i_lon", "j_lat", "j_lon")
-    bound = (r / M_PER_DEG) ** 2
-    pairs = (
-        probe.join(
-            build,
-            (probe.cu + probe.du == build.j_cu)
-            & (probe.cv + probe.dv == build.j_cv),
-        )
-        .where(F.col("i_sid") != F.col("j_sid"))
-        .where(F.expr(f"({d2}) <= {dlit(bound)}"))
-        .select("i_sid", "j_sid")
-    )
+    pairs = _eps_binned_pairs(
+        binned, r, ("sid",), include_self=False
+    ).localCheckpoint(eager=True)
     # both directions are present (every point plays i and j), so
     # one groupBy gives the full neighbor count and the edge set is
     # already symmetric for the component step.
     nbc = pairs.groupBy(F.col("i_sid").alias("sid")).agg(
         F.count(F.lit(1)).cast("bigint").alias("nn")
     )
-    graded = pts.select("sid").join(nbc, "sid", "left").select(
-        "sid",
-        (F.coalesce(F.col("nn"), F.lit(0)) + F.lit(1)).cast("bigint").alias("n_in_eps"),
+    graded = (
+        binned.select("sid")
+        .join(nbc, "sid", "left")
+        .select(
+            "sid",
+            (F.coalesce(F.col("nn"), F.lit(0)) + F.lit(1))
+            .cast("bigint")
+            .alias("n_in_eps"),
+        )
+        .localCheckpoint(eager=True)
     )
     core = graded.where(F.col("n_in_eps") >= min_pts).select("sid")
     core_edges = (
@@ -523,11 +557,14 @@ def stay_point_clusters(
     stays: DataFrame,
     eps_m: float = DBSCAN_EPS_M,
     min_pts: int = DBSCAN_MIN_PTS,
+    max_cell_points: int = MAX_CELL_POINTS,
 ) -> DataFrame:
     """POI discovery over a stay-point table (the
     interpolation.stay_points output): DBSCAN the genuine stays
     (is_stay) and return every stay with its natural key —
-    (uid, pdt, seg_id, n_in_eps, role, cluster_id)."""
+    (uid, pdt, seg_id, n_in_eps, role, cluster_id).
+    ``max_cell_points`` forwards to :func:`dbscan_points`' coincident
+    -mass refusal for callers who have sized the join themselves."""
     sp = stays.where(F.col("is_stay")).select(
         "uid",
         "pdt",
@@ -535,8 +572,10 @@ def stay_point_clusters(
         F.expr(_sid_sql("spark")).alias("sid"),
         "lat",
         "lon",
+    ).localCheckpoint(eager=True)  # consumed by the DBSCAN actions AND the final key join
+    lab = dbscan_points(
+        sp.select("sid", "lat", "lon"), eps_m, min_pts, max_cell_points
     )
-    lab = dbscan_points(sp.select("sid", "lat", "lon"), eps_m, min_pts)
     return sp.select("uid", "pdt", "seg_id", "sid").join(lab, "sid").select(
         "uid", "pdt", "seg_id", "n_in_eps", "role", "cluster_id"
     )

@@ -246,3 +246,22 @@ def test_minhash_signature_stage_is_map_only(spark, docs):
         "Exchange RoundRobinPartitioning"
     ) == 1
     assert "hashpartitioning" not in plan
+
+
+def test_dedup_clusters_ignores_foreign_pair_ids(spark):
+    """A caller-supplied pair frame referencing ids absent from docs:
+    those edges are ignored (the pre-rewrite label loop never created
+    labels for foreign ids), so cluster_id always names a docs row
+    and the component keeps a representative — id 1 below must NOT
+    become a cluster id or a bridge between 5 and 6."""
+    docs = spark.createDataFrame(
+        [(5, "d"), (6, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(5, 1), (6, 1)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in dedup.dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert out == {5: (5, True), 6: (6, True)}
