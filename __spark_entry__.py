@@ -498,6 +498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["c4_line_filter"] = lambda s, d: textops.c4_line_filter(
         _docs(s, d), textops.planted_lines_sql("text", "doc_id", "spark")
     )
+    # Naive Bayes classifier quality filter (late r4, past-window,
+    # r5 rotation candidate): the classifier-based curation step —
+    # closed-form multinomial NB distilled from the milli-score weak
+    # labels, so the oracle reproduces TRAINING exactly, not just
+    # scoring
+    q["nb_quality_filter"] = lambda s, d: textops.nb_quality_scores(_docs(s, d))
     # vocabulary counting pass (late r4): unigram+bigram tf/df, pruned
     q["vocab_ngram_counts"] = lambda s, d: textops.vocab_ngram_counts(_docs(s, d))
     # TF-IDF top-k keywords + exact per-source token-length quantiles
@@ -707,8 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 95 oracle-backed queries, so
-    # 45 oracle queries necessarily sit past the window each round.
+    # in insertion order; the contract has 96 oracle-backed queries, so
+    # 46 oracle queries necessarily sit past the window each round.
     # Rotation invariant (r3 verdict item 2): the window is
     #   [9 rotating-in] + [always-in core] = 50,
     # and the two 9-query rotation sets SWAP every round, so every
@@ -1221,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "documents", textops.planted_pii_sql("text", "doc_id", "duckdb")
     )
     o["weighted_sample"] = sampling.weighted_sample_oracle()
+    o["nb_quality_filter"] = textops.nb_quality_scores_oracle()
 
     sited_cte = _with(
         _CDR_CTE,

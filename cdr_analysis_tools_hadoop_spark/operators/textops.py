@@ -1086,3 +1086,151 @@ def corpus_report_oracle(
         "round(sum(quality_millis) / count(*), 6) AS avg_quality_millis "
         "FROM q GROUP BY source"
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Naive Bayes classifier quality filter — the classifier-based
+# curation step (GPT-3 WebText-similarity filtering / CCNet's linear
+# classifier / fastText-style quality models): train a cheap linear
+# model on a quality-labeled seed, then score the WHOLE corpus with
+# one map-side pass. Multinomial NB with Laplace smoothing is the
+# closed-form member of that family — no iterative optimizer, so
+# training is two aggregations and the DuckDB oracle reproduces the
+# model EXACTLY (an SGD-trained logistic regression could only get a
+# rows-only check).
+
+NB_ROUND = 6
+
+
+def _nb_weak_label_sql(dialect: str, src: str) -> str:
+    """Default training signal when no labeled seed is given: the
+    quality milli-score heuristic as a binary weak label (heuristic
+    distillation — the NB model generalizes the rule set into
+    token-level evidence). Full SELECT producing (y, text)."""
+    e = _quality_exprs(dialect)
+    inner = (
+        f"SELECT text, {e['n_tokens']} AS n_tokens, "
+        f"{e['stopword_ratio']} AS stopword_ratio, "
+        f"{e['type_token_ratio']} AS type_token_ratio FROM {src}"
+    )
+    return (
+        f"SELECT CAST(({_QUALITY_SCORE}) >= {CURATION_MIN_QUALITY} AS INT) "
+        f"AS y, text FROM ({inner})"
+    )
+
+
+def nb_quality_scores(
+    docs: DataFrame, labeled: DataFrame | None = None
+) -> DataFrame:
+    """Per-document quality log-odds under a multinomial Naive Bayes
+    model with add-1 smoothing, trained on ``labeled`` (columns
+    ``text`` + integer/boolean ``label``; default: ``docs`` itself
+    weakly labeled by the quality milli-score heuristic).
+
+    Model (mirrored exactly by the DuckDB twin):
+      P(w | c)  = (C_c(w) + 1) / (T_c + V)   per class c in {0, 1}
+      prior odds = (N_1 + 1) / (N_0 + 1)     (Laplace on doc counts)
+      log_odds(d) = round(ln prior + sum_w ln P(w|1) - ln P(w|0), 6)
+    with T_c = class token totals, V = distinct training tokens,
+    summed over every token OCCURRENCE in d (unseen tokens score
+    through the same coalesce-0 smoothing path). keep = log_odds >= 0
+    on the ROUNDED value, so both engines compare the same double.
+
+    Scale: the model is a vocab-bounded dimension built by ONE
+    explode + groupBy with map-side partials (class split via
+    conditional sums, not two passes); the (T, V) and prior scalars
+    ride 1-row broadcast cross joins; scoring is one explode, a
+    left join against the (AQE-broadcast) model, and one per-doc
+    aggregate — every ln() contribution is summed then rounded so
+    partial-agg order cannot flip the oracle hash, the same
+    discipline as ngram_perplexity. At 100 TB the intended shape is
+    a small curated ``labeled`` seed and a map-heavy scoring pass
+    over the corpus; the weak-label default distills the heuristic
+    into a model that transfers to held-out corpora.
+
+    Output: (doc_id, n_tokens, log_odds, keep).
+    """
+    tok = th.tokens_sql("text", "spark")
+    if labeled is None:
+        e = _quality_exprs("spark")
+        base = docs.select(
+            "text",
+            F.expr(e["n_tokens"]).alias("n_tokens"),
+            F.expr(e["stopword_ratio"]).alias("stopword_ratio"),
+            F.expr(e["type_token_ratio"]).alias("type_token_ratio"),
+        )
+        tl = base.select(
+            F.expr(
+                f"CAST(({_QUALITY_SCORE}) >= {CURATION_MIN_QUALITY} AS INT)"
+            ).alias("y"),
+            F.expr(tok).alias("t"),
+        )
+    else:
+        tl = labeled.select(
+            F.col("label").cast("int").alias("y"), F.expr(tok).alias("t")
+        )
+    words = tl.select("y", F.explode("t").alias("w"))
+    model = words.groupBy("w").agg(
+        F.sum("y").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("c0"),
+    )
+    tot = model.agg(
+        F.sum("c1").alias("t1"),
+        F.sum("c0").alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pri = tl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n1")
+    )
+    # the whitespace tokenizer never returns an empty array (empty
+    # text tokenizes to [""]), so explode emits >= 1 row per doc and
+    # the scoring aggregate covers every document — n_tokens is the
+    # exploded row count, no join back to docs needed
+    scored = (
+        docs.select("doc_id", F.explode(F.expr(tok)).alias("w"))
+        .join(model, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln((coalesce(c1, 0) + 1.0) / (t1 + v)) - "
+                "ln((coalesce(c0, 0) + 1.0) / (t0 + v))"
+            ).alias("lo"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("lo").alias("slo"),
+        )
+    )
+    lo = f"round(ln((n1 + 1.0) / (n - n1 + 1.0)) + slo, {NB_ROUND})"
+    return scored.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(lo).alias("log_odds"),
+        F.expr(f"({lo}) >= 0.0").alias("keep"),
+    )
+
+
+def nb_quality_scores_oracle(view: str = "documents") -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    lab = _nb_weak_label_sql("duckdb", view)
+    lo = f"round(ln((n1 + 1.0) / (n - n1 + 1.0)) + coalesce(slo, 0.0), {NB_ROUND})"
+    return (
+        f"WITH tl AS (SELECT y, {tok} AS t FROM ({lab})), "
+        "words AS (SELECT y, unnest(t) AS w FROM tl), "
+        "model AS (SELECT w, CAST(sum(y) AS BIGINT) AS c1, "
+        "CAST(sum(1 - y) AS BIGINT) AS c0 FROM words GROUP BY 1), "
+        "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v "
+        "FROM model), "
+        "pri AS (SELECT count(*) AS n, sum(y) AS n1 FROM tl), "
+        f"dw AS (SELECT doc_id, unnest({tok}) AS w FROM {view}), "
+        "contrib AS (SELECT doc_id, "
+        "ln((coalesce(c1, 0) + 1.0) / (t1 + v)) - "
+        "ln((coalesce(c0, 0) + 1.0) / (t0 + v)) AS lo "
+        "FROM dw LEFT JOIN model USING (w) CROSS JOIN tot), "
+        "s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, "
+        "sum(lo) AS slo FROM contrib GROUP BY 1) "
+        f"SELECT doc_id, n_tokens, {lo} AS log_odds, "
+        f"({lo}) >= 0.0 AS keep FROM s CROSS JOIN pri"
+    )

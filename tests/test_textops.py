@@ -434,3 +434,78 @@ def test_corpus_report_dup_ppm_matches_corpus_curation(docs):
         r.source: r.dup_ppm for r in textops.corpus_report(docs).collect()
     }
     assert got == want
+
+
+def _np_nb(labeled, score_docs):
+    """Independent multinomial-NB reference: labeled = [(label,
+    text)], score_docs = {doc_id: text} -> {doc_id: log_odds
+    rounded 6}."""
+    import math
+    from collections import Counter
+
+    c1, c0 = Counter(), Counter()
+    n = len(labeled)
+    n1 = sum(y for y, _ in labeled)
+    for y, text in labeled:
+        (c1 if y else c0).update(text.split(" "))
+    t1, t0 = sum(c1.values()), sum(c0.values())
+    v = len(set(c1) | set(c0))
+    out = {}
+    for did, text in score_docs.items():
+        s = math.log((n1 + 1.0) / (n - n1 + 1.0))
+        for w in text.split(" "):
+            s += math.log((c1.get(w, 0) + 1.0) / (t1 + v))
+            s -= math.log((c0.get(w, 0) + 1.0) / (t0 + v))
+        out[did] = round(s, 6)
+    return out
+
+
+_NB_GOOD = "the cat sat of the mat and read a good long book today"
+_NB_JUNK = "zzz spam spam spam buy buy zzz spam click click zzz spam"
+
+
+def test_nb_quality_matches_reference_with_explicit_labels(spark):
+    labeled = [(1, _NB_GOOD), (1, _NB_GOOD + " extra words here"),
+               (0, _NB_JUNK), (0, _NB_JUNK + " more spam")]
+    score = {10: _NB_GOOD, 11: _NB_JUNK, 12: "the cat read spam",
+             13: "completely unseen tokens only"}
+    lab_df = spark.createDataFrame(
+        [(y, t) for y, t in labeled], "label int, text string"
+    )
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in score.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.log_odds
+        for r in textops.nb_quality_scores(docs, labeled=lab_df).collect()
+    }
+    want = _np_nb(labeled, score)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-6), d
+    # direction: good doc scores positive, junk negative
+    assert got[10] > 0 > got[11]
+
+
+def test_nb_quality_weak_label_default_agrees_with_heuristic(docs):
+    """Heuristic distillation on the real corpus: the NB keep
+    verdict must agree with the milli-score weak label on a strong
+    majority of documents (the model smooths the boundary but should
+    not invert it)."""
+    lab = {
+        r.doc_id: r.quality_millis >= textops.CURATION_MIN_QUALITY
+        for r in textops.quality_scores(docs).collect()
+    }
+    keep = {r.doc_id: r.keep for r in textops.nb_quality_scores(docs).collect()}
+    assert set(keep) == set(lab)
+    agree = sum(keep[d] == lab[d] for d in lab)
+    assert agree / len(lab) >= 0.9
+    assert any(not v for v in lab.values())  # fixture has both classes
+
+
+def test_nb_quality_deterministic_across_partitioning(spark):
+    rows = [(i, (_NB_GOOD if i % 3 else _NB_JUNK) + f" t{i}")
+            for i in range(60)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textops.nb_quality_scores(d1).collect()))
+    b = sorted(map(tuple, textops.nb_quality_scores(d1.repartition(7)).collect()))
+    assert a == b
