@@ -367,6 +367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["co_presence"] = lambda s, d: mobility.co_presence(
         _zoned(s, d).select("uid", "zone_id", "call_time")
     )
+    # contact-graph PageRank (late r4, past-window, r5 rotation
+    # candidate): deterministic integer fixed-point over the
+    # co-presence graph — exact int64 recurrence, so the hash gate
+    # covers all K iterations with no FP rounding anywhere
+    q["contact_pagerank"] = lambda s, d: mobility.contact_pagerank(
+        mobility.co_presence(_zoned(s, d).select("uid", "zone_id", "call_time"))
+    )
     # daily mobility motif census (late r4, past-window): engine =
     # one trajectory-collect + array lambdas; oracle = the
     # window/dense_rank formulation (different plans, same motifs)
@@ -713,8 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 96 oracle-backed queries, so
-    # 46 oracle queries necessarily sit past the window each round.
+    # in insertion order; the contract has 97 oracle-backed queries, so
+    # 47 oracle queries necessarily sit past the window each round.
     # Rotation invariant (r3 verdict item 2): the window is
     #   [9 rotating-in] + [always-in core] = 50,
     # and the two 9-query rotation sets SWAP every round, so every
@@ -1113,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
     o["location_entropy"] = f"{zone_base} {mobility.entropy_oracle_body()}"
     o["user_displacement"] = f"{base} {mobility.displacement_oracle_body()}"
     o["co_presence"] = f"{zone_base} {mobility.co_presence_oracle_body()}"
+    o["contact_pagerank"] = f"{zone_base}{mobility.contact_pagerank_oracle_body()}"
     o["motif_census"] = f"{zone_base} {mobility.motif_census_oracle_body()}"
 
     # zone-level spatial statistics (operators/spatialstats.py) —

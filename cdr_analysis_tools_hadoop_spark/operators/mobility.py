@@ -411,3 +411,141 @@ def motif_census_oracle_body(max_stops: int = MOTIF_MAX_STOPS) -> str:
         "USING (uid, pdt, zone_id)) GROUP BY 1, 2 "
         f"HAVING count(*) <= {max_stops}) GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# contact-graph PageRank (deterministic integer fixed-point)
+
+#: initial integer mass per node. With 64-bit sums the iteration is
+#: overflow-safe up to ~10^8 nodes (damping_pct * total_mass must fit
+#: int64); shrink via the ``scale`` argument for a larger graph.
+PR_SCALE = 1_000_000_000
+PR_DAMP_PCT = 85
+PR_ITERS = 10
+
+
+def contact_pagerank(
+    contacts: DataFrame,
+    n_iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMP_PCT,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Weighted PageRank centrality over the co-presence contact
+    graph (:func:`co_presence` output) — who anchors the contact
+    network, the quantity CDR epidemiology ranks seed/sentinel users
+    by (PageRank: Brin & Page, WWW 1998; weighted form over contact
+    multiplicity).
+
+    DETERMINISTIC INTEGER fixed point: ranks are int64 units
+    (``scale`` per node initially, i.e. classical pagerank times
+    N*scale); one iteration is
+
+        q(u)   = pr(u) div W(u)                 per-unit-weight share
+        pr'(v) = (100-d)*scale div 100
+                 + (d * sum_u q(u) * w(u, v)) div 100
+
+    with W(u) the node's total contact weight and d = damping_pct.
+    Integer sums are exact and associative, so the result is
+    partitioning-invariant and hash-identical to the chained-CTE
+    oracle — no FP mass, nothing to round. Floor division sheds
+    < W(u) + 1 units per node per round (deterministically); the
+    shed mass is O(1/scale) of the distribution, far below ranking
+    resolution. Nodes are the edge ENDPOINTS: the graph is
+    symmetric, so every node has W(u) >= 1 and there is no dangling
+    mass to reallocate.
+
+    Scale shape: the edge list shuffles once into the out-weight
+    dimension; each of the K FIXED iterations is one join on src
+    (rank frame vs out-weights — AQE broadcasts the smaller side),
+    one contribution join against the checkpointed symmetric edge
+    list, and one groupBy(dst) with map-side integer partials; the
+    rank frame is localCheckpointed per round so lineage stays O(1)
+    (the dedup_clusters discipline). A viral hub concentrates its
+    incoming-contribution key, which AQE skew-splits — the same
+    join-not-agg skew posture as co_presence itself.
+
+    Output: (uid, pr_units bigint).
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    if not 1 <= damping_pct <= 99:
+        raise ValueError("damping_pct must be in [1, 99]")
+    if scale < 100:
+        raise ValueError("scale must be >= 100")
+    e = contacts.groupBy("uid_a", "uid_b").agg(
+        F.sum("n_contacts").cast("bigint").alias("w")
+    )
+    sym = e.select(
+        F.col("uid_a").alias("src"), F.col("uid_b").alias("dst"), "w"
+    ).unionByName(
+        e.select(F.col("uid_b").alias("src"), F.col("uid_a").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    wt = (
+        sym.groupBy("src")
+        .agg(F.sum("w").alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * scale // 100
+    pr = wt.select(
+        F.col("src").alias("uid"), F.lit(scale).cast("bigint").alias("pr")
+    )
+    for _ in range(n_iters):
+        q = pr.join(wt, pr.uid == wt.src).select(
+            "src", F.expr("pr div wt").alias("qv")
+        )
+        sc = (
+            sym.join(q, "src")
+            .select("dst", (F.col("qv") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        pr = (
+            wt.select(F.col("src").alias("uid"))
+            .join(sc.withColumnRenamed("dst", "uid"), "uid", "left")
+            .select(
+                "uid",
+                F.expr(
+                    f"CAST({base} + (({damping_pct} * coalesce(sc, 0)) div 100)"
+                    " AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("uid", F.col("pr").alias("pr_units"))
+
+
+def contact_pagerank_oracle_body(
+    n_iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMP_PCT,
+    scale: int = PR_SCALE,
+    window_us: int = CO_PRESENCE_US,
+) -> str:
+    """DuckDB twin over the ``zoned`` CTE (leading ``, `` — continues
+    the WITH chain): the all-pairs co-presence form feeding K CHAINED
+    iteration CTEs generated here (aggregation is not allowed in a
+    recursive CTE term, and K is fixed anyway). Identical integer
+    recurrence — `//` on non-negative values == Spark's `div`."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"cp AS ({co_presence_oracle_body(window_us)})",
+        "e AS (SELECT uid_a, uid_b, CAST(sum(n_contacts) AS BIGINT) AS w "
+        "FROM cp GROUP BY 1, 2)",
+        "sym AS (SELECT uid_a AS src, uid_b AS dst, w FROM e "
+        "UNION ALL SELECT uid_b, uid_a, w FROM e)",
+        "wt AS (SELECT src, sum(w) AS wt FROM sym GROUP BY 1)",
+        f"pr0 AS (SELECT src AS uid, CAST({scale} AS BIGINT) AS pr FROM wt)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT wt.src AS uid, "
+            f"{base} + (({damping_pct} * coalesce(s.sc, 0)) // 100) AS pr "
+            "FROM wt LEFT JOIN (SELECT dst, sum(qv * w) AS sc FROM sym "
+            f"JOIN (SELECT p.uid AS src, p.pr // t.wt AS qv FROM pr{k - 1} p "
+            "JOIN wt t ON p.uid = t.src) q USING (src) GROUP BY 1) s "
+            "ON wt.src = s.dst)"
+        )
+    return (
+        ", "
+        + ", ".join(ctes)
+        + f" SELECT uid, CAST(pr AS BIGINT) AS pr_units FROM pr{n_iters}"
+    )

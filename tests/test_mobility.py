@@ -13,6 +13,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
+
 import numpy as np
 
 from cdr_analysis_tools_hadoop_spark.functions import geo
@@ -321,3 +323,88 @@ def test_motif_single_fact_exchange_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # collect + lambdas in one shuffle lineage; no window, no join
     assert "Window" not in plan and "Join" not in plan
+
+
+# --- contact-graph PageRank -------------------------------------------------
+
+
+def _np_pagerank(edges, n_iters, damping_pct=85, scale=10**9):
+    """Independent integer-recurrence reference: edges = [(a, b, w)]
+    undirected -> {uid: pr_units}."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for a, b, ww in edges:
+        w[(a, b)] += ww
+    sym = defaultdict(dict)
+    for (a, b), ww in w.items():
+        sym[a][b] = sym[a].get(b, 0) + ww
+        sym[b][a] = sym[b].get(a, 0) + ww
+    wt = {u: sum(nb.values()) for u, nb in sym.items()}
+    base = (100 - damping_pct) * scale // 100
+    pr = {u: scale for u in wt}
+    for _ in range(n_iters):
+        q = {u: pr[u] // wt[u] for u in pr}
+        sc = {u: 0 for u in pr}
+        for u, nb in sym.items():
+            for v, ww in nb.items():
+                sc[v] += q[u] * ww
+        pr = {u: base + (damping_pct * sc[u]) // 100 for u in pr}
+    return pr
+
+
+def _contacts_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b), 0, int(w)) for a, b, w in edges],
+        "uid_a long, uid_b long, zone_id long, n_contacts long",
+    )
+
+
+def test_contact_pagerank_matches_integer_reference(spark):
+    # star (hub 0) + a weighted chain + a detached pair; duplicate
+    # (a, b) rows across zones must collapse into one edge weight
+    edges = [(0, 1, 3), (0, 2, 1), (0, 3, 1), (0, 4, 2),
+             (10, 11, 5), (11, 12, 1), (20, 21, 1), (0, 1, 2)]
+    got = {
+        r.uid: r.pr_units
+        for r in mobility.contact_pagerank(
+            _contacts_df(spark, edges), n_iters=4
+        ).collect()
+    }
+    assert got == _np_pagerank(edges, 4)
+    # the hub outranks its weight-1 leaves (its strongest neighbor
+    # may legitimately outrank IT: node 1 receives 5/7 of the hub's
+    # outflow), and symmetric detached pairs tie exactly
+    assert got[0] > got[2] == got[3]
+    assert got[20] == got[21]
+
+
+def test_contact_pagerank_deterministic_and_mass_bounded(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 6))
+        for _ in range(120)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    df = _contacts_df(spark, edges)
+    a = sorted(map(tuple, mobility.contact_pagerank(df).collect()))
+    b = sorted(
+        map(tuple, mobility.contact_pagerank(df.repartition(9)).collect())
+    )
+    assert a == b  # exact integers: no FP partitioning drift
+    n = len(a)
+    total = sum(p for _, p in a)
+    base = (100 - mobility.PR_DAMP_PCT) * mobility.PR_SCALE // 100
+    assert n * base <= total <= n * mobility.PR_SCALE  # shed mass only
+
+
+def test_contact_pagerank_guards(spark):
+    df = _contacts_df(spark, [(0, 1, 1)])
+    with pytest.raises(ValueError, match="n_iters"):
+        mobility.contact_pagerank(df, n_iters=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        mobility.contact_pagerank(df, damping_pct=100)
+    with pytest.raises(ValueError, match="scale"):
+        mobility.contact_pagerank(df, scale=10)
