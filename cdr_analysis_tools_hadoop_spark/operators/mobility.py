@@ -486,12 +486,15 @@ def contact_pagerank(
         .localCheckpoint(eager=True)
     )
     base = (100 - damping_pct) * scale // 100
+    # the out-weight rides the rank frame (8 bytes/row) so the
+    # per-unit share is a projection, not a join — one join per
+    # iteration (contributions), not two
     pr = wt.select(
-        F.col("src").alias("uid"), F.lit(scale).cast("bigint").alias("pr")
+        F.col("src").alias("uid"), "wt", F.lit(scale).cast("bigint").alias("pr")
     )
     for _ in range(n_iters):
-        q = pr.join(wt, pr.uid == wt.src).select(
-            "src", F.expr("pr div wt").alias("qv")
+        q = pr.select(
+            F.col("uid").alias("src"), F.expr("pr div wt").alias("qv")
         )
         sc = (
             sym.join(q, "src")
@@ -500,10 +503,11 @@ def contact_pagerank(
             .agg(F.sum("c").alias("sc"))
         )
         pr = (
-            wt.select(F.col("src").alias("uid"))
+            wt.select(F.col("src").alias("uid"), "wt")
             .join(sc.withColumnRenamed("dst", "uid"), "uid", "left")
             .select(
                 "uid",
+                "wt",
                 F.expr(
                     f"CAST({base} + (({damping_pct} * coalesce(sc, 0)) div 100)"
                     " AS BIGINT)"

@@ -1106,7 +1106,11 @@ def _nb_weak_label_sql(dialect: str, src: str) -> str:
     """Default training signal when no labeled seed is given: the
     quality milli-score heuristic as a binary weak label (heuristic
     distillation — the NB model generalizes the rule set into
-    token-level evidence). Full SELECT producing (y, text)."""
+    token-level evidence). Full SELECT producing (y, text).
+    :func:`_nb_weak_labeled` is the DataFrame twin — both are thin
+    scaffolding over the SAME shared rule constants (_quality_exprs,
+    _QUALITY_SCORE, CURATION_MIN_QUALITY); change the rule there,
+    not here."""
     e = _quality_exprs(dialect)
     inner = (
         f"SELECT text, {e['n_tokens']} AS n_tokens, "
@@ -1116,6 +1120,21 @@ def _nb_weak_label_sql(dialect: str, src: str) -> str:
     return (
         f"SELECT CAST(({_QUALITY_SCORE}) >= {CURATION_MIN_QUALITY} AS INT) "
         f"AS y, text FROM ({inner})"
+    )
+
+
+def _nb_weak_labeled(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_nb_weak_label_sql` (same shared rule
+    constants): (y, text) with the milli-score weak label."""
+    e = _quality_exprs("spark")
+    base = docs.select(
+        "text", *(F.expr(v).alias(k) for k, v in e.items())
+    )
+    return base.select(
+        F.expr(
+            f"CAST(({_QUALITY_SCORE}) >= {CURATION_MIN_QUALITY} AS INT)"
+        ).alias("y"),
+        "text",
     )
 
 
@@ -1148,26 +1167,23 @@ def nb_quality_scores(
     over the corpus; the weak-label default distills the heuristic
     into a model that transfers to held-out corpora.
 
-    Output: (doc_id, n_tokens, log_odds, keep).
+    Output: (doc_id, n_tokens, log_odds, keep). NULL text is scored
+    as the empty string (one empty token) so every document gets a
+    verdict — silently dropping a NULL-text row would be invisible
+    to a keep-consuming curation pass.
     """
     tok = th.tokens_sql("text", "spark")
+    src = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     if labeled is None:
-        e = _quality_exprs("spark")
-        base = docs.select(
-            "text",
-            F.expr(e["n_tokens"]).alias("n_tokens"),
-            F.expr(e["stopword_ratio"]).alias("stopword_ratio"),
-            F.expr(e["type_token_ratio"]).alias("type_token_ratio"),
-        )
-        tl = base.select(
-            F.expr(
-                f"CAST(({_QUALITY_SCORE}) >= {CURATION_MIN_QUALITY} AS INT)"
-            ).alias("y"),
-            F.expr(tok).alias("t"),
-        )
+        tl = _nb_weak_labeled(src).select("y", F.expr(tok).alias("t"))
     else:
         tl = labeled.select(
-            F.col("label").cast("int").alias("y"), F.expr(tok).alias("t")
+            F.col("label").cast("int").alias("y"),
+            F.expr(
+                th.tokens_sql("coalesce(text, '')", "spark")
+            ).alias("t"),
         )
     words = tl.select("y", F.explode("t").alias("w"))
     model = words.groupBy("w").agg(
@@ -1187,7 +1203,7 @@ def nb_quality_scores(
     # the scoring aggregate covers every document — n_tokens is the
     # exploded row count, no join back to docs needed
     scored = (
-        docs.select("doc_id", F.explode(F.expr(tok)).alias("w"))
+        src.select("doc_id", F.explode(F.expr(tok)).alias("w"))
         .join(model, "w", "left")
         .crossJoin(F.broadcast(tot))
         .select(
@@ -1214,17 +1230,19 @@ def nb_quality_scores(
 
 def nb_quality_scores_oracle(view: str = "documents") -> str:
     tok = th.tokens_sql("text", "duckdb")
-    lab = _nb_weak_label_sql("duckdb", view)
+    lab = _nb_weak_label_sql("duckdb", "src")
     lo = f"round(ln((n1 + 1.0) / (n - n1 + 1.0)) + coalesce(slo, 0.0), {NB_ROUND})"
     return (
-        f"WITH tl AS (SELECT y, {tok} AS t FROM ({lab})), "
+        "WITH src AS (SELECT doc_id, coalesce(text, '') AS text "
+        f"FROM {view}), "
+        f"tl AS (SELECT y, {tok} AS t FROM ({lab})), "
         "words AS (SELECT y, unnest(t) AS w FROM tl), "
         "model AS (SELECT w, CAST(sum(y) AS BIGINT) AS c1, "
         "CAST(sum(1 - y) AS BIGINT) AS c0 FROM words GROUP BY 1), "
         "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v "
         "FROM model), "
         "pri AS (SELECT count(*) AS n, sum(y) AS n1 FROM tl), "
-        f"dw AS (SELECT doc_id, unnest({tok}) AS w FROM {view}), "
+        f"dw AS (SELECT doc_id, unnest({tok}) AS w FROM src), "
         "contrib AS (SELECT doc_id, "
         "ln((coalesce(c1, 0) + 1.0) / (t1 + v)) - "
         "ln((coalesce(c0, 0) + 1.0) / (t0 + v)) AS lo "

@@ -509,3 +509,16 @@ def test_nb_quality_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, textops.nb_quality_scores(d1).collect()))
     b = sorted(map(tuple, textops.nb_quality_scores(d1.repartition(7)).collect()))
     assert a == b
+
+
+def test_nb_quality_null_text_gets_a_verdict(spark):
+    """NULL text scores as the empty string — the doc must not
+    silently vanish from the keep ledger."""
+    docs = spark.createDataFrame(
+        [(1, _NB_GOOD), (2, None), (3, _NB_JUNK)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.nb_quality_scores(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_tokens == 1  # the single empty token
+    assert rows[2].log_odds is not None
