@@ -485,6 +485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-row window (oracle-green locally via tools/check_oracle.py;
     # they join the r5 window with the rotation swap)
     q["text_repetition"] = lambda s, d: textops.repetition_scores(_docs(s, d))
+    # cross-document repeated-span fraction (NEW post-window late r4,
+    # r5 rotation candidate): the substring-dedup signal — spans
+    # duplicated ACROSS docs, complementing text_repetition's
+    # within-doc loops
+    q["cross_doc_spans"] = lambda s, d: textops.cross_doc_spans(_docs(s, d))
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
     # seeded weighted sampling without replacement (late r4,
     # past-window): Efraimidis-Spirakis exponential race keyed by the
@@ -744,6 +749,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries (pixel/PCM/frame codecs, graph routing, the adaptive
     # BHTT histogram) stay past the window by design; their coverage
     # lives in pytest exactness/recall tests.
+    #
+    # R5 WINDOW PLAN (pre-staged so the swap is mechanical and the
+    # two-round full-coverage invariant is checkable now): the r5
+    # head must be exactly the 47 oracle-backed queries past THIS
+    # round's window —
+    #   ann_cosine_topk, ann_cosine_topk_lsh, ann_cosine_topk_ivf,
+    #   knn_label_vote, text_token_stats, text_quality,
+    #   total_records, total_unique_uids, monthly_statistics,
+    #   summary_stats, total_unique_locations, total_days,
+    #   average_daily_admin1, zone_assignment, cell_counts_res8,
+    #   tile_pyramid_counts, tile_counts_z12, hmesh_pyramid_counts,
+    #   od_gravity, od_detail, radius_of_gyration, location_entropy,
+    #   user_displacement, co_presence, contact_pagerank,
+    #   motif_census, zone_hotspot_gi, morans_i, zone_lisa,
+    #   session_funnel, simhash_geo_near_dup, text_fingerprints,
+    #   weighted_sample, corpus_report, c4_line_filter,
+    #   nb_quality_filter, tfidf_keywords, token_length_quantiles,
+    #   stay_points, poi_reallocation, route_interpolation,
+    #   trip_segments, trip_24h_padding, trip_od_stay,
+    #   trip_od_stay_faithful, stay_point_clusters, gps_export,
+    #   cross_doc_spans
+    # (48 entries — cross_doc_spans is NEW post-window this round)
+    # — plus 2 repeated headline reps (od_matrix, dedup_minhash_lsh)
+    # = 50. Window(r4) ∪ Window(r5-plan) covers all 98 oracle-backed
+    # queries, so every oracle query gets a driver row in r4 or r5;
+    # any query whose semantics change in r5 still overrides the plan
+    # and takes an in-window slot.
     rotate_in = [
         # SET_A — r4 in-window (rotated out in r3, judge-green there)
         "daily_cdrs",
@@ -1217,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
     o["split_contamination"] = sampling.split_contamination_oracle()
     o["sequence_packing"] = packing.sequence_packing_oracle()
     o["text_repetition"] = textops.repetition_scores_oracle()
+    o["cross_doc_spans"] = textops.cross_doc_spans_oracle()
     o["domain_mixture"] = textops.domain_mixture_oracle()
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
     o["tfidf_keywords"] = textops.tfidf_keywords_oracle()

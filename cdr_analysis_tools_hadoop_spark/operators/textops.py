@@ -444,6 +444,98 @@ def repetition_scores_oracle(
 
 
 # ---------------------------------------------------------------------------
+# 7b. cross-document repeated spans
+
+CROSS_DOC_W = 8
+
+
+def cross_doc_spans(docs: DataFrame, w: int = CROSS_DOC_W) -> DataFrame:
+    """Per-document CROSS-corpus duplication: the fraction of a doc's
+    ``w``-token spans that also occur in at least one OTHER document
+    (the span-level signal behind substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — at
+    n-gram rather than suffix-array granularity). Complements
+    ``repetition_scores`` (WITHIN-doc loops) and the pair-level dedup
+    suite: a doc can be pairwise-unique yet assembled from boilerplate
+    spans scattered across the corpus, and this measures exactly that.
+
+    Emits one row per doc with >= ``w`` tokens: ``n_spans`` (total
+    span positions), ``n_cross_dup`` (positions whose span text occurs
+    in >= 1 other doc), and ``cross_dup_ppm`` as exact integer ppm
+    (FP-free oracle parity).
+
+    Scale shape: explode -> (doc_id, span) pre-aggregate (map-side
+    partials absorb in-doc repetition, so a looping doc costs one
+    combiner cell) -> span-keyed doc-frequency aggregate, filtered to
+    df >= 2 -> ONE left-outer equi-join back on span -> ONE doc_id
+    rollup computing both sums. ``per`` feeds two lineages (the join
+    probe and the df aggregate); its upstream shuffle materializes
+    once (AQE ReusedExchange, pinned by the plan test), so the corpus
+    is SCANNED once and only the column-local explode + partial-agg
+    map runs per lineage — a deliberate trade: the single-lineage
+    alternative (df via ``count(*) over (partition by span)``) avoids
+    the second map pass but funnels every occurrence of a hot
+    boilerplate span into ONE window partition (an unsplittable
+    straggler at corpus scale), while here the df aggregate absorbs
+    hot spans in map-side partials and the join key's skew is handled
+    by AQE skew-split. The downstream rollup keys on doc_id (unique,
+    no skew).
+    """
+    from ..plans.partitioning import spread
+
+    tok = th.tokens_sql("text", "spark")
+    sh = spread(docs).select(
+        "doc_id",
+        F.explode(F.expr(th.shingles_sql(tok, w, "spark"))).alias("s"),
+    )
+    per = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("n"))
+    cd = (
+        per.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("s", F.lit(1).alias("is_dup"))
+    )
+    return (
+        per.join(cd, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_spans"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n")).otherwise(0)
+            ).alias("n_cross_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_cross_dup",
+            F.expr("n_cross_dup * 1000000 div n_spans").alias(
+                "cross_dup_ppm"
+            ),
+        )
+    )
+
+
+def cross_doc_spans_oracle(
+    view: str = "documents", w: int = CROSS_DOC_W
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    return (
+        f"WITH sh AS (SELECT doc_id, "
+        f"unnest({th.shingles_sql(tok, w, 'duckdb')}) AS s FROM {view}), "
+        "per AS (SELECT doc_id, s, count(*) AS n FROM sh GROUP BY 1, 2), "
+        "cd AS (SELECT s FROM per GROUP BY s HAVING count(*) >= 2), "
+        "dup AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_cross_dup "
+        "FROM per WHERE s IN (SELECT s FROM cd) GROUP BY 1), "
+        "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_spans "
+        "FROM per GROUP BY 1) "
+        "SELECT tot.doc_id, n_spans, "
+        "coalesce(n_cross_dup, 0) AS n_cross_dup, "
+        "coalesce(n_cross_dup, 0) * 1000000 // n_spans AS cross_dup_ppm "
+        "FROM tot LEFT JOIN dup USING (doc_id)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # 8. domain mixture weights
 
 

@@ -115,6 +115,70 @@ def test_repetition_scores_flags_looping_doc(spark):
     assert r.dup_ppm == (r.n_shingles - r.n_distinct) * 1_000_000 // r.n_shingles
 
 
+def test_cross_doc_spans_measures_shared_boilerplate(spark):
+    bp = " ".join(f"b{i}" for i in range(8))  # one exact 8-token span
+    uniq1 = " ".join(f"u{i}" for i in range(8))
+    uniq2 = " ".join(f"v{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"{bp} {uniq1}"),   # half boilerplate, half unique
+            (2, f"{bp} {uniq2}"),   # shares only the boilerplate span
+            (3, uniq1 + " tail0"),  # overlaps doc 1's unique spans
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.cross_doc_spans(df).collect()}
+    assert 4 not in out  # < w tokens: no spans, no row
+    # 16 tokens -> 9 span positions per doc for docs 1/2
+    assert out[1].n_spans == 9 and out[2].n_spans == 9
+    # docs 1 and 2 share exactly the single full-boilerplate span;
+    # doc 1 additionally shares its uniq1 span with doc 3
+    assert out[2].n_cross_dup == 1
+    assert out[1].n_cross_dup == 2
+    assert out[3].n_cross_dup == 1 and out[3].n_spans == 2
+    # exact integer ppm arithmetic
+    for r in out.values():
+        assert r.cross_dup_ppm == r.n_cross_dup * 1_000_000 // r.n_spans
+
+
+def test_cross_doc_spans_counts_repeated_positions_not_distinct(spark):
+    # doc 1 contains the shared span TWICE (w tokens, then repeated):
+    # both POSITIONS count as cross-dup, and in-doc repetition alone
+    # (doc 3) is NOT cross-dup
+    bp = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"{bp} {bp}"),
+            (2, bp),
+            (3, "x0 x1 x2 x3 x4 x5 x6 x7 " + "x0 x1 x2 x3 x4 x5 x6 x7"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.cross_doc_spans(df).collect()}
+    # doc 1: 16 tokens -> 9 positions; position 1 and 9 are bp
+    assert out[1].n_spans == 9 and out[1].n_cross_dup == 2
+    assert out[2].n_spans == 1 and out[2].n_cross_dup == 1
+    # doc 3 repeats a span only within itself: zero cross-dup
+    assert out[3].n_cross_dup == 0 and out[3].cross_dup_ppm == 0
+
+
+def test_cross_doc_spans_scans_corpus_once(spark):
+    """The two lineages over ``per`` must share one materialized
+    upstream shuffle (AQE ReusedExchange) — i.e. the corpus is
+    scanned once, not once per lineage."""
+    bp = " ".join(f"b{j}" for j in range(8))  # shared boilerplate
+    df = spark.createDataFrame(
+        [(i, f"{bp} " + " ".join(f"t{i}w{j}" for j in range(10)))
+         for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1)  # force the spread exchange both lineages must share
+    out = textops.cross_doc_spans(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_domain_mixture_downsamples_hot_source(spark):
     rows = [(i, "w " * 100, "hot") for i in range(30)]
     rows += [(100 + i, "w " * 100, "cold") for i in range(10)]

@@ -55,6 +55,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,6 +66,10 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:35s} rows={len(srows):7d}  (no oracle — rows-only) {t_spark:.1f}s")
+            record[name] = {
+                "mode": "rows-only", "spark_rows": len(srows),
+                "spark_sec": round(t_spark, 2),
+            }
             continue
         t0 = time.time()
         res = con.execute(oracles[name])
@@ -84,10 +89,33 @@ def main() -> int:
             f"cols={col_note} hash {hash_note} "
             f"[spark {t_spark:.1f}s duck {t_duck:.2f}s]"
         )
+        record[name] = {
+            "mode": "oracle", "rows_match": ok_rows,
+            "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(srows), "oracle_rows": len(drows),
+            "spark_sec": round(t_spark, 2), "duck_sec": round(t_duck, 2),
+        }
         if status == "FAIL":
             failures.append(name)
             if not ok_hash and ok_rows and ok_cols:
                 _diff(srows, scols, drows, dcols)
+    json_out = os.environ.get("ORACLE_JSON")
+    if json_out:
+        import json as _json
+        import subprocess
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "head": head,
+                 "n_oracle": sum(1 for r in record.values() if r["mode"] == "oracle"),
+                 "n_rows_only": sum(1 for r in record.values() if r["mode"] == "rows-only"),
+                 "failures": failures, "queries": record},
+                f, indent=1)
+        print(f"record -> {json_out}")
     if failures:
         print("FAILURES:", failures)
         return 1
