@@ -1198,7 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.eid AS event_id, count(c.eid) AS n_neighbors "
         "FROM b a LEFT JOIN b c ON a.user_id = c.user_id "
         "AND a.eid <> c.eid AND abs(a.tus - c.tus) <= 21600000000 "
-        "GROUP BY a.eid"
+        "GROUP BY a.user_id, a.eid"
     )
     # funnel over the same gap-session labels: conditional aggregates
     # per (user, session); all-integer output (micros + counts + 0/1)

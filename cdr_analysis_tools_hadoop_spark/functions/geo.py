@@ -36,6 +36,13 @@ LON0, DLON = 139.0, 1.0
 LON_SCALE = 0.8141155183563192
 assert abs(LON_SCALE - math.cos(math.radians(35.5))) < 1e-15
 
+# Metres per degree of latitude in the shared planar metric — the ONE
+# definition every operator (Voronoi zone metric, kNN dist_m, geo
+# near-dup bands, mobility indicators, spatial statistics) must use:
+# the engine/oracle band predicates agree only because both sides fold
+# the IDENTICAL float into their SQL literals.
+M_PER_DEG = 111_320.0
+
 EARTH_RADIUS_M = 6_371_000.0
 
 
@@ -152,8 +159,8 @@ def cell_ring(cell: int, k: int) -> list[int]:
 
 def cell_size_m(res: int) -> float:
     """Approximate cell edge length in metres at the bbox latitude."""
-    lat_m = DLAT / (1 << res) * 111_320.0
-    lon_m = DLON / (1 << res) * 111_320.0 * LON_SCALE
+    lat_m = DLAT / (1 << res) * M_PER_DEG
+    lon_m = DLON / (1 << res) * M_PER_DEG * LON_SCALE
     return max(lat_m, lon_m)
 
 

@@ -292,7 +292,7 @@ def simhash_geo_near_dup_oracle(
     votes = ", ".join(_simhash_votes(h, "duckdb", SIMHASH64_BITS))
     d = "bit_count(xor(a.simhash, b.simhash))"
     d2 = geo.planar_d2_sql("a.lat", "a.lon", "b.lat", "b.lon")
-    rad_deg = radius_m / 111_320.0
+    rad_deg = radius_m / geo.M_PER_DEG
     return (
         f"WITH tokd AS (SELECT doc_id, unnest({tok}) AS token FROM {view}), "
         f"v AS (SELECT doc_id, {votes} FROM tokd GROUP BY doc_id), "
@@ -300,7 +300,7 @@ def simhash_geo_near_dup_oracle(
         f"{geo.anchor_lat_sql('doc_id')} AS lat, "
         f"{geo.anchor_lon_sql('doc_id')} AS lon FROM v) "
         f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({d} AS INT) AS hamming, "
-        f"round(sqrt({d2}) * {geo.dlit(111_320.0)}, 6) AS dist_m "
+        f"round(sqrt({d2}) * {geo.dlit(geo.M_PER_DEG)}, 6) AS dist_m "
         f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
         f"WHERE {d} <= {max_hamming} AND {d2} <= {geo.dlit(rad_deg * rad_deg)}"
     )

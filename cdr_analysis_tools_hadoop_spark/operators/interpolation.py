@@ -59,7 +59,7 @@ STEP_S = 900               # routing time-step (TurkcellRoutingUDF)
 MAX_STEPS = 50             # max_size_interpolation (config.json:38)
 
 # squared planar threshold in degrees² for DIST_MAX_M / REALLOC radius
-_DEG_PER_M = 1.0 / 111_320.0
+_DEG_PER_M = 1.0 / geo.M_PER_DEG
 D2_300M = (DIST_MAX_M * _DEG_PER_M) ** 2
 
 

@@ -81,7 +81,7 @@ def nearest_site_within(
     index = SiteIndex(np.asarray(sites, dtype=np.float64), res)
     bc = spark.sparkContext.broadcast(index)
     dist_fn = geo.haversine_np if metric == "haversine" else (
-        lambda a, b, c, d: np.sqrt(geo.planar_d2_np(a, b, c, d)) * 111_320.0
+        lambda a, b, c, d: np.sqrt(geo.planar_d2_np(a, b, c, d)) * geo.M_PER_DEG
     )
 
     def kernel(batches):

@@ -51,7 +51,7 @@ from ..functions.geo import dlit
 #: metres per degree of latitude — the same constant the Voronoi
 #: zone metric uses to express planar degree distances in metres
 #: (`operators/zones.py`, knn dist_m).
-M_PER_DEG = 111320.0
+M_PER_DEG = geo.M_PER_DEG
 
 # Centred planar coordinates (degrees): x north, y east scaled by the
 # fixture mid-latitude cosine — the SAME planar metric that defines

@@ -143,15 +143,19 @@ def quota_sample(
     Output is independent of ``shards`` (total order: quality desc,
     doc_id asc). ``shards=1`` degenerates to the naive single window.
     """
-    from cdr_analysis_tools_hadoop_spark.operators.textops import quality_scores
+    from cdr_analysis_tools_hadoop_spark.operators.textops import (
+        quality_score_sql,
+    )
 
     if per_group < 1 or shards < 1:
         raise ValueError("per_group and shards must be >= 1")
-    scored = (
-        docs.join(
-            quality_scores(docs).select("doc_id", "quality_millis"), "doc_id"
-        )
-        .select("doc_id", group_col, "quality_millis")
+    # quality_millis is a pure projection of the row's own text, so
+    # inline it — joining quality_scores(docs) back on doc_id would
+    # shuffle the corpus against itself for zero information gain
+    scored = docs.select(
+        "doc_id",
+        group_col,
+        F.expr(quality_score_sql("spark")).alias("quality_millis"),
     )
     order = [F.desc("quality_millis"), F.asc("doc_id")]
     if shards > 1:
@@ -196,8 +200,14 @@ def split_contamination(
     from cdr_analysis_tools_hadoop_spark.operators.dedup import _hashed_shingles
 
     sh = _hashed_shingles(docs)
-    sp = dataset_split(docs, splits, seed)
-    shs = sh.join(sp, "doc_id")
+    # the split label is a pure CASE expression of doc_id
+    # (dataset_split is a map-only projection), so stamp it onto the
+    # shingle table directly — joining dataset_split's frame would
+    # shuffle the corpus-scale (doc_id, h) table just to attach a
+    # value computable from its own key
+    shs = sh.withColumn(
+        "split", F.expr(split_case_sql("doc_id", splits, seed))
+    )
     train_h = (
         shs.filter(F.col("split") == "train").select("h").distinct()
     )
@@ -287,6 +297,26 @@ def quota_sample_oracle(
 RESAMPLE_SEED = 271828
 
 
+def _ppm_div_sql(num: str, den: str, dialect: str) -> str:
+    """Exact ``num * 1_000_000 div den`` without the 64-bit overflow
+    of the literal product: base-1000 long division in three stages,
+    each multiplying a remainder < ``den`` by only 1000, so every
+    intermediate stays below ``den`` * 1000 (safe for den up to
+    ~9.2e15). Identity: a*10^6 div S = (a*10^3 div S)*10^3 +
+    ((a*10^3 % S)*10^3) div S, applied twice. The remaining ceiling
+    is the RESULT itself: (num div den) * 1e6 still overflows when
+    the quotient exceeds ~9.2e12 — i.e. a nine-million-fold upsample
+    quota, far outside any sane mixture. Dialect-neutral text so the
+    DuckDB oracle is expression-identical."""
+    dv = "div" if dialect == "spark" else "//"
+    r1 = f"(({num}) % ({den}))"
+    return (
+        f"((({num}) {dv} ({den})) * 1000000 + "
+        f"(({r1} * 1000) {dv} ({den})) * 1000 + "
+        f"((({r1} * 1000 % ({den})) * 1000) {dv} ({den})))"
+    )
+
+
 def mixture_resample(docs: DataFrame, seed: int = RESAMPLE_SEED) -> DataFrame:
     """Apply the uniform-token mixture target as deterministic per-doc
     copy counts — the step AFTER textops.domain_mixture's report: an
@@ -295,9 +325,10 @@ def mixture_resample(docs: DataFrame, seed: int = RESAMPLE_SEED) -> DataFrame:
     probabilistically (n_copies in {0, 1}), so every source
     contributes ~the same token mass to the training mix.
 
-    quota_ppm(source) = (total_tokens / n_sources) / source_tokens in
-    parts-per-million, UNCAPPED (domain_mixture's keep_ppm is the
-    capped, downsample-only twin). Per document:
+    quota_ppm(source) = tgt * 1e6 div source_tokens with
+    tgt = total_tokens div n_sources (the per-source token target),
+    UNCAPPED (domain_mixture's keep_ppm is the capped, downsample-only
+    twin). Per document:
         n_copies = quota_ppm div 1e6
                  + (h(doc_id) * 1e6 div M < quota_ppm % 1e6)
     with h the seeded integer MINSTD hash — every quantity is exact
@@ -305,6 +336,13 @@ def mixture_resample(docs: DataFrame, seed: int = RESAMPLE_SEED) -> DataFrame:
     assignment depends only on (doc_id, seed): reruns, resumes, and
     cluster-size changes reproduce the same resampled corpus (the
     property a Bernoulli via rand() does NOT give).
+
+    The ppm product is evaluated as a three-stage base-1000 split
+    (``_ppm_div_sql``) so no intermediate exceeds int64: a naive
+    ``total_tokens * 1000000`` overflows (ANSI-mode crash in BOTH
+    engines) once the corpus passes ~9.2e12 tokens — i.e. well below
+    the 100 TB design point. The split form is exact for
+    src_tokens up to ~9.2e15 (≈ 37 PB of text in ONE source).
 
     Scale: one bounded-cardinality groupBy builds the quota table;
     the corpus side is a stateless projection after a broadcast join
@@ -324,7 +362,9 @@ def mixture_resample(docs: DataFrame, seed: int = RESAMPLE_SEED) -> DataFrame:
     quota = per.crossJoin(F.broadcast(tot)).select(
         "source",
         F.expr(
-            "(total_tokens * 1000000 div n_sources) div src_tokens"
+            _ppm_div_sql(
+                "(total_tokens div n_sources)", "src_tokens", "spark"
+            )
         ).alias("quota_ppm"),
     )
     u_ppm = f"(({minstd_h_sql('doc_id', seed)}) * 1000000 div {MINSTD_MOD})"
@@ -351,12 +391,13 @@ def mixture_resample_oracle(
     return (
         f"WITH toked AS (SELECT doc_id, source, "
         f"CAST(len({tok}) AS BIGINT) AS n_tokens FROM {view}), "
-        "per AS (SELECT source, sum(n_tokens) AS src_tokens FROM toked "
-        "GROUP BY 1), "
+        "per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) "
+        "AS src_tokens FROM toked GROUP BY 1), "
         "tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, "
         "count(*) AS n_sources FROM per), "
-        "q AS (SELECT source, (total_tokens * 1000000 // n_sources) "
-        "// src_tokens AS quota_ppm FROM per CROSS JOIN tot) "
+        "q AS (SELECT source, "
+        + _ppm_div_sql("(total_tokens // n_sources)", "src_tokens", "duckdb")
+        + " AS quota_ppm FROM per CROSS JOIN tot) "
         "SELECT doc_id, toked.source AS source, n_tokens, "
         f"CAST(quota_ppm // 1000000 + (CASE WHEN {u_ppm} < quota_ppm % 1000000 "
         "THEN 1 ELSE 0 END) AS INT) AS n_copies "
@@ -415,11 +456,7 @@ def weighted_sample(
     from . import textops
 
     if weight_sql is None:
-        e = textops._quality_exprs("spark")
-        q = textops._QUALITY_SCORE.replace("n_tokens", f"({e['n_tokens']})")
-        q = q.replace("stopword_ratio", f"({e['stopword_ratio']})")
-        q = q.replace("type_token_ratio", f"({e['type_token_ratio']})")
-        weight_sql = f"({q}) + 1"
+        weight_sql = f"({textops.quality_score_sql('spark')}) + 1"
     key = _es_key_sql("doc_id", weight_sql, seed)
     return (
         docs.select(
@@ -428,7 +465,11 @@ def weighted_sample(
             F.expr(f"cast({weight_sql} as bigint)").alias("weight"),
             F.expr(key).alias("key"),
         )
-        .where(F.col("weight") > 0)
+        # filter on the RAW weight expression: a custom fractional
+        # weight in (0, 1) is a valid positive weight, but its bigint
+        # cast floors to 0 and the truncated filter would silently
+        # zero its sampling probability
+        .where(F.expr(f"({weight_sql}) > 0"))
         .orderBy("key", "doc_id")
         .limit(k)
     )
@@ -443,15 +484,11 @@ def weighted_sample_oracle(
     from . import textops
 
     if weight_sql is None:
-        e = textops._quality_exprs("duckdb")
-        q = textops._QUALITY_SCORE.replace("n_tokens", f"({e['n_tokens']})")
-        q = q.replace("stopword_ratio", f"({e['stopword_ratio']})")
-        q = q.replace("type_token_ratio", f"({e['type_token_ratio']})")
-        weight_sql = f"({q}) + 1"
+        weight_sql = f"({textops.quality_score_sql('duckdb')}) + 1"
     key = _es_key_sql("doc_id", weight_sql, seed)
     return (
         f"SELECT doc_id, source, CAST({weight_sql} AS BIGINT) AS weight, "
         f"{key} AS key FROM {view} "
-        f"WHERE CAST({weight_sql} AS BIGINT) > 0 "
+        f"WHERE ({weight_sql}) > 0 "
         f"ORDER BY key, doc_id LIMIT {k}"
     )

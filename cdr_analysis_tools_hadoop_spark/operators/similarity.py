@@ -1221,7 +1221,7 @@ def spatial_hamming_near_dup(
 
     if radius_m <= 0:
         raise ValueError("radius_m must be positive (grid cell side = 2r)")
-    rad_deg = radius_m / 111_320.0
+    rad_deg = radius_m / geo.M_PER_DEG
     k, c = hamming_banding(max_hamming, n_hint)
     narrow = df.select(id_col, hash_col, lat_col, lon_col)
     keyed = narrow.select(
@@ -1257,7 +1257,7 @@ def spatial_hamming_near_dup(
             F.expr(
                 f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
             ).alias("hamming"),
-            F.expr(f"round(sqrt({d2}) * {geo.dlit(111_320.0)}, 6)").alias(
+            F.expr(f"round(sqrt({d2}) * {geo.dlit(geo.M_PER_DEG)}, 6)").alias(
                 "dist_m"
             ),
             F.expr(d2).alias("__d2"),

@@ -57,7 +57,7 @@ from ..functions.geo import dlit
 
 #: metres per degree of latitude — the constant the Voronoi metric,
 #: kNN dist_m, and the mobility indicators all share.
-M_PER_DEG = 111320.0
+M_PER_DEG = geo.M_PER_DEG
 
 #: dense (all-pairs) weights are dimension-only work; past this the
 #: caller should switch to the sparse distance-band Gi*.
@@ -204,7 +204,11 @@ def getis_ord_gi_star(
     r = float(radius_m)
     if r <= 0.0:
         raise ValueError("radius_m must be positive")
-    zc = zone_value_frame(zoned, towers)
+    # materialize the |zones|-row value frame once: it feeds BOTH the
+    # neighbor-pair lineage and the globals row, and Spark has no
+    # common-subplan reuse — without this the fact-scale zone-count
+    # aggregate runs once per consumer
+    zc = zone_value_frame(zoned, towers).localCheckpoint(eager=True)
     binned = _bin_cells(
         zc.select(
             "zone_id",
@@ -237,7 +241,12 @@ def getis_ord_gi_star(
 
 def _dense_pairs(zc: DataFrame) -> DataFrame:
     """All i != j zone pairs with centred values — dimension-only
-    (guarded) broadcast self-join for the dense-weight statistics."""
+    (guarded) broadcast self-join for the dense-weight statistics.
+
+    ``zc`` is consumed three times (the count guard's action, the
+    globals row, and the pair self-join), so callers pass an eagerly
+    localCheckpoint'ed frame — the fact-scale zone-count aggregate
+    must not rerun per consumer."""
     n_zones = zc.count()
     if n_zones > MAX_DENSE_ZONES:
         raise ValueError(
@@ -282,7 +291,9 @@ def morans_i(zoned: DataFrame, towers: DataFrame) -> DataFrame:
     Plan: one fact exchange for the counts; the pair stage and both
     final aggregates are dimension-only single-row reductions.
     """
-    pairs = _dense_pairs(zone_value_frame(zoned, towers))
+    pairs = _dense_pairs(
+        zone_value_frame(zoned, towers).localCheckpoint(eager=True)
+    )
     # m2 = sum(z^2) over ZONES (not pairs), folded from the exact
     # global moments instead of a second scan: sum(z^2) =
     # sum_x2 - n * mean^2.
@@ -315,7 +326,9 @@ def local_morans_i(zoned: DataFrame, towers: DataFrame) -> DataFrame:
     Output: (zone_id, n_events, lisa); positive = the zone sits in a
     like-valued cluster, negative = a spatial outlier.
     """
-    pairs = _dense_pairs(zone_value_frame(zoned, towers))
+    pairs = _dense_pairs(
+        zone_value_frame(zoned, towers).localCheckpoint(eager=True)
+    )
     li = pairs.groupBy(
         F.col("i_zone").alias("zone_id"),
         F.col("i_x").alias("x"),

@@ -198,7 +198,15 @@ def range_neighbor_counts(
     splittable — never the quadratic inequality-join fallback Spark
     would otherwise plan. Events with zero neighbours are kept
     (count 0) via a final left join back onto the event spine.
+
+    The count aggregate and the spine join both key on
+    (``key_col``, ``id_col``), not the id alone, so ids only need to
+    be unique WITHIN a key (e.g. per-user sequence numbers) — with a
+    bare-id key, counts from same-id events of different keys would
+    silently merge.
     """
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
     base = events.select(
         key_col,
         F.col(id_col).alias("eid"),
@@ -217,11 +225,11 @@ def range_neighbor_counts(
         (F.abs(F.col("ptus") - F.col("tus")) <= window_us)
         & (F.col("probe_id") != F.col("eid"))
     )
-    counts = cand.groupBy(F.col("probe_id").alias("eid")).agg(
-        F.count(F.lit(1)).alias("__n")
-    )
+    counts = cand.groupBy(
+        key_col, F.col("probe_id").alias("eid")
+    ).agg(F.count(F.lit(1)).alias("__n"))
     return (
-        base.join(counts, on="eid", how="left")
+        base.join(counts, on=[key_col, "eid"], how="left")
         .select(
             F.col("eid").alias(id_col),
             F.coalesce(F.col("__n"), F.lit(0)).alias("n_neighbors"),

@@ -105,6 +105,20 @@ _QUALITY_SCORE = (
 )
 
 
+def quality_score_sql(dialect: str) -> str:
+    """The quality milli-score as ONE inline expression of ``text``
+    (no subquery / no intermediate columns) — for operators that need
+    the score as a map-only projection (quota_sample,
+    weighted_sample) instead of joining quality_scores' frame back
+    onto the corpus, which would shuffle the fact table to attach a
+    value derivable from its own row."""
+    e = _quality_exprs(dialect)
+    q = _QUALITY_SCORE.replace("n_tokens", f"({e['n_tokens']})")
+    q = q.replace("stopword_ratio", f"({e['stopword_ratio']})")
+    q = q.replace("type_token_ratio", f"({e['type_token_ratio']})")
+    return q
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic document quality milli-score in [0, 1000]: length band +
     stopword presence + lexical diversity (the Gopher-rules shape)."""

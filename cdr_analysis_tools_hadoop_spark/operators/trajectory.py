@@ -270,7 +270,7 @@ def od_gravity(edges: DataFrame, towers: DataFrame) -> DataFrame:
             "m_o",
             "m_d",
             F.expr(
-                f"round(sqrt({d2}) * {geo.dlit(111320.0)}, 3)"
+                f"round(sqrt({d2}) * {geo.dlit(geo.M_PER_DEG)}, 3)"
             ).alias("dist_m"),
             F.expr(
                 f"round(ln(cast(tcount as double) * ({d2}) "

@@ -179,8 +179,10 @@ def test_mixture_resample_matches_python_recompute(spark):
     src_tokens = {"big": 40 * 51, "small": 10 * 11}
     total = sum(src_tokens.values())
     n_sources = 2
+    # per-source token target first, then exact ppm (the overflow-free
+    # base-split form both engines evaluate)
     quota = {
-        s: (total * 1_000_000 // n_sources) // t
+        s: (total // n_sources) * 1_000_000 // t
         for s, t in src_tokens.items()
     }
 
@@ -206,6 +208,33 @@ def test_mixture_resample_matches_python_recompute(spark):
     assert quota["small"] > 1_000_000 > quota["big"]
     small_copies = sum(v[2] for v in got.values() if v[0] == "small")
     assert small_copies > 10  # strictly more than one epoch
+
+
+def test_ppm_div_split_is_exact_and_overflow_free(spark):
+    """_ppm_div_sql == python's exact num * 1e6 // den, including
+    inputs where the naive literal product exceeds int64 (the
+    ~9.2e12-token corpus that crashed the old formula)."""
+    import duckdb
+
+    cases = [
+        (61, 30),
+        (9_300_000_000_000, 1_860_000_000_000),   # naive product overflows
+        (9_223_372_036_854_775, 9_200_000_000_000_000),
+        (1, 9_000_000_000_000_000),
+        # 100 TB corpus target vs a 5e9-token source: quota ~ 5e9 ppm
+        # (the result itself is only bounded by quota_ppm <= ~9.2e12,
+        # i.e. a 9-million-fold upsample — beyond that m1 * 1e6 is the
+        # remaining, documented, int64 ceiling)
+        (25_000_000_000_000, 5_000_000_000),
+    ]
+    con = duckdb.connect()
+    for num, den in cases:
+        want = num * 1_000_000 // den
+        s_expr = sampling._ppm_div_sql(str(num), str(den), "spark")
+        d_expr = sampling._ppm_div_sql(str(num), str(den), "duckdb")
+        got_s = spark.sql(f"SELECT {s_expr} AS v").collect()[0].v
+        got_d = con.execute(f"SELECT {d_expr} AS v").fetchone()[0]
+        assert got_s == got_d == want, (num, den, got_s, got_d, want)
 
 
 def test_mixture_resample_rebalances_token_mass(docs):

@@ -154,6 +154,26 @@ def test_range_neighbor_counts_no_dup_candidates(spark):
     assert out == {1: 1, 2: 1}
 
 
+def test_range_neighbor_counts_ids_unique_per_key_only(spark):
+    # ids that restart per key (per-user sequence numbers) must not
+    # merge counts across keys: the aggregate and spine join key on
+    # (key, id), not the id alone
+    win = 10_000_000
+    ev = _events(
+        spark,
+        [
+            (1, 0.0, 1),  # user 1, event 1: one neighbour
+            (2, 1.0, 1),
+            (1, 100.0, 2),  # user 2 reuses ids; isolated events
+            (2, 300.0, 2),
+        ],
+    )
+    out = temporal.range_neighbor_counts(ev, window_us=win).collect()
+    counts = sorted(r.n_neighbors for r in out)
+    assert len(out) == 4  # one row per EVENT, not per distinct id
+    assert counts == [0, 0, 1, 1]
+
+
 def _typed_events(spark, rows):
     return spark.createDataFrame(
         [(int(i), _ts(s), int(u), t) for i, s, u, t in rows],
