@@ -191,7 +191,13 @@ def phash_ahash(pixels: np.ndarray, grid: int = 8) -> int:
     reconstruct it (sources/synthetic.py:phash_sql) — this function is
     the real-data path and is unit-tested for determinism/stability.
     """
-    luma = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    c = pixels.shape[2]
+    # BT.601 luma for RGB; channel mean for grayscale/RGBA/other
+    # layouts (the codec's channel count is a free header field)
+    w_c = (
+        np.array([0.299, 0.587, 0.114]) if c == 3 else np.full(c, 1.0 / c)
+    )
+    luma = pixels.astype(np.float64) @ w_c
     h, w = luma.shape
     # box-average onto a grid x grid raster (h, w are multiples of 8
     # for the synthetic sizes; general case uses edge-padding)

@@ -93,8 +93,17 @@ def lsh_sig_sql(col: str, dialect: str, dim: int = DIM) -> str:
 
 
 def cosine_sql(a: str, b: str, na2: str, nb2: str, dialect: str) -> str:
-    """cosine given precomputed squared norms (column refs)."""
-    return f"({dot_sql(a, b, dialect)} / sqrt(({na2}) * ({nb2})))"
+    """cosine given precomputed squared norms (column refs).
+
+    Zero-norm vectors score 0.0 instead of dividing by zero: under
+    Spark 4's default ANSI mode the bare division raises
+    DIVIDE_BY_ZERO (not NULL), so one degenerate embedding would kill
+    a whole scoring job. The guard text is dialect-neutral, so engine
+    and oracle stay expression-identical."""
+    return (
+        f"(CASE WHEN ({na2}) * ({nb2}) = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE ({dot_sql(a, b, dialect)} / sqrt(({na2}) * ({nb2}))) END)"
+    )
 
 
 # Near-dup banding: OR-amplified sign-LSH, (bands, rows) DERIVED from

@@ -156,15 +156,24 @@ def _score_structs(
     """Literal array of (rounded -cosine, cluster id) structs — the
     shared scoring block of the argmax and top-n probe expressions.
     The caller precomputes the point norm in ``norm2_col`` so it is
-    evaluated once per row, not once per centroid."""
+    evaluated once per row, not once per centroid.
+
+    Zero-norm guard (matching _assign_gemm's xnorm==0 -> cosine 0.0):
+    under ANSI mode a zero-norm point or centroid would not return
+    NULL but raise DIVIDE_BY_ZERO, killing the job on one degenerate
+    vector — and the sql/gemm mode equivalence with it."""
     structs = []
     for j, c in enumerate(centroids):
         dot = vec.dot_sql(col, _centroid_lit(c), "spark")
         cn2 = float(np.dot(c, c))
-        cos = (
-            f"(({dot}) / (sqrt(cast({norm2_col} as double))"
-            f" * sqrt(cast({cn2!r} as double))))"
-        )
+        if cn2 == 0.0:
+            cos = "cast(0 as double)"
+        else:
+            cos = (
+                f"(case when {norm2_col} = 0 then cast(0 as double) else "
+                f"(({dot}) / (sqrt(cast({norm2_col} as double))"
+                f" * sqrt(cast({cn2!r} as double)))) end)"
+            )
         structs.append(
             f"struct(cast(round(-({cos}), 6) as double) as negcos, {j} as cl)"
         )

@@ -62,6 +62,18 @@ _SQERR_LUT = np.array([4, 1, 0, 1], dtype=np.uint8)
 _LUMA_W = np.array([0.299, 0.587, 0.114])
 
 
+def _luma_weights(c: int) -> np.ndarray:
+    """Per-channel luma weights for a ``c``-channel image: BT.601 for
+    RGB, the plain channel mean otherwise (grayscale = the channel
+    itself; RGBA and exotic layouts = unweighted mean). The codec's
+    channel count is a free u8 header field, so the kernels must not
+    assume c == 3 — a bare ``csum @ _LUMA_W`` crashes the whole job
+    on the first grayscale blob."""
+    if c == 3:
+        return _LUMA_W
+    return np.full(c, 1.0 / c)
+
+
 def decode_features(images: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Decode every blob and emit per-image features:
     mean luma, pixel phash (average-hash), PSNR of a qnt4 re-encode
@@ -99,7 +111,7 @@ def decode_features(images: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
             for idxs, stack in _shape_groups(pix_list):
                 k, h, w, c = stack.shape
                 csum = stack.sum(axis=(1, 2), dtype=np.int64)
-                ml[idxs] = (csum @ _LUMA_W) / (h * w)
+                ml[idxs] = (csum @ _luma_weights(c)) / (h * w)
                 sse = _SQERR_LUT[stack & 3].sum(axis=(1, 2, 3), dtype=np.int64)
                 npix = float(h * w * c)
                 with np.errstate(divide="ignore"):
@@ -255,11 +267,17 @@ def video_features(videos: DataFrame) -> DataFrame:
             ml = np.empty(k)
             mo = np.empty(k)
             for i, (frames, fps) in enumerate(decoded):
-                n, h, w, _c = frames.shape
+                n, h, w, c = frames.shape
                 nf[i], fpss[i], ws[i], hs[i] = n, fps, w, h
-                dur[i] = n / fps
-                csum = frames.sum(axis=(0, 1, 2), dtype=np.int64)
-                ml[i] = float(csum @ _LUMA_W) / (n * h * w)
+                # degenerate-clip guards (frame_sample's contract): a
+                # zero-frame or zero-fps blob is VALID per the codec
+                # header, so it must yield zeros, not ZeroDivisionError
+                dur[i] = n / fps if fps > 0 else 0.0
+                if n * h * w == 0:
+                    ml[i] = 0.0
+                else:
+                    csum = frames.sum(axis=(0, 1, 2), dtype=np.int64)
+                    ml[i] = float(csum @ _luma_weights(c)) / (n * h * w)
                 if n > 1:
                     d = np.abs(
                         frames[1:].astype(np.int16) - frames[:-1]
@@ -330,9 +348,16 @@ def audio_features(audios: DataFrame) -> DataFrame:
             clip = np.empty(k)
             for i, (pcm, sr) in enumerate(decoded):
                 n, ch = pcm.shape
-                x = pcm.astype(np.float64)
                 srs[i], ns[i], chs[i] = sr, n, ch
-                dur[i] = n / sr
+                # a zero-sample clip is a VALID pcmz blob (n is a u32
+                # header field): silence-like zeros, never a numpy
+                # empty-reduction crash
+                if n == 0:
+                    dur[i], rms[i] = 0.0, -np.inf
+                    peak[i], zcr[i], clip[i] = 0, 0.0, 0.0
+                    continue
+                x = pcm.astype(np.float64)
+                dur[i] = n / sr if sr > 0 else 0.0
                 ms = float(np.mean(x * x))
                 rms[i] = (
                     10.0 * np.log10(ms / (32768.0**2)) if ms > 0 else -np.inf
@@ -387,6 +412,17 @@ def audio_resample(audios: DataFrame, to_sr: int = 8_000) -> DataFrame:
             blobs: list = []
             for pcm, sr in decoded:
                 n, ch = pcm.shape
+                if n == 0 or sr <= 0:
+                    # empty (or rate-less) clip: resample to the empty
+                    # clip at the target rate instead of indexing into
+                    # a zero-length PCM array
+                    ns.append(0)
+                    blobs.append(
+                        codec.encode_pcmz(
+                            np.zeros((0, ch), dtype=np.int16), to_sr
+                        )
+                    )
+                    continue
                 n2 = max(1, int(round(n * to_sr / sr)))
                 pos = np.arange(n2, dtype=np.float64) * (sr / to_sr)
                 i0 = np.minimum(pos.astype(np.int64), n - 1)
@@ -640,6 +676,12 @@ def video_signature(videos: DataFrame, slots: int = 8) -> DataFrame:
             for blob in _blob_views(rb):
                 frames, _fps = codec.decode_video(blob)
                 n = frames.shape[0]
+                if n == 0:
+                    # zero-frame clip (valid vidz header): a
+                    # deterministic all-zero signature, not an
+                    # IndexError into the empty frame array
+                    sigs.append([0] * slots)
+                    continue
                 idx = np.round(np.linspace(0, n - 1, slots)).astype(int)
                 sigs.append([codec.phash_ahash(frames[i]) for i in idx])
             yield pa.RecordBatch.from_arrays(
@@ -754,6 +796,10 @@ def _audio_fingerprint(samples: np.ndarray, sr: int) -> int:
     Rank-based bits are exactly gain-invariant, and Hz-anchored bands
     make the hash invariant to resampling — the two transforms an
     audio dedup sweep must see through."""
+    if samples.shape[0] == 0:
+        # zero-sample clip: deterministic all-zero fingerprint
+        # (np.fft.rfft raises on zero FFT points)
+        return 0
     mono = samples.astype(np.float64).mean(axis=1)
     spec = np.abs(np.fft.rfft(mono)) ** 2
     freqs = np.fft.rfftfreq(len(mono), d=1.0 / sr)

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdr_analysis_tools_hadoop_spark.functions import sqlmath
 from cdr_analysis_tools_hadoop_spark.functions import texthash as th
 
 MINSTD_MOD = 2147483647  # 2^31 - 1 (prime)
@@ -297,24 +298,9 @@ def quota_sample_oracle(
 RESAMPLE_SEED = 271828
 
 
-def _ppm_div_sql(num: str, den: str, dialect: str) -> str:
-    """Exact ``num * 1_000_000 div den`` without the 64-bit overflow
-    of the literal product: base-1000 long division in three stages,
-    each multiplying a remainder < ``den`` by only 1000, so every
-    intermediate stays below ``den`` * 1000 (safe for den up to
-    ~9.2e15). Identity: a*10^6 div S = (a*10^3 div S)*10^3 +
-    ((a*10^3 % S)*10^3) div S, applied twice. The remaining ceiling
-    is the RESULT itself: (num div den) * 1e6 still overflows when
-    the quotient exceeds ~9.2e12 — i.e. a nine-million-fold upsample
-    quota, far outside any sane mixture. Dialect-neutral text so the
-    DuckDB oracle is expression-identical."""
-    dv = "div" if dialect == "spark" else "//"
-    r1 = f"(({num}) % ({den}))"
-    return (
-        f"((({num}) {dv} ({den})) * 1000000 + "
-        f"(({r1} * 1000) {dv} ({den})) * 1000 + "
-        f"((({r1} * 1000 % ({den})) * 1000) {dv} ({den})))"
-    )
+# the overflow-free exact ppm division shared with domain_mixture's
+# engine/oracle pair (functions/sqlmath.py)
+_ppm_div_sql = sqlmath.ppm_div_sql
 
 
 def mixture_resample(docs: DataFrame, seed: int = RESAMPLE_SEED) -> DataFrame:

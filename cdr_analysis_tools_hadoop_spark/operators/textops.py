@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdr_analysis_tools_hadoop_spark.functions import sqlmath
 from cdr_analysis_tools_hadoop_spark.functions import texthash as th
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -162,8 +163,14 @@ def language_id(docs: DataFrame) -> DataFrame:
     per document; same values (oracle hash unchanged), none of the
     exchanges. Tie-break matches the oracle twin's ORDER BY (score
     DESC, lang ASC): the CASE probes languages alphabetically, so the
-    first language hitting the max wins."""
-    tok = th.tokens_sql("text", "spark")
+    first language hitting the max wins.
+
+    NULL text is treated as the empty string in BOTH engines: without
+    the coalesce the engine's map-only fold emits a (doc_id, NULL,
+    NULL) row while the oracle's unnest produces zero token rows and
+    drops the document — a row-count parity break on an in-contract
+    input (nb_quality_scores documents the same NULL-text stance)."""
+    tok = th.tokens_sql("coalesce(text, '')", "spark")
     # spread: widen a single-file corpus (conditional, r3 item 3)
     from ..plans.partitioning import spread
 
@@ -188,7 +195,7 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 def language_id_oracle(view: str = "documents") -> str:
-    tok = th.tokens_sql("text", "duckdb")
+    tok = th.tokens_sql("coalesce(text, '')", "duckdb")
     w = th.md5_int_sql("concat(lang_cand, '|', token)", "duckdb")
     lang_values = ", ".join(f"('{lang}')" for lang in LANGS)
     return (
@@ -562,7 +569,12 @@ def domain_mixture(docs: DataFrame) -> DataFrame:
 
     Scale: one groupBy on source (bounded-cardinality dimension) plus
     a broadcast of the single-row total — no skew surface, the token
-    count per doc is computed map-side.
+    count per doc is computed map-side. The ppm arithmetic uses the
+    overflow-free split (functions/sqlmath.py) — the naive
+    ``n_tokens * 1000000`` crashes (ANSI overflow) once a source
+    passes ~9.2e12 tokens, far below the 100 TB design point; the
+    uniform target is total div n_sources first, the same definition
+    as mixture_resample's quota.
     """
     tok = th.tokens_sql("text", "spark")
     per = (
@@ -586,11 +598,17 @@ def domain_mixture(docs: DataFrame) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("n_tokens * 1000000 div total_tokens").alias("share_ppm"),
-            # uniform target share = total/n_sources; keep_ppm caps at 1e6
             F.expr(
-                "least(1000000, (total_tokens * 1000000 div n_sources) "
-                "div n_tokens)"
+                sqlmath.ppm_div_sql("n_tokens", "total_tokens", "spark")
+            ).alias("share_ppm"),
+            # uniform target share = total div n_sources; keep_ppm
+            # caps at 1e6
+            F.expr(
+                "least(1000000, "
+                + sqlmath.ppm_div_sql(
+                    "(total_tokens div n_sources)", "n_tokens", "spark"
+                )
+                + ")"
             ).alias("keep_ppm"),
         )
     )
@@ -605,9 +623,12 @@ def domain_mixture_oracle(view: str = "documents") -> str:
         "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
         "count(*) AS n_sources FROM per) "
         "SELECT source, n_docs, n_tokens, "
-        "n_tokens * 1000000 // total_tokens AS share_ppm, "
-        "least(1000000, (total_tokens * 1000000 // n_sources) // n_tokens) "
-        "AS keep_ppm FROM per CROSS JOIN tot"
+        + sqlmath.ppm_div_sql("n_tokens", "total_tokens", "duckdb")
+        + " AS share_ppm, least(1000000, "
+        + sqlmath.ppm_div_sql(
+            "(total_tokens // n_sources)", "n_tokens", "duckdb"
+        )
+        + ") AS keep_ppm FROM per CROSS JOIN tot"
     )
 
 

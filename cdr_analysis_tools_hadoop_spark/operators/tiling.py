@@ -72,16 +72,35 @@ def tile_stats(
     )
 
 
-def pyramid_rollup(base: DataFrame, min_zoom: int) -> list[DataFrame]:
+def pyramid_rollup(
+    base: DataFrame,
+    min_zoom: int,
+    base_zoom: int | None = None,
+    materialize: bool = True,
+) -> list[DataFrame]:
     """From a base-zoom tile_stats frame, derive every level down to
     `min_zoom` by halving coordinates and summing counts.
 
     Only additive measures survive the rollup (counts/sums) — exactly
     the raster semantics of a tile pyramid. Returns [base, z-1, ...].
+
+    ``base_zoom``: pass the zoom the caller already holds (tile_stats
+    stamps it as a constant) to avoid the fallback ``max(z)`` job,
+    which would execute the whole upstream scan before any caller
+    action. ``materialize`` (default True) localCheckpoints the base
+    frame eagerly so the L derived levels (each a tiny |tiles|-row
+    groupBy of the previous) share ONE materialization of the
+    fact-scale base instead of each level's lineage rescanning it —
+    pass False only when the caller materializes a single level.
     """
+    if base_zoom is None:
+        base_zoom = base.agg(F.max("z")).first()[0]
+    if materialize and base_zoom is not None and base_zoom > min_zoom:
+        base = base.localCheckpoint(eager=True)
     out = [base]
     cur = base
-    base_zoom = cur.agg(F.max("z")).first()[0]
+    if base_zoom is None:  # empty frame: nothing to roll up
+        return out
     for z in range(int(base_zoom) - 1, min_zoom - 1, -1):
         sum_cols = [
             F.sum(c).alias(c)

@@ -76,14 +76,29 @@ def zone_window_counts(
 
 
 def run_available_now(
-    result: DataFrame, query_name: str, checkpoint_dir: str
+    result: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available into an in-memory table
-    named ``query_name``, then stop (exactly-once via checkpoint)."""
+    named ``query_name``, then stop (exactly-once via checkpoint).
+
+    ``output_mode`` defaults to ``complete`` because the primary use
+    is a bounded drain of a windowed aggregate into a memory sink —
+    an availableNow trigger ends the stream before the watermark
+    closes the final windows, so append mode would hold those rows
+    back. Complete mode re-emits the full result and keeps ALL
+    aggregate state (watermark eviction does not apply), so it is for
+    bounded drains only; for the module's append-only queries
+    (streaming_stay_points, streaming_exact_dedup,
+    streaming_co_presence) — which complete mode REJECTS outright —
+    and for any long-running windowed sink where the watermark must
+    bound state, pass ``output_mode="append"``."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

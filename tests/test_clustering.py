@@ -93,6 +93,34 @@ def test_gemm_and_sql_assignment_equivalent(emb):
     assert a == b
 
 
+def test_zero_norm_vector_scores_zero_in_both_modes(spark):
+    """A zero-norm embedding is a valid row; under ANSI mode the
+    unguarded sql path would raise DIVIDE_BY_ZERO (not NULL) and the
+    sql/gemm equivalence with it. Both modes must assign cosine 0.0
+    and the lowest cluster id."""
+    from cdr_analysis_tools_hadoop_spark.functions import vec
+
+    rows = [(0, [0.0] * vec.DIM, "a")]
+    rows += [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(vec.DIM)], "b")
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    cents = clustering.kmeans_fit(df, k=3, n_iters=2, mode="gemm")
+    a = {
+        r.vec_id: (r.cluster, round(r.cosine, 6))
+        for r in clustering.kmeans_assign(df, cents, mode="sql").collect()
+    }
+    b = {
+        r.vec_id: (r.cluster, round(r.cosine, 6))
+        for r in clustering.kmeans_assign(df, cents, mode="gemm").collect()
+    }
+    assert a == b
+    assert a[0] == (0, 0.0)
+
+
 def test_gemm_and_sql_fit_identical_model(spark):
     e = synthetic.embeddings_df(spark, 600, dup_every=10, partitions=5)
     ms = clustering.kmeans_fit(e, k=4, n_iters=4, mode="sql")

@@ -793,3 +793,52 @@ def test_image_augment_exact_transforms_and_laws(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown"):
         multimodal.augment(imgs, ops=("flip_h", "nope"))
+
+
+def test_multimodal_kernels_survive_degenerate_blobs(spark):
+    """Grayscale / RGBA images and zero-frame / zero-sample clips are
+    VALID engine-codec blobs (channel count, n_frames, and n_samples
+    are free header fields): every feature kernel must emit a
+    deterministic row instead of crashing the whole job on one of
+    them (late-r4 review findings)."""
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (8, 8, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("gray", 0, codec.encode_rawz(gray)),
+            ("rgba", 0, codec.encode_rawz(rgba)),
+        ],
+        "image_id string, phash long, bytes binary",
+    )
+    feats = {
+        r.image_id: r for r in multimodal.decode_features(imgs).collect()
+    }
+    assert feats["gray"].mean_luma == pytest.approx(float(gray.mean()))
+    assert feats["rgba"].mean_luma == pytest.approx(float(rgba.mean()))
+
+    empty_vid = codec.encode_vidz(
+        np.zeros((0, 8, 8, 1), dtype=np.uint8), fps=0
+    )
+    vids = spark.createDataFrame(
+        [("v0", empty_vid)], "video_id string, bytes binary"
+    )
+    vf = multimodal.video_features(vids).collect()[0]
+    assert vf.n_frames == 0 and vf.duration_s == 0.0 and vf.mean_luma == 0.0
+    sig = multimodal.video_signature(vids).collect()[0]
+    assert list(sig.sig) == [0] * 8
+
+    empty_aud = codec.encode_pcmz(np.zeros((0, 2), dtype=np.int16), 16_000)
+    auds = spark.createDataFrame(
+        [("a0", empty_aud)], "audio_id string, bytes binary"
+    )
+    af = multimodal.audio_features(auds).collect()[0]
+    assert af.n_samples == 0 and af.peak == 0 and af.duration_s == 0.0
+    rs = multimodal.audio_resample(auds).collect()[0]
+    assert rs.n_samples == 0
+    back, sr2 = codec.decode_audio(bytes(rs.bytes))
+    assert sr2 == 8_000 and back.shape[0] == 0
+    asig = multimodal.audio_signature(auds).collect()[0]
+    assert asig.fingerprint == 0

@@ -115,6 +115,33 @@ def test_repetition_scores_flags_looping_doc(spark):
     assert r.dup_ppm == (r.n_shingles - r.n_distinct) * 1_000_000 // r.n_shingles
 
 
+def test_language_id_keeps_null_text_rows_in_both_engines(spark):
+    """NULL text counts as the empty string: the engine's map-only
+    fold and the oracle's unnest-based twin must both KEEP the row
+    (the unguarded forms disagreed — engine emitted a NULL-scored
+    row, oracle dropped the doc)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.language_id(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].predicted_lang is not None and got[1].score is not None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, CAST(NULL AS VARCHAR)), (2, 'the quick brown fox')"
+        ") t(doc_id, text)"
+    )
+    orc = {r[0]: r for r in con.execute(textops.language_id_oracle()).fetchall()}
+    assert set(orc) == {1, 2}
+    for did in (1, 2):
+        assert got[did].predicted_lang == orc[did][1]
+        assert got[did].score == orc[did][2]
+
+
 def test_cross_doc_spans_measures_shared_boilerplate(spark):
     bp = " ".join(f"b{i}" for i in range(8))  # one exact 8-token span
     uniq1 = " ".join(f"u{i}" for i in range(8))
