@@ -113,10 +113,11 @@ def bpe_learn_merges(
     merge order (0-based), pair_count the frequency that won the
     round. Stops early when no pair reaches ``min_pair_count``.
     """
+    from ..plans.checkpoint import CheckpointChain
+
     spark = docs.sparkSession
-    vocab = _initial_symbols(word_frequencies(docs)).localCheckpoint(
-        eager=True
-    )
+    chain = CheckpointChain(spark)
+    vocab = chain.checkpoint(_initial_symbols(word_frequencies(docs)))
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -129,9 +130,11 @@ def bpe_learn_merges(
             break
         t = top[0]
         merges.append((rank, t.left, t.right, t.left + t.right, t.pair_count))
-        vocab = _merge_applied(vocab, t.left, t.right).localCheckpoint(
-            eager=True
-        )
+        # CheckpointChain frees the superseded round's blocks once the
+        # new checkpoint materializes — chained bare localCheckpoints
+        # would pin one vocabulary copy per merge for the session
+        # lifetime (DataFrame.unpersist does not release them)
+        vocab = chain.checkpoint(_merge_applied(vocab, t.left, t.right))
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )

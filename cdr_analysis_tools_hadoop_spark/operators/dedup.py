@@ -581,11 +581,18 @@ def dedup_clusters(
             .join(ids, "u", "left_semi")
             .join(ids.withColumnRenamed("u", "v"), "v", "left_semi")
         )
-    edges = _canon_edges(e).localCheckpoint(eager=True)
+    from ..plans.checkpoint import CheckpointChain
+
+    # lag=1: the fixpoint exceptAll still READS the previous round's
+    # checkpoint after the new one materializes, so the previous
+    # generation must stay alive one extra round (freeing a
+    # localCheckpoint makes it unrecomputable, not just slow)
+    chain = CheckpointChain(docs.sparkSession, lag=1)
+    edges = chain.checkpoint(_canon_edges(e))
     n_edges = edges.count()
     converged = False
     for _ in range(max_iters):
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new = chain.checkpoint(_small_star(_large_star(edges)))
         # fixpoint test on canonical distinct sets: equal counts +
         # empty one-sided difference <=> equal sets (the previous
         # round's count is carried, one count job per round)

@@ -489,6 +489,9 @@ def contact_pagerank(
     # the out-weight rides the rank frame (8 bytes/row) so the
     # per-unit share is a projection, not a join — one join per
     # iteration (contributions), not two
+    from ..plans.checkpoint import CheckpointChain
+
+    chain = CheckpointChain(contacts.sparkSession)
     pr = wt.select(
         F.col("src").alias("uid"), "wt", F.lit(scale).cast("bigint").alias("pr")
     )
@@ -502,7 +505,10 @@ def contact_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("sc"))
         )
-        pr = (
+        # chain.checkpoint frees round n-1's blocks when round n
+        # materializes (bare chained localCheckpoints pin a rank-frame
+        # copy per iteration for the session lifetime)
+        pr = chain.checkpoint(
             wt.select(F.col("src").alias("uid"), "wt")
             .join(sc.withColumnRenamed("dst", "uid"), "uid", "left")
             .select(
@@ -513,7 +519,6 @@ def contact_pagerank(
                     " AS BIGINT)"
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return pr.select("uid", F.col("pr").alias("pr_units"))
 

@@ -57,9 +57,13 @@ def sequence_packing(
 ) -> DataFrame:
     """Per-document pack coordinates under pack-and-chop packing.
 
-    ``n_tokens`` counts whitespace tokens plus one EOS separator, so
-    every document occupies at least one slot and consecutive
-    documents never visually merge in the packed stream.
+    ``n_tokens`` counts non-empty whitespace tokens plus one EOS
+    separator, so every document occupies at least one slot and
+    consecutive documents never visually merge in the packed stream.
+    Empty tokens from consecutive separators are excluded — the same
+    word semantics as bpe.word_frequencies/bpe_encode, so packing
+    offsets reconcile with BPE token counts (a bare
+    ``size(split(...))`` would count 'a  b' as three words).
     """
     if budget < 1 or buckets < 1:
         raise ValueError("budget and buckets must be >= 1")
@@ -73,7 +77,9 @@ def sequence_packing(
         F.expr(f"((doc_id % {buckets}) + {buckets}) % {buckets}").alias(
             "bucket"
         ),
-        F.expr(f"size({tok}) + 1").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter({tok}, t -> t != '')) + 1")
+        .cast("long")
+        .alias("n_tokens"),
     )
     win = (
         Window.partitionBy("bucket")
@@ -102,7 +108,8 @@ def sequence_packing_oracle(
     return (
         f"WITH base AS (SELECT doc_id, "
         f"((doc_id % {buckets}) + {buckets}) % {buckets} AS bucket, "
-        f"len({tok}) + 1 AS n_tokens FROM {view}), "
+        f"len(list_filter({tok}, t -> t != '')) + 1 AS n_tokens "
+        f"FROM {view}), "
         # CAST: DuckDB's sum(BIGINT) is HUGEINT; Spark's is long
         "c AS (SELECT doc_id, bucket, n_tokens, "
         "coalesce(CAST(sum(n_tokens) OVER (PARTITION BY bucket "

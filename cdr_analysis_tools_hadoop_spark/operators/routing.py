@@ -224,7 +224,16 @@ _PATH_SCHEMA = StructType(
 
 
 def shortest_paths(pairs: DataFrame, graph_bc) -> DataFrame:
-    """Dijkstra per DISTINCT (src, dst) pair — the path cache."""
+    """Dijkstra per DISTINCT (src, dst) pair — the path cache.
+
+    UNROUTABLE pairs (endpoints in disconnected components — routine
+    on clipped OSM extracts, which carry no connectivity guarantee)
+    fall back to the straight src->dst great-circle segment, the same
+    degradation `interpolation.route_interpolation` documents for the
+    no-road-data case. Dropping them instead (the pre-review
+    behavior) made whole legs vanish through the inner join back onto
+    the leg table — silent data loss indistinguishable from "no
+    movement" downstream."""
 
     def kernel(batches):
         import pandas as pd
@@ -233,8 +242,23 @@ def shortest_paths(pairs: DataFrame, graph_bc) -> DataFrame:
         for pdf in batches:
             rows = []
             for src, dst in zip(pdf["src"], pdf["dst"]):
-                path, total = g.dijkstra(int(src), int(dst))
+                src, dst = int(src), int(dst)
+                path, total = g.dijkstra(src, dst)
                 if not path:
+                    d = float(
+                        geo.haversine_np(
+                            np.array([g.lat[src]]), np.array([g.lon[src]]),
+                            np.array([g.lat[dst]]), np.array([g.lon[dst]]),
+                        )[0]
+                    )
+                    rows.append(
+                        (
+                            src, dst, d,
+                            [float(g.lat[src]), float(g.lat[dst])],
+                            [float(g.lon[src]), float(g.lon[dst])],
+                            [0.0, d],
+                        )
+                    )
                     continue
                 plats = [float(g.lat[v]) for v in path]
                 plons = [float(g.lon[v]) for v in path]
@@ -245,7 +269,7 @@ def shortest_paths(pairs: DataFrame, graph_bc) -> DataFrame:
                             acc += w
                             break
                     cums.append(acc)
-                rows.append((int(src), int(dst), total, plats, plons, cums))
+                rows.append((src, dst, total, plats, plons, cums))
             yield pd.DataFrame(
                 rows, columns=["src", "dst", "total_m", "plats", "plons", "cums"]
             )

@@ -61,9 +61,18 @@ def _cosine_col(qcol: str, ccol: str, qn: str, cn: str) -> F.Column:
     ).alias("cosine")
 
 
-def _topk_pairs(emb: DataFrame, k: int, n_queries: int, bucketed: bool) -> DataFrame:
+def _topk_pairs(
+    emb: DataFrame,
+    k: int,
+    n_queries: int,
+    bucketed: bool,
+    keep_label: bool = False,
+) -> DataFrame:
     """Shared top-k skeleton; candidate generation is either a
-    broadcast crossJoin (exact) or a bucket equi-join (LSH)."""
+    broadcast crossJoin (exact) or a bucket equi-join (LSH).
+    ``keep_label`` threads the corpus label through the ranked output
+    so knn_label_vote does not pay a second corpus scan + join to
+    recover a column this lineage already holds."""
     cand = _with_norm(_spread(emb))
     queries = _with_norm(emb.filter(F.col("vec_id") < n_queries), "q_")
     if bucketed:
@@ -83,10 +92,13 @@ def _topk_pairs(emb: DataFrame, k: int, n_queries: int, bucketed: bool) -> DataF
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    if keep_label:
+        cols.append("label")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select(*cols)
     )
 
 
@@ -129,7 +141,13 @@ def _verify_cosine_arrow(joined: DataFrame) -> DataFrame:
             acc = np.zeros(n, dtype=np.float64)
             for i in range(ae.shape[1]):
                 acc += ae[:, i] * be[:, i]
-            cos = acc / np.sqrt(an2 * bn2)
+            # zero-norm guard matching vec.cosine_sql: 0/sqrt(0) is
+            # NaN, and Spark's NaN ordering makes `NaN >= threshold`
+            # TRUE — an unguarded kernel would emit a garbage pair the
+            # guarded oracle never does
+            denom2 = an2 * bn2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom2 == 0.0, 0.0, acc / np.sqrt(denom2))
             yield pa.RecordBatch.from_arrays(
                 [rb.column("vec_a"), rb.column("vec_b"), pa.array(cos)],
                 ["vec_a", "vec_b", "cosine_raw"],
@@ -372,11 +390,9 @@ def near_dup_pairs_exact(
 def knn_label_vote(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """Majority label among the top-k neighbours of each query
     (ties broken by smaller label)."""
-    topk = _topk_pairs(emb, k, n_queries, bucketed=False)
-    labels = emb.select("vec_id", "label")
+    topk = _topk_pairs(emb, k, n_queries, bucketed=False, keep_label=True)
     votes = (
-        topk.join(labels, "vec_id")
-        .groupBy("query_id", "label")
+        topk.groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
@@ -495,7 +511,7 @@ def cosine_topk_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) 
 def cosine_topk_ivf_oracle(
     view: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> str:
-    n2 = norm2 = vec.norm2_sql("embedding", "duckdb")
+    n2 = vec.norm2_sql("embedding", "duckdb")
     assign = vec.ivf_assign_sql("embedding", "duckdb")
     probe = vec.ivf_probe_sql("q_embedding", "duckdb")
     cos = vec.cosine_sql("q_embedding", "embedding", "q_norm2", "norm2", "duckdb")
@@ -605,7 +621,11 @@ def _verify_hamming_banding(
 
     best, best_cost = None, None
     k = d + 1
-    while k <= 32:
+    # k may exceed 32 when the radius itself does (d <= 62 is valid
+    # input): bands narrow to 1 bit at k = 64, the hard ceiling. The
+    # old `while k <= 32` returned None for d >= 32 and crashed the
+    # caller on an unpack.
+    while k <= 64:
         c = k - d
         m = math.comb(k, c)
         if m > 1024:
@@ -619,6 +639,8 @@ def _verify_hamming_banding(
         if best_cost is None or cost < best_cost:
             best, best_cost = (k, c), cost
         k += 1
+    if best is None:  # every k over-caps: least-key fallback
+        return d + 1, 1
     return best
 
 
@@ -833,22 +855,6 @@ def _hamming_key_structs(hash_col: str, k: int, c: int) -> F.Column:
             F.struct(F.lit(ci).alias("band"), F.expr(expr).alias("key"))
         )
     return F.array(*structs)
-
-
-def _popcount64(x):
-    """Vectorized 64-bit popcount (SWAR divide-and-conquer) over a
-    uint64 numpy array — numpy<2 has no bitwise_count; this is ~6
-    elementwise uint64 ops, memory-bandwidth bound."""
-    import numpy as np
-
-    m1 = np.uint64(0x5555555555555555)
-    m2 = np.uint64(0x3333333333333333)
-    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
-    h01 = np.uint64(0x0101010101010101)
-    x = x - ((x >> np.uint64(1)) & m1)
-    x = (x & m2) + ((x >> np.uint64(2)) & m2)
-    x = (x + (x >> np.uint64(4))) & m4
-    return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 

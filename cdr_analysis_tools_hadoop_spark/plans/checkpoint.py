@@ -165,3 +165,62 @@ def write_partitioned(
     append_manifest(path, records)
     summary.update(written=len(todo), rows=total_rows, seconds=round(elapsed, 3))
     return summary
+
+
+class CheckpointChain:
+    """Bounded-storage chained localCheckpoints for iterative
+    algorithms (BPE merges, pointer-doubling / alternating-star CC,
+    PageRank rounds).
+
+    ``DataFrame.unpersist()`` does NOT release localCheckpoint blocks
+    (the persist happens on the internal RDD, invisible to the SQL
+    CacheManager — verified empirically), so a loop that re-checkpoints
+    per round pins one full copy of its working frame PER ROUND in
+    executor storage until the session dies. This helper tracks the
+    persistent-RDD ids each checkpoint creates and explicitly
+    unpersists the SUPERSEDED round's blocks when the next round
+    materializes, bounding storage at ~2 copies.
+
+    ``lag`` is how many SUPERSEDED generations stay alive alongside
+    the current one: 0 (default) frees round n-1 the moment round n
+    materializes (right when each round only READS the previous frame
+    before checkpointing, as in BPE and PageRank); loops that still
+    consume the previous checkpoint AFTER the new one materializes
+    (dedup_clusters' fixpoint ``exceptAll``) need lag=1 — freeing a
+    localCheckpoint's blocks makes the frame UNRECOMPUTABLE (lineage
+    is truncated), not merely slow.
+
+    The id-delta tracking assumes rounds run serially on the driver
+    (true for every loop in this repo); a concurrent job persisting
+    RDDs mid-delta could be over-captured, so keep instances loop-local.
+    """
+
+    def __init__(self, spark, lag: int = 0):
+        self._jsc_sc = spark.sparkContext._jsc.sc()
+        self._lag = int(lag)
+        self._gens: list[set[int]] = []
+
+    def _persisted_ids(self) -> set[int]:
+        m = self._jsc_sc.getPersistentRDDs()
+        it = m.keysIterator()
+        out: set[int] = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    def _free(self, ids: set[int]) -> None:
+        m = self._jsc_sc.getPersistentRDDs()
+        for i in ids:
+            opt = m.get(i)
+            if not opt.isEmpty():
+                opt.get().unpersist(False)
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        """localCheckpoint ``df`` eagerly, then free any generation
+        older than ``lag`` rounds (safe: nothing references it)."""
+        before = self._persisted_ids()
+        out = df.localCheckpoint(eager=True)
+        self._gens.append(self._persisted_ids() - before)
+        while len(self._gens) > self._lag + 1:
+            self._free(self._gens.pop(0))
+        return out

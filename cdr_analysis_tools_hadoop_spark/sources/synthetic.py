@@ -169,6 +169,10 @@ def poi_np(num: int = 100) -> np.ndarray:
 
 PHASH_MULT = 2654435761
 PHASH_MOD = 9007199254740991  # 2^53 - 1: exact in doubles, safe in int64
+# id * PHASH_MULT must stay inside int64 for the engine (numpy would
+# WRAP silently) and the oracle (DuckDB RAISES on int64 overflow) to
+# agree — the exact-parity domain ceiling:
+PHASH_MAX_ID = (2**63 - 1) // PHASH_MULT  # 3,474,701,543
 
 
 def phash_sql(id_col: str) -> str:
@@ -184,13 +188,23 @@ _CAPTION_WORDS = (
 
 
 def _pixels_for(ids: np.ndarray, w: int, h: int) -> np.ndarray:
-    """(n, h, w, 3) uint8 deterministic RGB test pattern per id."""
+    """(n, h, w, 3) uint8 deterministic RGB test pattern per id.
+
+    Two coprime residues drive the pattern, so same-size images
+    repeat pixels only at id distance lcm(251, 241) = 60,491 (x3
+    across size classes = 181,473) — a single ``ids % 251`` base
+    repeated every 753 ids, silently polluting the seeded near-dup
+    ground truth ("found == (i-3, i) pairs") at moderate corpus
+    sizes. Corpora beyond the extended period still contain
+    byte-identical cross-period twins by construction; pair-level
+    ground-truth claims only hold below it."""
     n = len(ids)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (ids[:, None, None] % 251).astype(np.int64)
-    r = (base + xx[None] * 3 + yy[None] * 7) % 256
-    g = (base * 2 + xx[None] * 5 + yy[None] * 11) % 256
-    b = (base * 3 + xx[None] * 13 + yy[None] * 2) % 256
+    alt = (ids[:, None, None] % 241).astype(np.int64)
+    r = (base + alt * 19 + xx[None] * 3 + yy[None] * 7) % 256
+    g = (base * 2 + alt * 23 + xx[None] * 5 + yy[None] * 11) % 256
+    b = (base * 3 + alt * 29 + xx[None] * 13 + yy[None] * 2) % 256
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
@@ -223,6 +237,14 @@ def images_df(
         # rendering from a different pattern than the stored row —
         # the (i-3, i) ground truth would silently break
         raise ValueError("images_df dup_every must not be 1 or 3")
+    if num_images > PHASH_MAX_ID:
+        # past this the numpy phash multiply WRAPS while the DuckDB
+        # twin (phash_sql) raises on the same int64 overflow — the
+        # oracle-reconstructable contract silently breaks
+        raise ValueError(
+            f"images_df supports at most {PHASH_MAX_ID} rows "
+            "(id * PHASH_MULT must stay inside exact int64)"
+        )
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
     sizes = np.array([16, 32, 64], dtype=np.int64)
@@ -442,6 +464,11 @@ def audio_df(
     "same recording, different master" pair whose spectral
     fingerprints must land within a few bits. Default 0 keeps the
     historical output byte-identical.
+
+    Exact waveform period: lcm(5, 17, 7, 6, 4) = 7,140 ids — corpora
+    beyond that contain byte-identical cross-period twins, so
+    pair-level ground-truth claims only hold below it (the contract
+    corpus is 300).
     """
     from ..functions import codec  # local import to keep module load light
 
@@ -547,9 +574,14 @@ def videos_df(
 
     def _clip(i: int) -> np.ndarray:
         n = 9 + (i % 5) * 8
-        base = ((yy * (3 + i % 7) + xx * (2 + i % 5)) % 256).astype(
-            np.uint8
-        )
+        # the extra coprime residue (101) stretches the exact clip
+        # period from lcm(7,5,3) = 105 — below the 200-clip contract
+        # corpus, which silently made every (i, i+105) pair a
+        # byte-identical unseeded dup — to lcm(105, 101) = 10,605
+        base = ((yy * (3 + i % 7) + xx * (2 + i % 5)) % 256 + (i % 101) * 2).astype(
+            np.int64
+        ) % 256
+        base = base.astype(np.uint8)
         frames = np.empty((n, h, w, 3), dtype=np.uint8)
         static = i % 5 == 0
         speed = 0 if static else 1 + i % 3
