@@ -56,7 +56,8 @@ def ensure_images(spark, n: int, path: str) -> None:
     ).parquet(path)
 
 
-IMAGES_LAYOUT = "v2"  # bump when file count / codec / content changes
+IMAGES_LAYOUT = "v3"  # bump when file count / codec / content changes
+# v3: second coprime residue in the synthetic pixel pattern (period fix)
 
 
 def _cpu_jiffies() -> list[int]:

@@ -94,10 +94,13 @@ def _paths(cfg: dict, key: str) -> list[str]:
     return [os.path.join(base, f) for f in cfg[key]]
 
 
-def _out(cfg: dict, *parts: str) -> str:
+def _out(cfg: dict, *parts: str, create: bool = True) -> str:
     root = cfg.get("output_data_location", "spark_warehouse")
     path = os.path.join(root, *parts)
-    os.makedirs(os.path.dirname(path) if "." in parts[-1] else path, exist_ok=True)
+    if create:
+        os.makedirs(
+            os.path.dirname(path) if "." in parts[-1] else path, exist_ok=True
+        )
     return path
 
 
@@ -162,9 +165,23 @@ def run_prepare(spark: SparkSession, cfg: dict) -> dict[str, DataFrame]:
 
 
 def _read_prepared(spark: SparkSession, cfg: dict):
-    cdr = spark.read.parquet(_out(cfg, "consolidate"))
-    towers = spark.read.parquet(_out(cfg, "towers"))
-    return cdr, towers
+    # create=False: manufacturing an empty dir on the READ path turns
+    # a missing-prepare mistake into an opaque "Unable to infer
+    # schema" error instead of this explicit one
+    paths = {
+        name: _out(cfg, name, create=False)
+        for name in ("consolidate", "towers")
+    }
+    missing = [p for p in paths.values() if not os.path.isdir(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"prepared tables not found ({missing}); run the "
+            "'prepare' command first"
+        )
+    return (
+        spark.read.parquet(paths["consolidate"]),
+        spark.read.parquet(paths["towers"]),
+    )
 
 
 def run_statistics(spark: SparkSession, cfg: dict) -> list[str]:
@@ -224,18 +241,18 @@ def run_statistics(spark: SparkSession, cfg: dict) -> list[str]:
 
     written.extend(reports.write_report_graphs(cdr, gra))
 
-    # frequent locations over the tower zone table (J2 lat/lon
-    # composite-key join; string equality like the reference) + home
+    # frequent locations over the tower zone table: the reference's
+    # J2 join is STRING equality on the coordinate pair
+    # (frequent_locations.sql: a1.latitude = a2.latitude AND
+    # a1.longitude = a2.longitude) — joining on cell_id instead (the
+    # pre-review code) blows up when a config leaves cell_id at the
+    # '-1' sentinel on both sides (every CDR row x every tower row)
+    # and deviates from the reference key; the tower side is distinct
+    # on exactly the join key, so it cannot multiply rows
     zoned = cdr.join(
-        F.broadcast(
-            towers.select(
-                "cell_id",
-                F.col("latitude").alias("__tlat"),
-                F.col("longitude").alias("__tlon"),
-            ).distinct()
-        ),
-        "cell_id",
-    ).withColumn("zone_id", F.concat_ws("_", "__tlat", "__tlon"))
+        F.broadcast(towers.select("latitude", "longitude").distinct()),
+        ["latitude", "longitude"],
+    ).withColumn("zone_id", F.concat_ws("_", "latitude", "longitude"))
     freq = fl.frequent_locations(zoned)
     p = f"{rep}/frequent_locations.csv"
     fr.write_frame_csv(freq.orderBy("uid", "trank"), p)
@@ -324,7 +341,7 @@ def run_interpolation(spark: SparkSession, cfg: dict) -> str:
         F.xxhash64("uid", "call_time", "cell_id").alias("event_id"),
         F.expr("try_cast(latitude AS double)").alias("lat"),
         F.expr("try_cast(longitude AS double)").alias("lon"),
-    ).filter(F.col("lat").isNotNull())
+    ).filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
     trips = interpolation.trip_24h_padding(
         interpolation.trip_segments_format(sited)
     )
@@ -333,7 +350,15 @@ def run_interpolation(spark: SparkSession, cfg: dict) -> str:
     os.makedirs(rep, exist_ok=True)
     path = f"{rep}/interpolation_gps.tsv"
     csv_io.export_tsv(gps, path + ".d")
-    rows = gps.count()
+    # count the written lines instead of gps.count(): a second action
+    # on the uncached frame would re-execute the whole
+    # segmentation/padding DAG just for this log line
+    import glob as _glob
+
+    rows = 0
+    for part in _glob.glob(os.path.join(path + ".d", "part-*")):
+        with open(part, "rb") as f:
+            rows += sum(1 for _ in f)
     print(f"interpolation: wrote {rows} rows under {path}.d")
     return path + ".d"
 

@@ -199,17 +199,31 @@ def phash_ahash(pixels: np.ndarray, grid: int = 8) -> int:
     )
     luma = pixels.astype(np.float64) @ w_c
     h, w = luma.shape
-    # box-average onto a grid x grid raster (h, w are multiples of 8
-    # for the synthetic sizes; general case uses edge-padding)
-    ys = (np.arange(grid + 1) * h) // grid
-    xs = (np.arange(grid + 1) * w) // grid
-    cells = np.empty((grid, grid))
-    for i in range(grid):
-        for j in range(grid):
-            cells[i, j] = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    if h == 0 or w == 0:
+        return 0  # empty image: deterministic zero hash
+    if h < grid or w < grid:
+        # sub-grid image: nearest-pixel sampling (edge replication) —
+        # the box loop below would produce EMPTY slices whose mean is
+        # NaN, collapsing every small image to the all-zero hash
+        yi = np.minimum((np.arange(grid) * h) // grid, h - 1)
+        xi = np.minimum((np.arange(grid) * w) // grid, w - 1)
+        cells = luma[np.ix_(yi, xi)]
+    else:
+        # box-average onto a grid x grid raster
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        cells = np.empty((grid, grid))
+        for i in range(grid):
+            for j in range(grid):
+                cells[i, j] = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
     bits = (cells > cells.mean()).flatten()
     val = 0
     for bit in bits:
         val = (val << 1) | int(bit)
-    # keep within signed int64 / 2^53 portability window
-    return val % 9007199254740991
+    # two's-complement into signed int64: every one of the 64 cell
+    # bits must survive verbatim — the old `% (2^53 - 1)` fold
+    # scrambled the top 11 bits through carry chains, so images at
+    # true Hamming distance 1 could land > 6 apart and be MISSED by
+    # the exact near-dup join (the pigeonhole guarantee only holds
+    # for the stored value's distance)
+    return val - (1 << 64) if val >= 1 << 63 else val

@@ -200,13 +200,25 @@ def tile_xyz_np(lat: np.ndarray, lon: np.ndarray, zoom: int):
 # Distances
 
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
-    """Great-circle distance in metres (sp_distance analogue)."""
+    """Great-circle distance in metres (sp_distance analogue).
+
+    The a-term is clamped to 1.0 like haversine_np's np.clip:
+    near-antipodal inputs round a to 1 + 2ulp, sqrt exceeds 1 and
+    asin returns NaN — with arbitrary try_cast'd CSV coordinates one
+    garbage pair would silently turn a trip's distance into NaN. The
+    clamp is a CASE, not least(): both engines' least() SKIPS NULLs,
+    which would turn a NULL input (e.g. the lag() of a user's first
+    event) into a 20,015 km antipodal distance instead of NULL. The
+    clamp text is engine-neutral so oracle twins stay identical."""
     two = dlit(2.0)
+    a = (
+        f"(pow(sin(radians(({lat2}) - ({lat1})) / {two}), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / {two}), 2))"
+    )
     return (
         f"({two} * {dlit(EARTH_RADIUS_M)} * asin(sqrt("
-        f"pow(sin(radians(({lat2}) - ({lat1})) / {two}), 2)"
-        f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * pow(sin(radians(({lon2}) - ({lon1})) / {two}), 2))))"
+        f"CASE WHEN {a} > {dlit(1.0)} THEN {dlit(1.0)} ELSE {a} END)))"
     )
 
 
@@ -273,13 +285,15 @@ def polygon_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
 
 
 def polygon_cover(ring: np.ndarray, res: int) -> list[int]:
-    """Cell cover of a polygon at resolution ``res``.
-
-    Returns every cell whose square intersects the polygon bbox and
-    whose center or any corner lies inside the polygon, PLUS all bbox
-    cells flagged 'boundary-possible' (conservative cover: candidate
-    set for the equi-join; exact membership is refined by ray casting
-    on the point itself). Mirrors H3 polyfill + compact usage.
+    """Conservative cell cover of a polygon at resolution ``res``:
+    every cell intersecting the polygon's BOUNDING BOX (a superset of
+    the polygon's own cells — no membership test here by design; the
+    cover is a candidate set for an equi-join, and exact membership
+    is refined by ray casting on the point itself, as
+    spatial_join.pip_join does). A polyfill-tight cover would shrink
+    the candidate set for thin diagonal polygons at the cost of a
+    corner/center ray cast per cell — add it only if a profile shows
+    the bbox slack dominating a join.
     """
     n = 1 << res
     min_lon, min_lat, max_lon, max_lat = polygon_bbox(ring)

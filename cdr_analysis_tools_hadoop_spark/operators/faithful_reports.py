@@ -83,6 +83,14 @@ def monthly_statistics_faithful(cdr: DataFrame) -> DataFrame:
         F.min(F.to_date("call_time")).alias("lo"),
         F.max(F.to_date("call_time")).alias("hi"),
     ).collect()[0]
+    if rng.lo is None:
+        # empty frame or an input_file_time_format that NULLs every
+        # call_time: raise the explanation summary_rows gives for the
+        # same state instead of AttributeError on None.year
+        raise ValueError(
+            "monthly_statistics_faithful: no parseable call_time values "
+            "— check input_file_time_format / the consolidated table"
+        )
     windowed = cdr.filter(
         F.year("call_time").between(rng.lo.year, rng.hi.year)
         & F.month("call_time").between(rng.lo.month, rng.hi.month)
@@ -211,11 +219,21 @@ def write_summary_csv(path: str, block1: list, block2: list) -> None:
             w.writerow(row)
 
 
-def write_frame_csv(df: DataFrame, path: str) -> int:
+def write_frame_csv(df: DataFrame, path: str, max_rows: int = 1_000_000) -> int:
     """QUOTE_NONNUMERIC CSV of a small report frame (the reference's
     cursor-fetch + csv.writer); returns row count. Numeric columns
-    stay numeric (unquoted), everything else is quoted."""
-    rows = df.collect()
+    stay numeric (unquoted), everything else is quoted.
+
+    Guarded like csv_io.report_csv: a frame above ``max_rows`` (e.g.
+    per-(uid, zone) frequent locations over a full-scale corpus) is
+    refused instead of OOMing the driver — use csv_io.export_tsv for
+    distributed export and merge files downstream."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_frame_csv is for small report frames (> {max_rows} "
+            "rows collected); use csv_io.export_tsv for distributed export"
+        )
     with open(path, "w", newline="") as f:
         w = csv.writer(f, quoting=csv.QUOTE_NONNUMERIC)
         w.writerow(df.columns)

@@ -62,7 +62,16 @@ def test_phash_deterministic_and_discriminative():
     hashes = [codec.phash_ahash(p) for p in pix]
     assert hashes == [codec.phash_ahash(p) for p in pix]
     assert len(set(hashes)) > 1
-    assert all(0 <= h < 9007199254740991 for h in hashes)
+    # all 64 cell bits survive verbatim in a signed int64 (the old
+    # 2^53-1 fold scrambled the top bits and broke Hamming distance)
+    assert all(-(2**63) <= h < 2**63 for h in hashes)
+    # one flipped cell must stay at Hamming distance 1
+    import numpy as np
+
+    a = pix[0].copy()
+    a[:4, :4] = 255 - a[:4, :4]  # flip one 8x8-grid cell's luma hard
+    d = bin((codec.phash_ahash(pix[0]) ^ codec.phash_ahash(a)) & (2**64 - 1))
+    assert d.count("1") <= 2
 
 
 def test_shape_groups_split_mixed_channel_batches():

@@ -135,3 +135,27 @@ def test_tile_xyz_matches_slippy_reference():
     # openstreetmap slippy formula reference point: (35.6895, 139.6917) z=12
     x, y = geo.tile_xyz_np(np.array([35.6895]), np.array([139.6917]), 12)
     assert (int(x[0]), int(y[0])) == (3637, 1612)
+
+
+def test_haversine_sql_clamps_antipodal_and_propagates_null(spark):
+    """Near-antipodal FP rounding pushes the a-term past 1.0 (NaN via
+    asin) — the SQL form must clamp like haversine_np's np.clip, and
+    the clamp must be a CASE: least() skips NULLs, which would turn a
+    lag()-NULL first-event coordinate into a 20,015 km step."""
+    expr = geo.haversine_sql("lat1", "lon1", "lat2", "lon2")
+    row = spark.createDataFrame(
+        [
+            (30.750002053, 0.0, -30.750002053, 179.99999999),  # antipodal-ish
+            (None, None, 35.0, 139.0),                         # lag() NULL
+            (35.0, 139.0, 35.1, 139.1),                        # ordinary
+        ],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    ).selectExpr(f"{expr} AS d").collect()
+    import math
+
+    assert math.isfinite(row[0].d)  # clamped, not NaN
+    assert row[1].d is None        # NULL propagates
+    assert 0 < row[2].d < 20_000   # ~14 km sanity
+    # matches the numpy twin on the ordinary pair
+    got = geo.haversine_np([35.0], [139.0], [35.1], [139.1])[0]
+    assert abs(row[2].d - got) < 1e-6

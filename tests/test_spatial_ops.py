@@ -379,7 +379,7 @@ def test_image_near_dup_exact_and_seeded(spark):
     want = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
-            d = bin(feats[ids[i]] ^ feats[ids[j]]).count("1")
+            d = bin((feats[ids[i]] ^ feats[ids[j]]) & (2**64 - 1)).count("1")
             if d <= 6:
                 want.add((ids[i], ids[j]))
     got = {
@@ -641,7 +641,7 @@ def test_image_geo_near_dup_exact_both_predicates(spark):
         la, lo = _anchor(ids[i])
         for j in range(i + 1, len(ids)):
             lb, lob = _anchor(ids[j])
-            d = bin(feats[ids[i]] ^ feats[ids[j]]).count("1")
+            d = bin((feats[ids[i]] ^ feats[ids[j]]) & (2**64 - 1)).count("1")
             dy = la - lb
             dx = (lo - lob) * geo.LON_SCALE
             if d <= 6 and dy * dy + dx * dx <= rad_deg * rad_deg:
