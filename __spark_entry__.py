@@ -1136,7 +1136,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM flows GROUP BY 1) "
         "SELECT origin_zone, dest_zone, tcount, m_o, m_d, "
         f"round(sqrt({_grav_d2}) * {geo.dlit(111320.0)}, 3) AS dist_m, "
-        f"round(ln(CAST(tcount AS DOUBLE) * ({_grav_d2}) / (m_o * m_d)), 6)"
+        f"round(ln(CAST(tcount AS DOUBLE) * ({_grav_d2}) / "
+        "(CAST(m_o AS DOUBLE) * CAST(m_d AS DOUBLE))), 6)"
         " AS gravity_index "
         "FROM flows JOIN prod USING (origin_zone) "
         "JOIN attr USING (dest_zone) "

@@ -158,10 +158,17 @@ def cell_ring(cell: int, k: int) -> list[int]:
 
 
 def cell_size_m(res: int) -> float:
-    """Approximate cell edge length in metres at the bbox latitude."""
+    """MINIMUM cell edge length in metres at the bbox latitude.
+
+    The min edge (longitude: LON_SCALE ~ 0.814 of the latitude edge)
+    is the one the ring-1 coverage guarantee needs: a site within
+    radius r of a probe is at Chebyshev cell distance <= 1 only when
+    r <= BOTH edges. Returning the max edge (the pre-review bug) let
+    a site ~0.82-1.0 cell-edges away in longitude land at cell
+    distance 2, silently outside the 0-1 ring probe."""
     lat_m = DLAT / (1 << res) * M_PER_DEG
     lon_m = DLON / (1 << res) * M_PER_DEG * LON_SCALE
-    return max(lat_m, lon_m)
+    return min(lat_m, lon_m)
 
 
 # ---------------------------------------------------------------------------

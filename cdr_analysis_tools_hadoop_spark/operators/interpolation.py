@@ -93,7 +93,6 @@ def stay_points(sited: DataFrame) -> DataFrame:
         .withColumn("prev_lat", F.lag("lat").over(w))
         .withColumn("prev_lon", F.lag("lon").over(w))
     )
-    w2 = Window.partitionBy("uid", "pdt").orderBy("call_time", "event_id")
     df = df.withColumn(
         "brk",
         F.when(
@@ -101,7 +100,7 @@ def stay_points(sited: DataFrame) -> DataFrame:
             | (F.expr(d2) > F.lit(D2_300M)),
             1,
         ).otherwise(0),
-    ).withColumn("seg_id", F.sum("brk").over(w2))
+    ).withColumn("seg_id", F.sum("brk").over(w))
     return (
         df.groupBy("uid", "pdt", "seg_id")
         .agg(
@@ -232,7 +231,7 @@ def poi_reallocation_oracle(stays_sql: str, pois_cte: str) -> str:
 # 3. route interpolation (f_routing)
 
 
-def _mode_exprs(dialect: str) -> dict[str, str]:
+def _mode_sql(dialect: str) -> str:
     """Deterministic transport-mode draw per leg.
 
     p_walk = 1 - 1/(1+exp(5 - km)) (TurkcellRoutingUDF bytecode,
@@ -245,14 +244,11 @@ def _mode_exprs(dialect: str) -> dict[str, str]:
     u = f"(({th.md5_int_sql(key, dialect)}) % 1000000) / {geo.dlit(1e6)}"
     km = f"(sqrt({_d2_sql('lat0', 'lon0', 'lat1', 'lon1')}) * {geo.dlit(111.320)})"
     p_walk = f"({geo.dlit(1.0)} - {geo.dlit(1.0)} / ({geo.dlit(1.0)} + exp({geo.dlit(5.0)} - {km})))"
-    return {
-        "u": u,
-        "mode": (
-            f"(case when {u} < {p_walk} then 'WALK' "
-            f"when {u} < {p_walk} + ({geo.dlit(1.0)} - {p_walk}) / {geo.dlit(2.0)} "
-            "then 'BIKE' else 'VEHICLE' end)"
-        ),
-    }
+    return (
+        f"(case when {u} < {p_walk} then 'WALK' "
+        f"when {u} < {p_walk} + ({geo.dlit(1.0)} - {p_walk}) / {geo.dlit(2.0)} "
+        "then 'BIKE' else 'VEHICLE' end)"
+    )
 
 
 def route_interpolation(sited: DataFrame) -> DataFrame:
@@ -290,7 +286,7 @@ def route_interpolation(sited: DataFrame) -> DataFrame:
         ),
     )
     frac = f"(step * {STEP_S} / cast(t1 - t0 as double))"
-    mode = _mode_exprs("spark")["mode"]
+    mode = _mode_sql("spark")
     return steps.select(
         "uid",
         "pdt",
@@ -308,7 +304,7 @@ def route_interpolation_oracle(sited_cte: str) -> str:
         f"least({MAX_STEPS}, CAST(floor((t1 - t0) / {STEP_S}) AS BIGINT))"
     )
     frac = f"(step * {STEP_S} / CAST(t1 - t0 AS DOUBLE))"
-    mode = _mode_exprs("duckdb")["mode"]
+    mode = _mode_sql("duckdb")
     return (
         f"{sited_cte}, legs AS (SELECT uid, CAST(call_time AS DATE) AS pdt, "
         "lag(lat) OVER w AS lat0, lag(lon) OVER w AS lon0, "
@@ -387,10 +383,11 @@ def trip_segments_format(
         F.lag("lat").over(w).alias("prev_lat"),
         F.lag("lon").over(w).alias("prev_lon"),
     )
-    d2 = (
-        (F.col("lat") - F.col("prev_lat")) ** 2
-        + ((F.col("lon") - F.col("prev_lon")) * F.lit(geo.LON_SCALE)) ** 2
-    )
+    # the SHARED snippet, not Column ** 2 (which compiles to pow():
+    # parity with the oracle's dlat*dlat then rests on the JVM
+    # special-casing pow(x, 2) — an unstated 1-ulp dependency at the
+    # 300 m break threshold)
+    d2 = F.expr(_d2_sql("prev_lat", "prev_lon", "lat", "lon"))
     brk = F.when(F.col("prev_lat").isNull() | (d2 > F.lit(d2_thresh)), 1).otherwise(0)
     seg = prev.withColumn("brk", brk).withColumn(
         "trip_seq", (F.sum("brk").over(w) - 1).cast("int")

@@ -35,6 +35,14 @@ class SiteIndex:
 
     def __init__(self, sites: np.ndarray, res: int):
         """``sites``: (n, 3) of (site_id, lat, lon)."""
+        sites = np.asarray(sites, dtype=np.float64)
+        if sites.ndim != 2 or sites.shape[1] != 3:
+            # an empty layer arrives as shape (0,): sites[:, 0] would
+            # raise an opaque IndexError on the driver
+            raise ValueError(
+                "SiteIndex needs an (n, 3) array of (site_id, lat, "
+                f"lon) with n >= 1; got shape {sites.shape}"
+            )
         self.res = res
         self.ids = sites[:, 0].astype(np.int64)
         self.lat = sites[:, 1].astype(np.float64)
@@ -56,12 +64,19 @@ class SiteIndex:
 
 
 def pick_res_for_radius(radius_m: float) -> int:
-    """Finest resolution whose cell edge still covers the radius in one
-    ring (ring-1 guarantees all sites within `radius_m`)."""
+    """Finest resolution whose MINIMUM cell edge still covers the
+    radius in one ring (ring-1 then guarantees all sites within
+    ``radius_m`` on both axes). Raises when even resolution 0 cannot
+    cover the radius — silently flooring there would reintroduce the
+    missed-neighbor gap this function exists to prevent."""
     for res in range(geo.MAX_RES, -1, -1):
         if geo.cell_size_m(res) >= radius_m:
             return res
-    return 0
+    raise ValueError(
+        f"radius_m={radius_m} exceeds the coarsest cell edge "
+        f"({geo.cell_size_m(0):.0f} m): the ring-1 coverage guarantee "
+        "cannot hold — use a smaller radius or a brute-force join"
+    )
 
 
 def nearest_site_within(

@@ -282,15 +282,18 @@ def osm_node_snapper(graph: RoadGraph, radius_m: float = 25_000.0):
     graph node via the Arrow cell-ring kNN kernel (knn.py) — the
     closed-form grid snap only exists for the synthetic grid.
 
-    ``radius_m`` must stay at or below the coarsest cell edge
-    (~111 km): past that, pick_res_for_radius floors at resolution 0,
-    the ring-1 coverage guarantee breaks AND every batch brute-forces
-    a (rows x all-nodes) distance matrix — the failure mode a planet
-    extract would hit. 25 km covers any realistic node spacing."""
-    if radius_m > 100_000.0:
+    ``radius_m`` must stay at or below the coarsest MINIMUM cell edge
+    (geo.cell_size_m(0), ~90.6 km): past that the ring-1 coverage
+    guarantee breaks AND every batch brute-forces a (rows x
+    all-nodes) distance matrix — the failure mode a planet extract
+    would hit. 25 km covers any realistic node spacing."""
+    from ..functions import geo as _geo
+
+    if radius_m > _geo.cell_size_m(0):
         raise ValueError(
-            "osm_node_snapper radius_m > 100 km defeats the cell-ring "
-            "index (resolution floors at 0); use a smaller snap radius"
+            f"osm_node_snapper radius_m > {_geo.cell_size_m(0):.0f} m "
+            "defeats the cell-ring index (no resolution covers the "
+            "radius); use a smaller snap radius"
         )
     from . import knn
 

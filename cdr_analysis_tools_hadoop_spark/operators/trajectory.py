@@ -272,9 +272,13 @@ def od_gravity(edges: DataFrame, towers: DataFrame) -> DataFrame:
             F.expr(
                 f"round(sqrt({d2}) * {geo.dlit(geo.M_PER_DEG)}, 3)"
             ).alias("dist_m"),
+            # the mass product runs in DOUBLE: the int64 m_o * m_d
+            # overflows past ~3e9 edges per zone pair of masses
+            # (ANSI crash in Spark 4, overflow error in DuckDB) —
+            # doubles lose only ulp precision inside the ln
             F.expr(
                 f"round(ln(cast(tcount as double) * ({d2}) "
-                "/ (m_o * m_d)), 6)"
+                "/ (cast(m_o as double) * cast(m_d as double))), 6)"
             ).alias("gravity_index"),
         )
     )

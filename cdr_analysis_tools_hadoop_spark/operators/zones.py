@@ -37,6 +37,13 @@ def nearest_site_struct(
     Ties on d2 break by zone_id ascending (struct comparison is
     lexicographic) — the oracle mirrors with ORDER BY d2, zone_id.
     """
+    if not sites:
+        # array_min(array()) of NullType fails ANALYSIS with an
+        # opaque error (the poi_reallocation guard documents the same
+        # trap); raise the situation instead
+        raise ValueError(
+            "nearest_site_struct needs a non-empty site layer"
+        )
     entries = [
         F.struct(
             F.expr(

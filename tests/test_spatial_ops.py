@@ -842,3 +842,22 @@ def test_multimodal_kernels_survive_degenerate_blobs(spark):
     assert sr2 == 8_000 and back.shape[0] == 0
     asig = multimodal.audio_signature(auds).collect()[0]
     assert asig.fingerprint == 0
+
+
+def test_knn_ring_covers_radius_in_longitude(spark):
+    """Ring-1 coverage must hold on the NARROW (longitude) cell axis:
+    with the old max-edge resolution pick, a site ~24.4 km west
+    (within a 25 km radius) landed at Chebyshev cell distance 2 and
+    was silently missed."""
+    probe = spark.createDataFrame(
+        [(1, 35.5, 139.500001)], "pid long, lat double, lon double"
+    )
+    # one site 0.27 deg west: haversine ~24.4 km <= 25 km
+    sites = np.array([[7.0, 35.5, 139.500001 - 0.27]])
+    got = knn.nearest_site_within(
+        probe, sites, radius_m=25_000.0
+    ).collect()[0]
+    d = geo.haversine_np([35.5], [139.500001], [35.5], [139.500001 - 0.27])[0]
+    assert d <= 25_000.0  # the scenario premise
+    assert got.site_id == 7
+    assert got.site_dist_m == pytest.approx(d, rel=1e-9)
