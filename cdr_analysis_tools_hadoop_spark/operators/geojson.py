@@ -51,11 +51,15 @@ def merge_stats(
 ) -> dict:
     """Merge an aggregate DataFrame into features[].properties by zone
     id (the fixed version of cdr_statistics.py:255-263). Small-result
-    collect; distributed work happened upstream."""
-    rows = {r[key]: r.asDict() for r in stats.collect()}
+    collect; distributed work happened upstream.
+
+    Keys compare as STRINGS on both sides: zones_to_geojson stores
+    int zone ids while pip_join/run_pipeline emit string ids, and a
+    raw ``in`` test between the two silently merged nothing."""
+    rows = {str(r[key]): r.asDict() for r in stats.collect()}
     out = json.loads(json.dumps(geojson))  # deep copy
     for feat in out["features"]:
-        zid = feat["properties"].get(key)
+        zid = str(feat["properties"].get(key))
         if zid in rows:
             extra = {k: v for k, v in rows[zid].items() if k != key}
             feat["properties"].update(extra)

@@ -94,6 +94,22 @@ def stat_enabled(mapping: list[dict], required: tuple[str, ...]) -> bool:
     return True
 
 
+def valid_coords_filter(
+    df: DataFrame, lat_col: str = "latitude", lon_col: str = "longitude"
+) -> DataFrame:
+    """P4: drop rows whose coordinates are unparseable or (0, 0).
+
+    try_cast: the canonical layer is all-string (reference SURVEY.md
+    §1.2); Hive compares via implicit double cast, ANSI Spark needs
+    it explicit (unparseable -> NULL -> dropped). ONE definition of
+    the validity rule, shared by preprocess and mapping_admin."""
+    lat = F.expr(f"try_cast({lat_col} AS double)")
+    lon = F.expr(f"try_cast({lon_col} AS double)")
+    return df.filter(
+        ((lat != 0) | (lon != 0)) & lat.isNotNull() & lon.isNotNull()
+    )
+
+
 def mapping_admin(
     towers: DataFrame, admin: str, filter_invalid_coords: bool = False
 ) -> DataFrame:
@@ -114,14 +130,7 @@ def mapping_admin(
 
     filtered = towers.filter(F.expr(f"translate({admin}, '  ', ' ') != ''"))
     if filter_invalid_coords:
-        # try_cast: the reference's all-string schema compares lat/lon
-        # numerically via Hive's implicit double cast; ANSI Spark needs
-        # the explicit try_cast (unparseable -> NULL -> dropped).
-        lat = F.expr("try_cast(latitude AS double)")
-        lon = F.expr("try_cast(longitude AS double)")
-        filtered = filtered.filter(
-            ((lat != 0) | (lon != 0)) & lat.isNotNull() & lon.isNotNull()
-        )
+        filtered = valid_coords_filter(filtered)
     distinct = filtered.select(admin, "latitude", "longitude").distinct()
     w = Window.orderBy(admin, "latitude", "longitude")
     return distinct.select(
@@ -145,14 +154,7 @@ def preprocess(
     if check_duplicate:
         out = out.distinct()
     if filter_invalid_coords:
-        # try_cast: the canonical layer is all-string (reference
-        # SURVEY.md §1.2); Hive compares via implicit double cast,
-        # ANSI Spark needs it explicit (unparseable -> NULL -> drop)
-        lat = F.expr(f"try_cast({lat_col} AS double)")
-        lon = F.expr(f"try_cast({lon_col} AS double)")
-        out = out.filter(
-            ((lat != 0) | (lon != 0)) & lat.isNotNull() & lon.isNotNull()
-        )
+        out = valid_coords_filter(out, lat_col, lon_col)
     return out
 
 

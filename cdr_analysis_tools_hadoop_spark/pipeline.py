@@ -35,6 +35,54 @@ from .functions import codec, geo
 from .operators import spatial_join
 from .sources import synthetic
 
+# PSNR >= 40 dB  <=>  MSE <= 255^2 * 1e-4  <=>  SSE <= gate*N
+_MSE_GATE = 255.0**2 * 1e-4
+# qnt4 round-trip residual: quantizing the low 2 bits to 2 leaves
+# (v & 3) - 2, so SSE is a 4-entry LUT sum
+_SQERR_LUT = np.array([4, 1, 0, 1], dtype=np.uint8)
+
+
+def _decode_and_gate(rb, want_luma: bool):
+    """The ONE decode + PSNR-gate block both Arrow kernels share
+    (decode_validate and the fused run_pipeline kernel previously
+    carried drifting copies): zero-copy offsets-buffer slicing of the
+    ``bytes`` column, codec decode, shape-grouped SSE gate, optional
+    mean luma. Returns (pix_list, ok_bool, mean_luma_or_None)."""
+    barr = rb.column(rb.schema.get_field_index("bytes"))
+    _validity, offbuf, databuf = barr.buffers()
+    # binary arrays carry int32 offsets; honor the slice offset
+    offs = np.frombuffer(offbuf, dtype=np.int32)[
+        barr.offset : barr.offset + len(barr) + 1
+    ]
+    data = memoryview(databuf)
+    pix_list = [
+        codec.decode(data[offs[i] : offs[i + 1]]) for i in range(len(barr))
+    ]
+    n = len(pix_list)
+    ok = np.empty(n, dtype=bool)
+    ml = np.empty(n) if want_luma else None
+    # vectorize across same-shaped images: one stacked numpy op per
+    # distinct (h, w, c) instead of per image (the channel count is
+    # part of the key — same-sized gray and RGB must not co-stack)
+    shapes = np.array(
+        [p.shape[0] << 24 | p.shape[1] << 8 | p.shape[2] for p in pix_list]
+    )
+    for s in np.unique(shapes):
+        idxs = np.nonzero(shapes == s)[0]
+        stack = np.stack([pix_list[i] for i in idxs])
+        k, h, w, c = stack.shape
+        if want_luma:
+            csum = stack.sum(axis=(1, 2), dtype=np.int64)
+            lw = (
+                np.array([0.299, 0.587, 0.114])
+                if c == 3
+                else np.full(c, 1.0 / c)
+            )
+            ml[idxs] = (csum @ lw) / (h * w)
+        sse = _SQERR_LUT[stack & 3].sum(axis=(1, 2, 3), dtype=np.int64)
+        ok[idxs] = sse <= _MSE_GATE * (h * w * c)
+    return pix_list, ok, ml
+
 
 def decode_validate(images: DataFrame) -> DataFrame:
     """Decode every blob, check the PSNR gate, keep (image_id, phash,
@@ -76,35 +124,8 @@ def decode_validate(images: DataFrame) -> DataFrame:
     def kernel(batches):
         import pyarrow as pa
 
-        lw = np.array([0.299, 0.587, 0.114])
-        # PSNR >= 40 dB  <=>  MSE <= 255^2 * 1e-4  <=>  SSE <= gate*N
-        mse_gate = 255.0**2 * 1e-4
-        sqerr_lut = np.array([4, 1, 0, 1], dtype=np.uint8)
         for rb in batches:
-            barr = rb.column(rb.schema.get_field_index("bytes"))
-            validity, offbuf, databuf = barr.buffers()
-            # binary arrays carry int32 offsets; honor the slice offset
-            offs = np.frombuffer(offbuf, dtype=np.int32)[
-                barr.offset : barr.offset + len(barr) + 1
-            ]
-            data = memoryview(databuf)
-            pix_list = [
-                codec.decode(data[offs[i] : offs[i + 1]]) for i in range(len(barr))
-            ]
-            n = len(pix_list)
-            ml = np.empty(n)
-            ok = np.empty(n, dtype=bool)
-            # vectorize across same-shaped images: one stacked numpy op
-            # per distinct (h, w) instead of per image
-            shapes = np.array([p.shape[0] << 16 | p.shape[1] for p in pix_list])
-            for s in np.unique(shapes):
-                idxs = np.nonzero(shapes == s)[0]
-                stack = np.stack([pix_list[i] for i in idxs])
-                k, h, w, c = stack.shape
-                csum = stack.sum(axis=(1, 2), dtype=np.int64)
-                ml[idxs] = (csum @ lw) / (h * w)
-                sse = sqerr_lut[stack & 3].sum(axis=(1, 2, 3), dtype=np.int64)
-                ok[idxs] = sse <= mse_gate * (h * w * c)
+            pix_list, ok, ml = _decode_and_gate(rb, want_luma=True)
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(0),  # image_id: same Arrow buffer, zero copy
@@ -128,11 +149,25 @@ def with_anchor(decoded: DataFrame) -> DataFrame:
     )
 
 
+def broadcast_polygon_index(spark: SparkSession, pip_res: int = 8):
+    """Build the tower-Voronoi PolygonIndex once and broadcast it;
+    returns (broadcast, zone id strings). Shared by run_pipeline and
+    its chunked resumable loop so the loop holds ONE broadcast."""
+    towers = synthetic.towers_np(25)
+    polys = list(
+        zip(towers[:, 0].astype(np.int64), synthetic.voronoi_polygons(towers))
+    )
+    index = spatial_join.PolygonIndex(polys, pip_res)
+    bc = spark.sparkContext.broadcast(index)
+    return bc, [str(p) for p in index.ids]
+
+
 def run_pipeline(
     spark: SparkSession,
     images: DataFrame,
     base_zoom: int = 14,
     pip_res: int = 8,
+    index_bc=None,
 ) -> DataFrame:
     """Full pipeline; returns the per-(zone, tile) aggregate frame.
 
@@ -154,12 +189,15 @@ def run_pipeline(
     production path for the full-table rollup. Both paths share the
     same kernels (codec.decode, PolygonIndex, assign_zone_np, *_np
     geo math), and tests assert fused == staged.
+
+    ``index_bc``: a prebuilt ``broadcast_polygon_index(...)`` result.
+    Loop callers (run_pipeline_resumable: one run_pipeline per chunk)
+    MUST pass it — rebuilding the tessellation and broadcasting a
+    fresh never-destroyed PolygonIndex per chunk accumulates one
+    broadcast copy per chunk in driver and executor memory for the
+    session lifetime.
     """
-    towers = synthetic.towers_np(25)
-    polys = list(zip(towers[:, 0].astype(np.int64), synthetic.voronoi_polygons(towers)))
-    index = spatial_join.PolygonIndex(polys, pip_res)
-    bc = spark.sparkContext.broadcast(index)
-    id_strs = [str(p) for p in index.ids]
+    bc, id_strs = index_bc or broadcast_polygon_index(spark, pip_res)
 
     out_schema = StructType(
         [
@@ -177,32 +215,14 @@ def run_pipeline(
     def kernel(batches):
         import pyarrow as pa
 
-        mse_gate = 255.0**2 * 1e-4
-        sqerr_lut = np.array([4, 1, 0, 1], dtype=np.uint8)
         idx = bc.value
         for rb in batches:
-            barr = rb.column(rb.schema.get_field_index("bytes"))
-            _, offbuf, databuf = barr.buffers()
-            offs = np.frombuffer(offbuf, dtype=np.int32)[
-                barr.offset : barr.offset + len(barr) + 1
-            ]
-            data = memoryview(databuf)
-            pix_list = [
-                codec.decode(data[offs[i] : offs[i + 1]]) for i in range(len(barr))
-            ]
-            n = len(pix_list)
-            ok = np.empty(n, dtype=np.int64)
-            shapes = np.array([p.shape[0] << 16 | p.shape[1] for p in pix_list])
-            for s in np.unique(shapes):
-                idxs = np.nonzero(shapes == s)[0]
-                stack = np.stack([pix_list[i] for i in idxs])
-                k, h, w, c = stack.shape
-                # only the PSNR gate feeds the rollup — mean_luma is
-                # column-pruned here exactly as Catalyst would prune it
-                # in the staged plan (decode_validate still computes it
-                # for consumers that select it)
-                sse = sqerr_lut[stack & 3].sum(axis=(1, 2, 3), dtype=np.int64)
-                ok[idxs] = sse <= mse_gate * (h * w * c)
+            # only the PSNR gate feeds the rollup — mean_luma is
+            # column-pruned (want_luma=False) exactly as Catalyst
+            # would prune it in the staged plan (decode_validate
+            # still computes it for consumers that select it)
+            _, ok_b, _ml = _decode_and_gate(rb, want_luma=False)
+            ok = ok_b.astype(np.int64)
             phash = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             lat = geo.anchor_lat_np(phash)
             lon = geo.anchor_lon_np(phash)
@@ -286,9 +306,17 @@ def run_pipeline_resumable(
         m["partition"]: m for m in manifest if m.get("status") == "committed"
     }
     if not done and os.path.isdir(out_path):
-        stray = [
-            e for e in os.listdir(out_path) if e != checkpoint.MANIFEST_NAME
-        ]
+        # entries this pipeline's own interrupted first-chunk write
+        # leaves behind (chunk dirs, Spark markers) are safe: the
+        # rerun dynamic-overwrites them. Anything ELSE is foreign
+        # data that resumable_result would silently sum in — refuse.
+        own = (
+            lambda e: e == checkpoint.MANIFEST_NAME
+            or e.startswith("chunk=")
+            or e.startswith("_")
+            or e.startswith(".")
+        )
+        stray = [e for e in os.listdir(out_path) if not own(e)]
         if stray:
             raise ValueError(
                 f"{out_path} holds data but no committed chunk manifest "
@@ -352,6 +380,8 @@ def run_pipeline_resumable(
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prior = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
+    # ONE polygon-index broadcast for all chunks (see run_pipeline)
+    shared_index = broadcast_polygon_index(spark, pip_res)
     try:
         for i in todo:
             if max_chunks is not None and summary["written"] >= max_chunks:
@@ -360,7 +390,11 @@ def run_pipeline_resumable(
             n_images = 0
             if assign[i]:
                 part = run_pipeline(
-                    spark, spark.read.parquet(*assign[i]), base_zoom, pip_res
+                    spark,
+                    spark.read.parquet(*assign[i]),
+                    base_zoom,
+                    pip_res,
+                    index_bc=shared_index,
                 ).withColumn("chunk", F.lit(i))
                 part.write.mode("overwrite").partitionBy("chunk").parquet(
                     out_path
@@ -393,6 +427,8 @@ def run_pipeline_resumable(
             summary["partitions"].append(f"chunk={i}")
     finally:
         spark.conf.set(conf_key, prior)
+        # the loop's broadcast is dead once the chunks are written
+        shared_index[0].unpersist()
     return summary
 
 

@@ -66,9 +66,14 @@ def lineage_fingerprint(df: DataFrame) -> str:
 
 
 def files_fingerprint(files: list[str]) -> str:
+    # NUL-separated: hashing the bare concatenation would let two
+    # DIFFERENT file lists collide whenever characters move across a
+    # path boundary (['/a/bc', '/d'] vs ['/a/b', 'c/d']) — defeating
+    # the changed-input guard this fingerprint exists for
     h = hashlib.sha256()
+    h.update(str(len(files)).encode())
     for fpath in files:
-        h.update(fpath.encode())
+        h.update(b"\0" + fpath.encode())
     return h.hexdigest()[:16]
 
 
@@ -129,9 +134,15 @@ def write_partitioned(
                 "pass allow_lineage_change=True to mix, or clear the manifest"
             )
 
+    # NULL partition values commit under Spark's own directory name
+    # for them, so they are resumable like any other partition (a bare
+    # isin() would silently drop NULL rows, and sorted() over a set
+    # containing None raises TypeError)
+    NULL_PART = "__HIVE_DEFAULT_PARTITION__"
     part_str = F.col(partition_col).cast("string")
     all_parts = {
-        r["p"] for r in df.select(part_str.alias("p")).distinct().collect()
+        NULL_PART if r["p"] is None else r["p"]
+        for r in df.select(part_str.alias("p")).distinct().collect()
     }
     todo = sorted(all_parts - done)
     summary = {
@@ -144,18 +155,42 @@ def write_partitioned(
     if not todo:
         return summary
 
-    subset = df.filter(part_str.isin(todo))
-    t0 = time.time()
-    subset.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    elapsed = time.time() - t0
+    cond = part_str.isin([p for p in todo if p != NULL_PART])
+    if NULL_PART in todo:
+        cond = cond | part_str.isNull()
+    subset = df.filter(cond)
+    spark = df.sparkSession
+    # dynamic overwrite is the whole safety story: under the STATIC
+    # default a resume would delete every committed partition (and
+    # the manifest) before writing just the todo subset — force it
+    # here instead of silently depending on session.py's conf
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prior_mode = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        t0 = time.time()
+        subset.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        elapsed = time.time() - t0
+    finally:
+        spark.conf.set(conf_key, prior_mode)
 
+    # per-partition metrics from the COMMITTED output, not a second
+    # execution of the upstream plan: the written parquet is the tiny
+    # (or at worst same-size) result, and partition pruning reads only
+    # the todo directories
+    out = spark.read.parquet(path)
+    out_part = F.col(partition_col).cast("string")
+    ocond = out_part.isin([p for p in todo if p != NULL_PART])
+    if NULL_PART in todo:
+        ocond = ocond | out_part.isNull()
     counts = {
-        r["p"]: r["n"]
-        for r in subset.groupBy(part_str.alias("p"))
+        (NULL_PART if r["p"] is None else r["p"]): r["n"]
+        for r in out.filter(ocond)
+        .groupBy(out_part.alias("p"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    app_id = df.sparkSession.sparkContext.applicationId
+    app_id = spark.sparkContext.applicationId
     total_rows = sum(counts.values())
     records = []
     for p in todo:

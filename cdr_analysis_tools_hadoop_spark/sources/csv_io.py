@@ -31,13 +31,19 @@ def read_csv_all_string(
 ) -> DataFrame:
     """S1/S2: scan one or many CSV files with a fixed all-string schema
     (the reference declares every raw column String — SURVEY.md §1.2;
-    typing happens in the projection layer, operators/prepare.py)."""
+    typing happens in the projection layer, operators/prepare.py).
+
+    Quote handling is DISABLED to match Hive TEXTFILE /
+    LazySimpleSerDe, which splits on the delimiter only: with Spark's
+    default '\"' quote a raw line ``1,\"a,b\",2`` would parse as three
+    columns where the reference sees four."""
     schema = StructType([StructField(c, StringType()) for c in columns])
     if isinstance(paths, str):
         paths = [paths]
     return (
         spark.read.option("sep", delimiter)
         .option("header", "true" if header else "false")
+        .option("quote", "")
         .schema(schema)
         .csv(paths)
     )
@@ -46,11 +52,18 @@ def read_csv_all_string(
 def export_tsv(df: DataFrame, path: str, header: bool = False) -> None:
     """S6: distributed TSV export (the reference's OD/GPS result sink;
     od_to_csv.sql:1-7). One file per partition, like Hive's local
-    directory insert; coalesce upstream if a single file is wanted."""
+    directory insert; coalesce upstream if a single file is wanted.
+
+    Quoting disabled (empty quote + emptyValue): Hive's INSERT
+    OVERWRITE LOCAL DIRECTORY never wraps fields, so Spark's default
+    quoting of fields containing tab/quote would diverge from the
+    reference's byte layout."""
     (
         df.write.mode("overwrite")
         .option("sep", "\t")
         .option("header", "true" if header else "false")
+        .option("quote", "")
+        .option("emptyValue", "")
         .csv(path)
     )
 
