@@ -490,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # duplicated ACROSS docs, complementing text_repetition's
     # within-doc loops
     q["cross_doc_spans"] = lambda s, d: textops.cross_doc_spans(_docs(s, d))
+    # NEW r5: exact substring dedup at a geometric span-length ladder
+    # (Lee et al. 2022 longest-duplicate-substring, distributed form)
+    q["substring_dedup"] = lambda s, d: textops.substring_dedup(_docs(s, d))
     q["domain_mixture"] = lambda s, d: textops.domain_mixture(_docs(s, d))
     # seeded weighted sampling without replacement (late r4,
     # past-window): Efraimidis-Spirakis exponential race keyed by the
@@ -725,162 +728,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 97 oracle-backed queries, so
-    # 47 oracle queries necessarily sit past the window each round.
-    # Rotation invariant (r3 verdict item 2): the window is
-    #   [9 rotating-in] + [always-in core] = 50,
-    # and the two 9-query rotation sets SWAP every round, so every
-    # oracle-backed query gets a fresh driver row at least every other
-    # round. Round 4 parity: SET_A (the A7 daily-grain / night-variant
-    # stats, rotated out in r3) leads; SET_B (the interpolation chain,
-    # driver-certified green in r3 on code unchanged since) rotates
-    # out. Any query whose SEMANTICS change in a round overrides the
-    # rotation and must be placed in-window that round — r4 adds
-    # simhash_near_dup (NEW: oracle row for the Hamming broadcast
-    # strategy), dataset_split / quota_sample_by_source /
-    # split_contamination (NEW r4 sampling + decontamination ops) and
-    # sequence_packing / pii_redaction (NEW late-r4 curation ops) and
-    # text_language_id (plan reworked late r4: zero-shuffle fold),
-    # displacing six core entries (ann_cosine_topk,
-    # ann_cosine_topk_lsh, ann_cosine_topk_ivf, knn_label_vote,
-    # text_token_stats, text_quality — all prior-round driver-green,
-    # unchanged; they rejoin the window with the r5 rotation swap)
-    # past the gate this round. Rows-only
-    # queries (pixel/PCM/frame codecs, graph routing, the adaptive
-    # BHTT histogram) stay past the window by design; their coverage
-    # lives in pytest exactness/recall tests.
+    # in insertion order; the contract has 99 oracle-backed queries, so
+    # ~49 oracle queries necessarily sit past the window each round.
+    # ROTATION INVARIANT (r3 verdict item 2, r4 verdict item 1): the
+    # union of any two consecutive windows covers every oracle-backed
+    # query — Window(r4) ∪ Window(r5) = all 99 — so every oracle query
+    # gets a fresh driver row at least every other round. Any query
+    # whose SEMANTICS change in a round overrides the rotation and
+    # must be placed in-window that round.
     #
-    # R5 WINDOW PLAN (pre-staged so the swap is mechanical and the
-    # two-round full-coverage invariant is checkable now): the r5
-    # head must be exactly the 47 oracle-backed queries past THIS
-    # round's window —
-    #   ann_cosine_topk, ann_cosine_topk_lsh, ann_cosine_topk_ivf,
-    #   knn_label_vote, text_token_stats, text_quality,
-    #   total_records, total_unique_uids, monthly_statistics,
-    #   summary_stats, total_unique_locations, total_days,
-    #   average_daily_admin1, zone_assignment, cell_counts_res8,
-    #   tile_pyramid_counts, tile_counts_z12, hmesh_pyramid_counts,
-    #   od_gravity, od_detail, radius_of_gyration, location_entropy,
-    #   user_displacement, co_presence, contact_pagerank,
-    #   motif_census, zone_hotspot_gi, morans_i, zone_lisa,
-    #   session_funnel, simhash_geo_near_dup, text_fingerprints,
-    #   weighted_sample, corpus_report, c4_line_filter,
-    #   nb_quality_filter, tfidf_keywords, token_length_quantiles,
-    #   stay_points, poi_reallocation, route_interpolation,
-    #   trip_segments, trip_24h_padding, trip_od_stay,
-    #   trip_od_stay_faithful, stay_point_clusters, gps_export,
-    #   cross_doc_spans
-    # (48 entries — cross_doc_spans is NEW post-window this round)
-    # — plus 2 repeated headline reps (od_matrix, dedup_minhash_lsh)
-    # = 50. Window(r4) ∪ Window(r5-plan) covers all 98 oracle-backed
-    # queries, so every oracle query gets a driver row in r4 or r5;
-    # any query whose semantics change in r5 still overrides the plan
-    # and takes an in-window slot.
-    rotate_in = [
-        # SET_A — r4 in-window (rotated out in r3, judge-green there)
-        "daily_cdrs",
-        "daily_unique_uids",
-        "daily_unique_locations",
-        "daily_average_cdrs",
-        "average_daily_by_type",
-        "daily_cdrs_by_call_type",
-        "daily_average_unique_locations",
-        "frequent_locations_wsum_night",
-        "frequent_locations_thresholded_night",
-        # SET_B — r4 out-of-window (driver-certified r3, unchanged):
-        # stay_points, poi_reallocation, route_interpolation,
-        # trip_segments, trip_24h_padding, trip_od_stay,
-        # trip_od_stay_faithful, gps_export, text_fingerprints
-    ]
-    head = rotate_in + [
-        # ---- always-in core (minus five one-round loans, below) ----
-        # core statistics
-        # (total_records, total_unique_uids, monthly_statistics,
-        # summary_stats, total_days — unchanged, driver-green
-        # r1+r2+r3 — loan their window rows this round to the five
-        # NEVER-driver-certified new r4 oracle queries listed after
-        # the dedup suite; they rejoin with the r5 rotation swap)
-        "data_statistics",
-        "corpus_curation",
-        "daily_statistics",
-        # (total_unique_locations — unchanged, driver-green
-        # r1+r2+r3 — loans its window row to mixture_resample;
-        # average_daily_admin1 likewise loans its row to
-        # ngram_perplexity this round)
-        "user_activity_histogram",
-        # spatial: zones / cells / tiles / knn
-        # (zone_assignment, cell_counts_res8, tile_counts_z12 —
-        # unchanged, driver-green r1+r2+r3 — yield their window rows
-        # to the three NEW temporal queries below this round; they
-        # rejoin with the r5 rotation swap)
-        "zone_population",
-        # (tile_pyramid_counts — unchanged, driver-green r1+r2+r3 —
-        # loans its window row to commute_matrix this round)
-        "average_daily_unique_sites",
-        "hmesh_counts_l4",
-        # (hmesh_pyramid_counts — unchanged, driver-green r3 — loans
-        # its window row to zone_raster_z13 this round)
-        "zone_raster_z13",
-        "knn_within_radius",
-        "knn_nearest_tower",
-        # frequent-locations chain
-        "frequent_locations",
-        "frequent_locations_wsum",
-        "frequent_locations_thresholded",
-        "user_home",
-        "commute_matrix",
-        "frequent_locations_night",
-        # trajectory / OD
-        "od_matrix",
-        "od_matrix_kanon",
-        # (od_detail — unchanged, driver-green r1+r2+r3 — loans its
-        # window row to od_matrix_kanon this round)
-        # temporal primitives (NEW late-r4 -> in-window)
-        "sessionize_events",
-        "asof_last_view",
-        "range_neighbor_counts",
-        # dedup suite
-        "dedup_exact",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_clusters",
-        "simhash_near_dup",  # NEW r4 semantics -> in-window this round
-        # similarity / ANN (near_dup banding re-derived in r3)
-        "embedding_near_dup",
-        # language_id plan reworked late r4 (zero-shuffle fold, same
-        # values) -> changed code must take a driver row this round
-        "text_language_id",
-        # sampling / split / decontamination (NEW r4 -> in-window)
-        "dataset_split",
-        "quota_sample_by_source",
-        "split_contamination",
-        "mixture_resample",
-        # packing + PII scrub (NEW late-r4 -> in-window, displacing
-        # the two prior-green unchanged ANN variants below)
-        "sequence_packing",
-        "pii_redaction",
-        # mid-r4 oracle-backed ops that have never had a driver row
-        # (NEW this round -> in-window, on the five loaned core slots)
-        "text_repetition",
-        "domain_mixture",
-        "vocab_ngram_counts",
-        "kmeans_refine_assign",
-        "bpe_pair_counts",
-        # bigram-LM perplexity (NEW late r4 -> in-window, on the
-        # loaned average_daily_admin1 slot — that core entry is
-        # unchanged and driver-green r1+r2+r3; it rejoins with the
-        # r5 rotation swap)
-        "ngram_perplexity",
-        # past the 50-gate this round: unchanged, driver-green in
-        # r1+r2+r3 (knn_label_vote, ann lsh/ivf variants r3); they
-        # rejoin the window with the r5 rotation swap
+    # ROUND 5 WINDOW = the exact complement of the r4 window: the 48
+    # oracle-backed queries with no r4 driver row (r4 verdict "Next
+    # round" item 1 lists them verbatim), plus substring_dedup (NEW
+    # r5: Lee et al. 2022 length-ladder exact substring dedup ->
+    # must take an in-window slot), plus one repeated headline rep
+    # (od_matrix) = 50. Every r4-window query is driver-green at r4
+    # on code unchanged since, so rotating all of them out loses no
+    # certification currency.
+    head = [
+        # --- totals / monthly / summary statistics (r1-r3 green) ---
+        "total_records",
+        "total_unique_uids",
+        "total_unique_locations",
+        "total_days",
+        "monthly_statistics",
+        "summary_stats",
+        "average_daily_admin1",
+        # --- spatial: zones / cells / tiles (r1-r3 green) ---
+        "zone_assignment",
+        "cell_counts_res8",
+        "tile_counts_z12",
+        "tile_pyramid_counts",
+        "hmesh_pyramid_counts",
+        # --- trajectory / OD ---
+        "od_detail",
+        "od_gravity",
+        # --- interpolation chain (r3 driver-green, unchanged) ---
+        "stay_points",
+        "trip_segments",
+        "trip_24h_padding",
+        "poi_reallocation",
+        "route_interpolation",
+        "trip_od_stay",
+        "trip_od_stay_faithful",
+        "gps_export",
+        # --- ANN / classification (r3 driver-green, unchanged) ---
         "ann_cosine_topk",
         "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
         "knn_label_vote",
+        # --- mobility indicators (late r4, never driver-certified) ---
+        "radius_of_gyration",
+        "location_entropy",
+        "user_displacement",
+        "co_presence",
+        "contact_pagerank",
+        "motif_census",
+        # --- zone spatial statistics (late r4, never certified) ---
+        "zone_hotspot_gi",
+        "morans_i",
+        "zone_lisa",
+        "stay_point_clusters",
+        # --- temporal / sessions ---
+        "session_funnel",
+        # --- geo-constrained near-dup (late r4) ---
+        "simhash_geo_near_dup",
+        # --- text / curation (late r4, never driver-certified) ---
         "text_token_stats",
         "text_quality",
+        "text_fingerprints",
+        "cross_doc_spans",
+        "weighted_sample",
+        "corpus_report",
+        "c4_line_filter",
+        "nb_quality_filter",
+        "tfidf_keywords",
+        "token_length_quantiles",
+        # --- NEW r5: exact substring dedup (in-window mandatory) ---
+        "substring_dedup",
+        # --- headline rep (keeps one hot-path query in every
+        # window so driver rows exist for the bench headline) ---
+        "od_matrix",
     ]
     ordered = {k: q[k] for k in head if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1251,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
     o["sequence_packing"] = packing.sequence_packing_oracle()
     o["text_repetition"] = textops.repetition_scores_oracle()
     o["cross_doc_spans"] = textops.cross_doc_spans_oracle()
+    o["substring_dedup"] = textops.substring_dedup_oracle()
     o["domain_mixture"] = textops.domain_mixture_oracle()
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
     o["tfidf_keywords"] = textops.tfidf_keywords_oracle()

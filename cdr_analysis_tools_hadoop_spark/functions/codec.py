@@ -227,3 +227,42 @@ def phash_ahash(pixels: np.ndarray, grid: int = 8) -> int:
     # the exact near-dup join (the pigeonhole guarantee only holds
     # for the stored value's distance)
     return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def dhash(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit difference-hash of decoded pixels (deterministic).
+
+    Downsamples the luma plane to grid x (grid+1) by box averaging,
+    then one bit per cell pair: left cell brighter than its right
+    neighbor (horizontal gradient sign). Complementary to
+    :func:`phash_ahash` (which thresholds on the global mean):
+    together they form the engine's 128-bit wide image fingerprint
+    (similarity.hamming_near_dup ``hash_col2`` path) — gradient
+    structure and luminance structure fail independently, so the
+    wide fingerprint carries the key bits the 64-bit banding caps
+    deny (r4 verdict item 2)."""
+    c = pixels.shape[2]
+    w_c = (
+        np.array([0.299, 0.587, 0.114]) if c == 3 else np.full(c, 1.0 / c)
+    )
+    luma = pixels.astype(np.float64) @ w_c
+    h, w = luma.shape
+    if h == 0 or w == 0:
+        return 0  # empty image: deterministic zero hash
+    gw = grid + 1
+    if h < grid or w < gw:
+        yi = np.minimum((np.arange(grid) * h) // grid, h - 1)
+        xi = np.minimum((np.arange(gw) * w) // gw, w - 1)
+        cells = luma[np.ix_(yi, xi)]
+    else:
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(gw + 1) * w) // gw
+        cells = np.empty((grid, gw))
+        for i in range(grid):
+            for j in range(gw):
+                cells[i, j] = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= 1 << 63 else val

@@ -91,6 +91,7 @@ def decode_features(images: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
             StructField("image_id", images.schema["image_id"].dataType),
             StructField("phash", LongType()),
             StructField("pixel_phash", LongType()),
+            StructField("pixel_dhash", LongType()),
             StructField("mean_luma", DoubleType()),
             StructField("qnt4_psnr", DoubleType()),
             StructField("psnr_ok", BooleanType()),
@@ -118,13 +119,16 @@ def decode_features(images: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
                     ps[idxs] = np.minimum(
                         10.0 * np.log10(255.0**2 * npix / sse), 1e9
                     )
+            pdh = np.empty(n, dtype=np.int64)
             for i, pix in enumerate(pix_list):
                 pph[i] = codec.phash_ahash(pix)
+                pdh[i] = codec.dhash(pix)
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(0),  # image_id: same Arrow buffer, zero copy
                     rb.column(1),  # phash
                     pa.array(pph, type=pa.int64()),
+                    pa.array(pdh, type=pa.int64()),
                     pa.array(ml, type=pa.float64()),
                     pa.array(ps, type=pa.float64()),
                     pa.array(ps >= 40.0, type=pa.bool_()),
@@ -132,8 +136,8 @@ def decode_features(images: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
                     *[rb.column(3 + i) for i in range(len(keep))],
                 ],
                 names=[
-                    "image_id", "phash", "pixel_phash", "mean_luma",
-                    "qnt4_psnr", "psnr_ok", *keep,
+                    "image_id", "phash", "pixel_phash", "pixel_dhash",
+                    "mean_luma", "qnt4_psnr", "psnr_ok", *keep,
                 ],
             )
 
@@ -584,6 +588,7 @@ def image_near_dup(
     n_hint: int | None = None,
     max_bucket: int | None = None,
     mode: str = "auto",
+    wide: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by pixel perceptual hash.
 
@@ -596,13 +601,26 @@ def image_near_dup(
     standard image-corpus dedup sweep: re-encodes, slight
     crops/jitter, and recolor variants land within a few hash bits of
     each other.
+
+    ``wide=True`` is the 100 TB / beyond-10^7-image form (r4 verdict
+    item 2): the fingerprint becomes the 128-bit pair
+    (pixel_phash ‖ pixel_dhash), both computed in the SAME fused
+    decode pass, and the distance is the summed two-word popcount. At
+    64 bits the banding caps pin composite keys at ~21 bits for
+    d<=6, so candidates grow ~N^2/2^21 past ~10^7 images; the wide
+    fingerprint restores ~log2(N) key bits and LINEAR candidates (see
+    similarity.hamming_near_dup). Semantics note: 128-bit d<=6 is a
+    stricter match criterion than 64-bit d<=6 — it is the intended
+    production setting, not a drop-in equivalence.
     """
     from . import similarity
 
-    feats = decode_features(images).select("image_id", "pixel_phash")
+    cols = ["image_id", "pixel_phash"] + (["pixel_dhash"] if wide else [])
+    feats = decode_features(images).select(*cols)
     return similarity.hamming_near_dup(
         feats, "image_id", "pixel_phash", max_hamming,
         n_hint=n_hint, max_bucket=max_bucket, mode=mode,
+        hash_col2="pixel_dhash" if wide else None,
     )
 
 

@@ -533,8 +533,29 @@ def cosine_topk_ivf_oracle(
 # Hamming-radius near-dup over 64-bit perceptual hashes
 
 
+def _band_bounds(k: int, nbits: int = 64) -> list[tuple[int, int, int]]:
+    """(word, lo_bit, hi_bit) for each of ``k`` contiguous bit bands
+    over an ``nbits``-wide fingerprint stored as int64 word(s). For
+    nbits=128 the bands are split per 64-bit word (word 0 gets
+    ceil(k/2)) so no band ever straddles a word boundary — the
+    pigeonhole argument is indifferent to WHERE the cuts fall, only
+    that there are exactly k of them."""
+    if nbits == 64:
+        return [(0, (i * 64) // k, ((i + 1) * 64) // k) for i in range(k)]
+    if nbits != 128:
+        raise ValueError("nbits must be 64 or 128")
+    k0 = (k + 1) // 2
+    k1 = k - k0
+    out = [(0, (i * 64) // k0, ((i + 1) * 64) // k0) for i in range(k0)]
+    out += [(1, (i * 64) // k1, ((i + 1) * 64) // k1) for i in range(k1)]
+    return out
+
+
 def hamming_banding(
-    max_hamming: int, n_hint: int | None, _warn: bool = True
+    max_hamming: int,
+    n_hint: int | None,
+    _warn: bool = True,
+    nbits: int = 64,
 ) -> tuple[int, int]:
     """Pick (k bands, combo size c = k - max_hamming) for an exact
     Hamming-radius join at corpus size ``n_hint``.
@@ -554,10 +575,13 @@ def hamming_banding(
     banding_for_corpus's refusal — and points at the grouped verify
     mode (mode='grouped' in hamming_near_dup), whose in-bucket
     vectorized verify tolerates ~4 orders of magnitude more bucket
-    occupancy than the join can."""
+    occupancy than the join can — OR at the 128-bit wide-fingerprint
+    path (``nbits=128``: two int64 words, e.g. phash‖ahash), which
+    doubles the worst-case combo width so the caps stop binding
+    until ~2^40 rows at d<=6."""
     d = max_hamming
-    if not 0 <= d <= 62:
-        raise ValueError("max_hamming must be in [0, 62]")
+    if not 0 <= d <= nbits - 2:
+        raise ValueError(f"max_hamming must be in [0, {nbits - 2}]")
     if not n_hint:
         return d + 1, 1
     import math
@@ -566,13 +590,11 @@ def hamming_banding(
     k = d + 1
     while True:
         c = k - d
-        widths = sorted(
-            ((i + 1) * 64) // k - (i * 64) // k for i in range(k)
-        )
+        widths = sorted(hi - lo for _, lo, hi in _band_bounds(k, nbits))
         bits = sum(widths[:c])  # worst-case (narrowest) combo
         if bits >= need:
             return k, c
-        if math.comb(k + 1, c + 1) > 1024 or k >= 32:
+        if math.comb(k + 1, c + 1) > 1024 or k >= nbits // 2:
             if _warn:
                 import warnings
 
@@ -607,14 +629,14 @@ _VERIFY_NS_PER_PAIR = 60.0
 
 
 def _verify_hamming_banding(
-    max_hamming: int, n_hint: int | None, row_ns: float
+    max_hamming: int, n_hint: int | None, row_ns: float, nbits: int = 64
 ) -> tuple[int, int]:
     """Cost-model banding shared by the grouped and broadcast verify
     strategies (see grouped_hamming_banding): minimize per input row
     C(k,c) * row_ns  +  C(k,c) * N / 2^bits * verify_ns."""
     d = max_hamming
-    if not 0 <= d <= 62:
-        raise ValueError("max_hamming must be in [0, 62]")
+    if not 0 <= d <= nbits - 2:
+        raise ValueError(f"max_hamming must be in [0, {nbits - 2}]")
     if not n_hint:
         return d + 1, 1
     import math
@@ -622,17 +644,15 @@ def _verify_hamming_banding(
     best, best_cost = None, None
     k = d + 1
     # k may exceed 32 when the radius itself does (d <= 62 is valid
-    # input): bands narrow to 1 bit at k = 64, the hard ceiling. The
-    # old `while k <= 32` returned None for d >= 32 and crashed the
-    # caller on an unpack.
-    while k <= 64:
+    # input): bands narrow to 1 bit at k = nbits, the hard ceiling.
+    # The old `while k <= 32` returned None for d >= 32 and crashed
+    # the caller on an unpack.
+    while k <= nbits:
         c = k - d
         m = math.comb(k, c)
         if m > 1024:
             break
-        widths = sorted(
-            ((i + 1) * 64) // k - (i * 64) // k for i in range(k)
-        )
+        widths = sorted(hi - lo for _, lo, hi in _band_bounds(k, nbits))
         bits = sum(widths[:c])  # worst-case (narrowest) combo
         pairs_per_row = m * n_hint / (1 << min(bits, 62))
         cost = m * row_ns + pairs_per_row * _VERIFY_NS_PER_PAIR
@@ -645,7 +665,7 @@ def _verify_hamming_banding(
 
 
 def grouped_hamming_banding(
-    max_hamming: int, n_hint: int | None
+    max_hamming: int, n_hint: int | None, nbits: int = 64
 ) -> tuple[int, int]:
     """Banding for the GROUPED (shuffled) verify — the permuted
     multi-table half of Manku/Jain/Das Sarma WWW'07: because
@@ -659,11 +679,13 @@ def grouped_hamming_banding(
     model: minimize  C(k,c) * shuffle_ns  +  C(k,c) * N / 2^bits *
     verify_ns  per row — the first term is the band-row exchange,
     the second the expected in-bucket popcount pairs."""
-    return _verify_hamming_banding(max_hamming, n_hint, _SHUFFLE_NS_PER_ROW)
+    return _verify_hamming_banding(
+        max_hamming, n_hint, _SHUFFLE_NS_PER_ROW, nbits
+    )
 
 
 def broadcast_hamming_banding(
-    max_hamming: int, n_hint: int | None
+    max_hamming: int, n_hint: int | None, nbits: int = 64
 ) -> tuple[int, int]:
     """Banding for the BROADCAST verify: the per-row cost is a share
     of a local argsort instead of an exchange, so the model affords
@@ -672,10 +694,14 @@ def broadcast_hamming_banding(
     with ~1-row expected bucket occupancy (8e7 verify pairs total) —
     measured 8 s on local[32] vs 56 s for the verify-heavy (8, 2)
     and 98 s for the exploded self-join."""
-    return _verify_hamming_banding(max_hamming, n_hint, _SORT_NS_PER_ROW)
+    return _verify_hamming_banding(
+        max_hamming, n_hint, _SORT_NS_PER_ROW, nbits
+    )
 
 
-def resolve_hamming_mode(max_hamming: int, n_hint: int | None) -> str:
+def resolve_hamming_mode(
+    max_hamming: int, n_hint: int | None, nbits: int = 64
+) -> str:
     """The 'auto' strategy rule for hamming_near_dup: stay on the
     combination equi-join while its key explosion is mild (< 16
     keys/row — small corpora or no size hint); past that, verify in
@@ -685,7 +711,7 @@ def resolve_hamming_mode(max_hamming: int, n_hint: int | None) -> str:
     shuffle-join selection."""
     import math
 
-    kj, cj = hamming_banding(max_hamming, n_hint, _warn=False)
+    kj, cj = hamming_banding(max_hamming, n_hint, _warn=False, nbits=nbits)
     if n_hint and math.comb(kj, cj) >= 16:
         return (
             "broadcast" if n_hint <= BROADCAST_VERIFY_MAX_ROWS else "grouped"
@@ -701,6 +727,7 @@ def hamming_near_dup(
     n_hint: int | None = None,
     max_bucket: int | None = None,
     mode: str = "auto",
+    hash_col2: str | None = None,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit ``hash_col`` values differ in at
     most ``max_hamming`` bits — EXACT, never all-pairs.
@@ -760,31 +787,51 @@ def hamming_near_dup(
 
     The multimodal near-dup ops (image/video) compose decode kernels
     with this; it works over any integer fingerprint column.
+
+    WIDE FINGERPRINTS (``hash_col2``): pass a second int64 column to
+    treat the pair as ONE 128-bit fingerprint (e.g. phash‖ahash) with
+    distance = popcount(xor word0) + popcount(xor word1). At 64 bits
+    the banding caps (1024 combos, k <= 32) pin worst-case composite
+    keys at ~21 bits for d <= 6, so past ~10^7 rows bucket occupancy
+    — and with it the verify — grows ~N^2/2^21 no matter the
+    strategy. 128 bits doubles the worst-case combo width at the same
+    k, so composite keys reach ~log2(N) bits out to ~2^40 rows and
+    candidates stay LINEAR in N. All three physical strategies accept
+    the wide form and remain exact.
     """
     import math
 
     if mode not in ("auto", "join", "grouped", "broadcast"):
         raise ValueError(f"unknown mode {mode!r}")
+    nbits = 128 if hash_col2 else 64
     if mode == "auto":
-        mode = resolve_hamming_mode(max_hamming, n_hint)
+        mode = resolve_hamming_mode(max_hamming, n_hint, nbits=nbits)
     if mode == "broadcast":
-        k, c = broadcast_hamming_banding(max_hamming, n_hint)
+        k, c = broadcast_hamming_banding(max_hamming, n_hint, nbits=nbits)
         return _broadcast_hamming_verify(
-            df, id_col, hash_col, max_hamming, k, c, max_bucket=max_bucket
+            df,
+            id_col,
+            hash_col,
+            max_hamming,
+            k,
+            c,
+            max_bucket=max_bucket,
+            hash_col2=hash_col2,
         )
     if mode == "grouped":
-        k, c = grouped_hamming_banding(max_hamming, n_hint)
+        k, c = grouped_hamming_banding(max_hamming, n_hint, nbits=nbits)
     else:
-        k, c = hamming_banding(max_hamming, n_hint)
-    band_arr = _hamming_key_structs(hash_col, k, c)
+        k, c = hamming_banding(max_hamming, n_hint, nbits=nbits)
+    band_arr = _hamming_key_structs(hash_col, k, c, hash_col2=hash_col2)
+    hcols = [hash_col] + ([hash_col2] if hash_col2 else [])
     if max_bucket:
         # the bucket census adds a second consumer of the band
         # lineage; materialize the NARROW (id, hash) frame once so an
         # expensive upstream (image decode) never runs twice
-        df = df.select(id_col, hash_col).localCheckpoint()
+        df = df.select(id_col, *hcols).localCheckpoint()
     bands = df.select(
-        F.col(id_col), F.col(hash_col), F.explode(band_arr).alias("bk")
-    ).select(id_col, hash_col, "bk.band", "bk.key")
+        F.col(id_col), *[F.col(h) for h in hcols], F.explode(band_arr).alias("bk")
+    ).select(id_col, *hcols, "bk.band", "bk.key")
     if max_bucket:
         hot = (
             bands.groupBy("band", "key")
@@ -798,7 +845,12 @@ def hamming_near_dup(
     if mode == "grouped":
         band_rows = (n_hint or 0) * math.comb(k, c)
         return _grouped_hamming_verify(
-            bands, id_col, hash_col, max_hamming, band_rows=band_rows
+            bands,
+            id_col,
+            hash_col,
+            max_hamming,
+            band_rows=band_rows,
+            hash_col2=hash_col2,
         )
     # merge hint: the band table behind a mapInArrow/range source
     # carries the SOURCE's size estimate (bytes, not rows), so the
@@ -817,7 +869,11 @@ def hamming_near_dup(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.expr(
-                f"cast(bit_count(a.{hash_col} ^ b.{hash_col}) as int)"
+                "cast("
+                + " + ".join(
+                    f"bit_count(a.{h} ^ b.{h})" for h in hcols
+                )
+                + " as int)"
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -825,32 +881,48 @@ def hamming_near_dup(
     )
 
 
-def _hamming_key_structs(hash_col: str, k: int, c: int) -> F.Column:
-    """array<struct<band, key>> of the C(k, c) combination keys for
-    one 64-bit hash column (see hamming_banding /
+def _hamming_key_structs(
+    hash_col: str, k: int, c: int, hash_col2: str | None = None
+) -> F.Column:
+    """array<struct<band, key>> of the C(k, c) combination keys for a
+    64-bit hash column — or a 128-bit fingerprint stored as the pair
+    (``hash_col``, ``hash_col2``) — (see hamming_banding /
     grouped_hamming_banding for the (k, c) choice). Shared by the
-    image (flat) and video (per-slot) near-dup joins."""
+    image (flat) and video (per-slot) near-dup joins.
+
+    Combos whose combined width exceeds 63 bits (reachable only on
+    the wide path) compose via ``xxhash64`` over the band values
+    instead of bit-packing: equal bands still hash equal, so recall
+    stays 100%; a hash collision only merges two buckets and costs a
+    few extra exactly-verified candidates."""
     import itertools
 
-    bounds = [(i * 64) // k for i in range(k + 1)]
+    nbits = 128 if hash_col2 else 64
+    bounds = _band_bounds(k, nbits)
+    words = (hash_col, hash_col2)
 
     def band(i: int) -> str:
-        width = bounds[i + 1] - bounds[i]
-        if width == 64:  # max_hamming=0: exact join on the full hash
-            return f"({hash_col})"
+        word, lo, hi = bounds[i]
+        width = hi - lo
+        col = words[word]
+        if width == 64:  # max_hamming=0: exact join on the full word
+            return f"({col})"
         return (
-            f"(shiftrightunsigned({hash_col}, {bounds[i]}) & "
-            f"{(1 << width) - 1})"
+            f"(shiftrightunsigned({col}, {lo}) & {(1 << width) - 1})"
         )
 
     structs = []
     for ci, combo in enumerate(itertools.combinations(range(k), c)):
-        assert len(combo) == 1 or (
-            sum(bounds[i + 1] - bounds[i] for i in combo) <= 63
-        )
-        expr = band(combo[0])
-        for i in combo[1:]:
-            expr = f"(({expr}) << {bounds[i + 1] - bounds[i]} | {band(i)})"
+        width_sum = sum(bounds[i][2] - bounds[i][1] for i in combo)
+        if len(combo) > 1 and width_sum > 63:
+            expr = f"xxhash64({', '.join(band(i) for i in combo)})"
+        else:
+            expr = band(combo[0])
+            for i in combo[1:]:
+                expr = (
+                    f"(({expr}) << {bounds[i][2] - bounds[i][1]}"
+                    f" | {band(i)})"
+                )
         structs.append(
             F.struct(F.lit(ci).alias("band"), F.expr(expr).alias("key"))
         )
@@ -872,12 +944,22 @@ def _out_schema_for(id_dtype):
 
 
 def _emit_run_pairs(
-    ids, hs, band, key, d, id_arrow, max_bucket=None, pair_chunk=1 << 22
+    ids,
+    hs,
+    band,
+    key,
+    d,
+    id_arrow,
+    max_bucket=None,
+    pair_chunk=1 << 22,
+    hs2=None,
 ):
     """Yield Arrow batches of all in-radius pairs among contiguous
     equal-(band, key) RUNS of the given sorted arrays — the verify
     kernel shared by the grouped (shuffled) and broadcast physical
-    strategies of hamming_near_dup.
+    strategies of hamming_near_dup. ``hs2`` is the second word of a
+    128-bit fingerprint (wide path): the distance becomes
+    popcount(xor word0) + popcount(xor word1).
 
     Pair enumeration is fully index-based (cumsum run-length decode,
     no np.repeat of O(pairs) temporaries) and every hot array is a
@@ -920,11 +1002,32 @@ def _emit_run_pairs(
     bx = np.empty(cap, np.uint64)     # xor / popcount accumulator
     bt = np.empty(cap, np.uint64)     # popcount scratch
     bm = np.empty(cap, np.bool_)      # radius mask
+    if hs2 is not None:  # wide path: second-word scratch pair
+        bx2 = np.empty(cap, np.uint64)
+        bt2 = np.empty(cap, np.uint64)
     iota = np.arange(cap, dtype=np.int64)
     m1 = np.uint64(0x5555555555555555)
     m2 = np.uint64(0x3333333333333333)
     m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
     h01 = np.uint64(0x0101010101010101)
+
+    def _xor_popcount(src, ii, jj, x, t):
+        """x <- popcount(src[ii] ^ src[jj]) (SWAR, allocation-free)."""
+        np.take(src, ii, out=x)
+        np.take(src, jj, out=t)
+        np.bitwise_xor(x, t, out=x)
+        np.right_shift(x, np.uint64(1), out=t)
+        np.bitwise_and(t, m1, out=t)
+        np.subtract(x, t, out=x)
+        np.right_shift(x, np.uint64(2), out=t)
+        np.bitwise_and(t, m2, out=t)
+        np.bitwise_and(x, m2, out=x)
+        np.add(x, t, out=x)
+        np.right_shift(x, np.uint64(4), out=t)
+        np.add(x, t, out=x)
+        np.bitwise_and(x, m4, out=x)
+        np.multiply(x, h01, out=x)
+        np.right_shift(x, np.uint64(56), out=x)
     for a, b in zip(bounds[:-1], bounds[1:]):
         cnt = counts[a:b]
         tp = int(cnt.sum())
@@ -947,22 +1050,12 @@ def _emit_run_pairs(
         np.subtract(jj, t3, out=jj)
         np.add(jj, ii, out=jj)
         jj += 1
-        # xor + popcount (SWAR), all in the two uint64 buffers
-        np.take(hs, ii, out=x)
-        np.take(hs, jj, out=t)
-        np.bitwise_xor(x, t, out=x)
-        np.right_shift(x, np.uint64(1), out=t)
-        np.bitwise_and(t, m1, out=t)
-        np.subtract(x, t, out=x)
-        np.right_shift(x, np.uint64(2), out=t)
-        np.bitwise_and(t, m2, out=t)
-        np.bitwise_and(x, m2, out=x)
-        np.add(x, t, out=x)
-        np.right_shift(x, np.uint64(4), out=t)
-        np.add(x, t, out=x)
-        np.bitwise_and(x, m4, out=x)
-        np.multiply(x, h01, out=x)
-        np.right_shift(x, np.uint64(56), out=x)
+        # xor + popcount (SWAR), all in the preallocated buffers
+        _xor_popcount(hs, ii, jj, x, t)
+        if hs2 is not None:
+            x2, t2 = bx2[:tp], bt2[:tp]
+            _xor_popcount(hs2, ii, jj, x2, t2)
+            np.add(x, x2, out=x)
         np.less_equal(x, np.uint64(d), out=msk)
         if not msk.any():
             continue
@@ -989,6 +1082,7 @@ def _grouped_hamming_verify(
     max_hamming: int,
     band_rows: int = 0,
     pair_chunk: int = 1 << 22,
+    hash_col2: str | None = None,
 ) -> DataFrame:
     """The grouped (multi-table) SHUFFLED strategy for the exact
     Hamming join — the 100 TB path: hash-partition the band rows by
@@ -1045,10 +1139,19 @@ def _grouped_hamming_verify(
             .astype(np.int64)
             .view(np.uint64)
         )
+        hs2 = None
+        if hash_col2 is not None:
+            hs2 = (
+                tbl.column(hash_col2)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
         band = tbl.column("band").to_numpy(zero_copy_only=False)
         key = tbl.column("key").to_numpy(zero_copy_only=False)
         yield from _emit_run_pairs(
-            ids, hs, band, key, d, id_arrow, pair_chunk=pair_chunk
+            ids, hs, band, key, d, id_arrow, pair_chunk=pair_chunk,
+            hs2=hs2,
         )
 
     return part.mapInArrow(stream, schema=out_schema).distinct()
@@ -1070,6 +1173,7 @@ def _broadcast_hamming_verify(
     c: int,
     max_bucket: int | None = None,
     pair_chunk: int = 1 << 22,
+    hash_col2: str | None = None,
 ) -> DataFrame:
     """The BROADCAST strategy for the exact Hamming join — the small-
     corpus fast path, selected exactly like Spark selects a broadcast
@@ -1093,40 +1197,58 @@ def _broadcast_hamming_verify(
     d = int(max_hamming)
     id_dtype = df.schema[id_col].dataType
     out_schema = _out_schema_for(id_dtype)
-    tbl = df.select(id_col, hash_col).toArrow()
+    cols = [id_col, hash_col] + ([hash_col2] if hash_col2 else [])
+    tbl = df.select(*cols).toArrow()
     id_arrow_t = tbl.column(id_col).type
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     if pa.types.is_integer(id_arrow_t):
         ids = ids.astype(np.int64)
-    hs = (
-        tbl.column(hash_col)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-        .view(np.uint64)
-    )
-    bc = spark.sparkContext.broadcast((ids, hs))
-    bounds = [(i * 64) // k for i in range(k + 1)]
+
+    def _word(col):
+        return (
+            tbl.column(col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+
+    hs = _word(hash_col)
+    hs2 = _word(hash_col2) if hash_col2 else None
+    bc = spark.sparkContext.broadcast((ids, hs, hs2))
+    nbits = 128 if hash_col2 else 64
+    bounds = _band_bounds(k, nbits)
     combos = list(itertools.combinations(range(k), c))
 
     def kernel(batches):
-        ids_b, hs_b = bc.value
-        n = len(hs_b)
+        ids_b, hs_b, hs2_b = bc.value
+        words = (hs_b, hs2_b)
+
+        def band_vals(i):
+            word, lo, hi = bounds[i]
+            w = hi - lo
+            mask = np.uint64((1 << w) - 1 if w < 64 else 0xFFFFFFFFFFFFFFFF)
+            return (words[word] >> np.uint64(lo)) & mask
+
         for rb in batches:
             for ci in rb.column(0).to_pylist():
                 combo = combos[int(ci)]
-                # compose this combo's key for every row (same bit
-                # layout as _hamming_key_structs, vectorized)
-                keyv = (hs_b >> np.uint64(bounds[combo[0]])) & np.uint64(
-                    (1 << (bounds[combo[0] + 1] - bounds[combo[0]])) - 1
-                    if bounds[combo[0] + 1] - bounds[combo[0]] < 64
-                    else 0xFFFFFFFFFFFFFFFF
-                )
-                for i in combo[1:]:
-                    w = bounds[i + 1] - bounds[i]
-                    keyv = (keyv << np.uint64(w)) | (
-                        (hs_b >> np.uint64(bounds[i]))
-                        & np.uint64((1 << w) - 1)
-                    )
+                width_sum = sum(bounds[i][2] - bounds[i][1] for i in combo)
+                # compose this combo's key for every row: bit-packed
+                # (same layout as _hamming_key_structs) while it fits
+                # one word; FNV-combined beyond (equal bands still
+                # make equal keys — a collision only merges buckets,
+                # and every candidate is exactly verified)
+                keyv = band_vals(combo[0])
+                if width_sum <= 63:
+                    for i in combo[1:]:
+                        w = bounds[i][2] - bounds[i][1]
+                        keyv = (keyv << np.uint64(w)) | band_vals(i)
+                else:
+                    fnv = np.uint64(1099511628211)
+                    keyv = keyv.copy()
+                    for i in combo[1:]:
+                        keyv *= fnv
+                        keyv ^= band_vals(i)
                 order = np.argsort(keyv, kind="stable")
                 yield from _emit_run_pairs(
                     ids_b[order],
@@ -1137,6 +1259,7 @@ def _broadcast_hamming_verify(
                     id_arrow_t,
                     max_bucket=max_bucket,
                     pair_chunk=pair_chunk,
+                    hs2=None if hs2_b is None else hs2_b[order],
                 )
 
     driver = spark.range(0, len(combos), 1, len(combos))

@@ -557,6 +557,153 @@ def cross_doc_spans_oracle(
 
 
 # ---------------------------------------------------------------------------
+# 7b. exact substring dedup (length ladder)
+
+#: Geometric span-length ladder for substring dedup. Any duplicated
+#: substring of >= 8 tokens contains, at every offset, a duplicated
+#: span at the largest ladder level <= its length, so the max level
+#: with a cross-corpus hit brackets the TRUE longest duplicated
+#: substring within one ladder step: longest_dup_len <= true < the
+#: next level (or < 8 tokens when longest_dup_len = 0).
+SUBSTRING_LADDER = (8, 16, 32, 64)
+
+
+def substring_dedup(
+    docs: DataFrame, ladder: tuple[int, ...] = SUBSTRING_LADDER
+) -> DataFrame:
+    """Exact substring dedup at variable span lengths — the
+    distributed form of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") longest-duplicate-substring
+    analysis. The reference's suffix-array pass is inherently
+    single-machine; the scalable rewrite is a geometric LENGTH LADDER
+    of exact span tables (see ``SUBSTRING_LADDER``): one row per doc
+    with the base-level cross-duplication mass plus
+    ``longest_dup_len``, the largest ladder length at which the doc
+    still shares a verbatim token span with >= 1 OTHER document —
+    a 2-approximation bracket of its longest duplicated substring.
+
+    Output: ``doc_id``, ``n_spans`` / ``n_cross_dup`` /
+    ``cross_dup_ppm`` (at the base ladder length, integer ppm so the
+    oracle hash is FP-free), ``longest_dup_len`` (0 when the doc
+    shares no span at any level). One row per doc with >= ladder[0]
+    tokens.
+
+    Scale shape (generalizes :func:`cross_doc_spans` to the ladder in
+    ONE corpus scan): tokenize once -> per-level shingle arrays in a
+    single projection -> double explode to (doc_id, w, span) -> hash
+    each span to a 60-bit int64 BEFORE the shuffle (8-byte keys
+    instead of up-to-64-token strings; both engines share
+    ``md5_int_sql`` so the oracle hash is exact) -> (w, h, doc_id)
+    pre-aggregate (map-side partials absorb in-doc repetition) ->
+    (w, h) doc-frequency aggregate filtered to df >= 2 -> ONE
+    left-outer equi-join back -> (doc_id, w) rollup -> |docs|-row
+    doc_id rollup. Hot boilerplate spans absorb in map-side partials
+    on the df side and AQE skew-split on the join side; the final
+    rollups key on doc_id (unique, no skew). Total cost: one scan,
+    ~|ladder| x corpus span rows through one exchange pair — the
+    suffix-array alternative would need a corpus-order global sort.
+    """
+    from ..plans.partitioning import spread
+
+    tok = th.tokens_sql("text", "spark")
+    levels = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({w} as w, {th.shingles_sql(tok, w, 'spark')} as sp)"
+            for w in ladder
+        )
+        + ")"
+    )
+    sh = (
+        spread(docs)
+        .select("doc_id", F.explode(levels).alias("l"))
+        .select("doc_id", "l.w", F.explode("l.sp").alias("s"))
+        .select(
+            "doc_id", "w", F.expr(th.md5_int_sql("s", "spark")).alias("h")
+        )
+    )
+    per = sh.groupBy("w", "h", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cd = (
+        per.groupBy("w", "h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("w", "h", F.lit(1).alias("is_dup"))
+    )
+    base = ladder[0]
+    perlvl = (
+        per.join(cd, ["w", "h"], "left")
+        .groupBy("doc_id", "w")
+        .agg(
+            F.sum("n").alias("n_spans"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n")).otherwise(0)
+            ).alias("n_dup"),
+        )
+    )
+    return (
+        perlvl.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("w") == base, F.col("n_spans"))).alias(
+                "n_spans"
+            ),
+            F.sum(F.when(F.col("w") == base, F.col("n_dup"))).alias(
+                "n_cross_dup"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("n_dup") > 0, F.col("w"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("longest_dup_len"),
+        )
+        .filter(F.col("n_spans").isNotNull())
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_cross_dup",
+            F.expr("n_cross_dup * 1000000 div n_spans").alias(
+                "cross_dup_ppm"
+            ),
+            "longest_dup_len",
+        )
+    )
+
+
+def substring_dedup_oracle(
+    view: str = "documents", ladder: tuple[int, ...] = SUBSTRING_LADDER
+) -> str:
+    tok = th.tokens_sql("text", "duckdb")
+    sh_union = " UNION ALL ".join(
+        f"SELECT doc_id, {w} AS w, "
+        f"unnest({th.shingles_sql(tok, w, 'duckdb')}) AS s FROM {view}"
+        for w in ladder
+    )
+    h = th.md5_int_sql("s", "duckdb")
+    base = ladder[0]
+    return (
+        f"WITH sh0 AS ({sh_union}), "
+        f"sh AS (SELECT doc_id, w, {h} AS h FROM sh0), "
+        "per AS (SELECT w, h, doc_id, count(*) AS n FROM sh GROUP BY 1,2,3), "
+        "cd AS (SELECT w, h FROM per GROUP BY w, h HAVING count(*) >= 2), "
+        "perlvl AS (SELECT per.doc_id, per.w, "
+        "CAST(sum(per.n) AS BIGINT) AS n_spans, "
+        "CAST(sum(CASE WHEN cd.h IS NOT NULL THEN per.n ELSE 0 END) "
+        "AS BIGINT) AS n_dup FROM per LEFT JOIN cd "
+        "ON per.w = cd.w AND per.h = cd.h GROUP BY 1, 2) "
+        "SELECT doc_id, "
+        f"CAST(sum(n_spans) FILTER (WHERE w = {base}) AS BIGINT) AS n_spans, "
+        f"CAST(sum(n_dup) FILTER (WHERE w = {base}) AS BIGINT)"
+        " AS n_cross_dup, "
+        f"CAST(sum(n_dup) FILTER (WHERE w = {base}) * 1000000 "
+        f"// sum(n_spans) FILTER (WHERE w = {base}) AS BIGINT)"
+        " AS cross_dup_ppm, "
+        "CAST(coalesce(max(w) FILTER (WHERE n_dup > 0), 0) AS BIGINT) "
+        "AS longest_dup_len "
+        "FROM perlvl GROUP BY doc_id "
+        f"HAVING sum(n_spans) FILTER (WHERE w = {base}) IS NOT NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
 # 8. domain mixture weights
 
 
@@ -895,7 +1042,10 @@ def _token_pairs_sql(tok: str, dialect: str) -> str:
 
 
 def ngram_perplexity(
-    docs: DataFrame, train: DataFrame | None = None, min_count: int = 1
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    min_count: int = 1,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document cross-entropy / perplexity under a bigram LM with
     add-1 smoothing, trained on ``train`` (default: the scored corpus
@@ -929,12 +1079,35 @@ def ngram_perplexity(
     rows, while the pruned one stays a broadcastable dimension; T and
     V always come from the unpruned unigram counts, so pruning only
     coarsens tail probabilities, deterministically in both engines.
+
+    ``materialize=True`` is the 100 TB shape for the self-trained
+    case: the tokenized (doc_id, tokens) table is localCheckpointed
+    ONCE and all four lineages (unigram counts, bigram counts, the
+    first-token stream, the bigram stream) read the materialized
+    blocks — the executed plan shows a single corpus scan +
+    tokenization with ExistingRDD reuse, instead of four full
+    scans + four tokenization passes. Output is bit-identical; the
+    only trade is cluster storage for one narrow tokenized copy
+    (spill-to-disk backed), which at 100 TB is strictly cheaper than
+    three extra corpus scans.
     """
     train = docs if train is None else train
+    self_trained = train is docs
     tok = th.tokens_sql("text", "spark")
     pairs = _token_pairs_sql("t", "spark")
 
-    ttk = train.select(F.expr(tok).alias("t"))
+    if materialize:
+        dtk_mat = docs.select("doc_id", F.expr(tok).alias("t"))
+        dtk_mat = dtk_mat.localCheckpoint(eager=True)
+        ttk = (
+            dtk_mat.select("t")
+            if self_trained
+            else train.select(F.expr(tok).alias("t")).localCheckpoint(
+                eager=True
+            )
+        )
+    else:
+        ttk = train.select(F.expr(tok).alias("t"))
     uni = (
         ttk.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -952,7 +1125,11 @@ def ngram_perplexity(
         F.sum("c1").alias("tot_t"), F.count(F.lit(1)).alias("tot_v")
     )
 
-    dtk = docs.select("doc_id", F.expr(tok).alias("t"))
+    dtk = (
+        dtk_mat
+        if materialize
+        else docs.select("doc_id", F.expr(tok).alias("t"))
+    )
     firsts = (
         dtk.select(
             "doc_id",

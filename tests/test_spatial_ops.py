@@ -861,3 +861,54 @@ def test_knn_ring_covers_radius_in_longitude(spark):
     assert d <= 25_000.0  # the scenario premise
     assert got.site_id == 7
     assert got.site_dist_m == pytest.approx(d, rel=1e-9)
+
+
+def test_image_near_dup_wide_exact(spark):
+    """wide=True (128-bit pixel_phash ‖ pixel_dhash) == brute-force
+    summed two-word popcount, and every distance-0 seeded duplicate
+    pair survives the stricter criterion."""
+    from cdr_analysis_tools_hadoop_spark.operators import multimodal
+
+    imgs = synthetic.images_df(spark, 300, partitions=4, dup_every=5)
+    feats = {
+        r.image_id: (r.pixel_phash, r.pixel_dhash)
+        for r in multimodal.decode_features(imgs).collect()
+    }
+    ids = sorted(feats)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            (a1, a2), (b1, b2) = feats[ids[i]], feats[ids[j]]
+            d = bin((a1 ^ b1) & (2**64 - 1)).count("1") + bin(
+                (a2 ^ b2) & (2**64 - 1)
+            ).count("1")
+            if d <= 6:
+                want.add((ids[i], ids[j], d))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.image_near_dup(
+            imgs, n_hint=100_000, wide=True
+        ).collect()
+    }
+    assert got == want
+    assert any(d == 0 for _, _, d in got)  # exact dup_every copies
+
+
+def test_dhash_deterministic_and_gradient_sensitive(spark):
+    """dhash is deterministic, distinct from phash_ahash, and flips
+    bits under a horizontal gradient reversal while a constant-offset
+    brightness change leaves it untouched (gradient-sign semantics)."""
+    import numpy as np
+
+    from cdr_analysis_tools_hadoop_spark.functions import codec
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, size=(32, 48, 3)).astype(np.uint8)
+    assert codec.dhash(img) == codec.dhash(img.copy())
+    # brightness offset (clipped-free range) preserves gradient signs
+    assert codec.dhash((img // 2) + 10) == codec.dhash(img // 2)
+    # mirrored image reverses horizontal gradients -> different hash
+    assert codec.dhash(img) != codec.dhash(img[:, ::-1])
+    # tiny/empty images are deterministic, not NaN-collapsed
+    assert codec.dhash(img[:2, :3]) == codec.dhash(img[:2, :3])
+    assert codec.dhash(np.zeros((0, 0, 3), dtype=np.uint8)) == 0

@@ -613,3 +613,170 @@ def test_nb_quality_null_text_gets_a_verdict(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[2].n_tokens == 1  # the single empty token
     assert rows[2].log_odds is not None
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (Lee et al. 2022 length-ladder form)
+
+
+def _bruteforce_substring_dedup(rows, ladder=(8, 16, 32, 64)):
+    """Independent Python recompute of the ladder semantics: per
+    (doc, level) span positions, cross-corpus df >= 2, base-level ppm
+    and the max level with a cross-duplicate span."""
+    toks = {d: t.split(" ") for d, t in rows}
+    per = {}  # (w, span) -> {doc: positions}
+    for w in ladder:
+        for d, tk in toks.items():
+            for i in range(len(tk) - w + 1):
+                s = " ".join(tk[i : i + w])
+                per.setdefault((w, s), {}).setdefault(d, 0)
+                per[(w, s)][d] += 1
+    out = {}
+    base = ladder[0]
+    for d, tk in toks.items():
+        if len(tk) < base:
+            continue
+        n_spans = len(tk) - base + 1
+        n_dup = sum(
+            c
+            for (w, s), docs in per.items()
+            if w == base and d in docs and len(docs) >= 2
+            for dd, c in docs.items()
+            if dd == d
+        )
+        longest = 0
+        for w in ladder:
+            if any(
+                d in docs and len(docs) >= 2
+                for (ww, s), docs in per.items()
+                if ww == w
+            ):
+                longest = max(longest, w)
+        out[d] = (n_spans, n_dup, n_dup * 1_000_000 // n_spans, longest)
+    return out
+
+
+def test_substring_dedup_planted_variable_lengths(spark):
+    """Planted duplicate substrings of 8/20/40/70 tokens must land in
+    the right ladder bracket: longest_dup_len = the largest ladder
+    level <= the planted length."""
+    def run(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    shared8, shared20 = run(8, "a"), run(20, "b")
+    shared40, shared70 = run(40, "c"), run(70, "d")
+    docs = [
+        (1, f"{shared8} {run(12, 'u')}"),
+        (2, f"{shared8} {run(12, 'v')}"),
+        (3, f"{shared20} {run(12, 'w')}"),
+        (4, f"{shared20} {run(12, 'x')}"),
+        (5, f"{shared40} {run(12, 'y')}"),
+        (6, f"{shared40} {run(12, 'z')}"),
+        (7, f"{shared70} {run(12, 'p')}"),
+        (8, f"{shared70} {run(12, 'q')}"),
+        (9, run(30, "solo")),
+        (10, "short text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.substring_dedup(df).collect()}
+    assert 10 not in out  # < 8 tokens: no row
+    assert out[1].longest_dup_len == 8 and out[2].longest_dup_len == 8
+    assert out[3].longest_dup_len == 16 and out[4].longest_dup_len == 16
+    assert out[5].longest_dup_len == 32 and out[6].longest_dup_len == 32
+    assert out[7].longest_dup_len == 64 and out[8].longest_dup_len == 64
+    assert out[9].longest_dup_len == 0 and out[9].n_cross_dup == 0
+    # base-level mass: doc 1 has 13 positions, exactly 1 duplicated
+    assert out[1].n_spans == 13 and out[1].n_cross_dup == 1
+    for r in out.values():
+        assert r.cross_dup_ppm == r.n_cross_dup * 1_000_000 // r.n_spans
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """Seeded random corpus with planted shared runs of many lengths;
+    every output row must equal the independent Python recompute."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    shared = {
+        ln: " ".join(rng.choice(vocab) + f"s{ln}k{j}" for j in range(ln))
+        for ln in (8, 11, 16, 23, 33, 64, 90)
+    }
+    rows = []
+    for d in range(24):
+        body = [rng.choice(vocab) + f"d{d}i{i}" for i in range(rng.randint(4, 40))]
+        if d % 3 != 2:  # two of every three docs get a planted run
+            ln = rng.choice(list(shared))
+            pos = rng.randint(0, len(body))
+            body = body[:pos] + shared[ln].split(" ") + body[pos:]
+        rows.append((d, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(6)
+    got = {
+        r.doc_id: (r.n_spans, r.n_cross_dup, r.cross_dup_ppm, r.longest_dup_len)
+        for r in textops.substring_dedup(df).collect()
+    }
+    assert got == _bruteforce_substring_dedup(rows)
+
+
+def test_substring_dedup_scans_corpus_once(spark):
+    """All ladder levels come off ONE corpus scan (a single explode
+    lineage), and the per/cd lineages share one materialized shuffle
+    (AQE ReusedExchange)."""
+    bp = " ".join(f"b{j}" for j in range(8))
+    df = spark.createDataFrame(
+        [(i, f"{bp} " + " ".join(f"t{i}w{j}" for j in range(30)))
+         for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    out = textops.substring_dedup(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert plan.count("FileScan") <= 1  # in-memory source: no rescans
+
+
+def test_ngram_perplexity_materialize_once_same_values(spark, tmp_path):
+    """materialize=True returns bit-identical rows while the executed
+    plan reads the tokenized corpus from ONE materialized checkpoint
+    (single FileScan + ExistingRDD reuse) instead of 4 scans."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(20)))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    docs = spark.read.parquet(src)
+    base = {tuple(r) for r in textops.ngram_perplexity(docs).collect()}
+    out = textops.ngram_perplexity(docs, materialize=True)
+    got = {tuple(r) for r in out.collect()}
+    assert got == base
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0  # corpus read via checkpoint only
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # the non-materialized plan scans the parquet once per lineage
+    lazy_plan = (
+        textops.ngram_perplexity(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert lazy_plan.count("FileScan") >= 4
+
+
+def test_ngram_perplexity_materialize_held_out(spark):
+    """Held-out scoring (train != docs) under materialize=True also
+    matches the lazy path."""
+    train = spark.createDataFrame(
+        [(i, "a b c a b") for i in range(5)], "doc_id long, text string"
+    )
+    held = spark.createDataFrame(
+        [(100, "a b z"), (101, "z z z")], "doc_id long, text string"
+    )
+    base = {tuple(r) for r in textops.ngram_perplexity(held, train=train).collect()}
+    got = {
+        tuple(r)
+        for r in textops.ngram_perplexity(
+            held, train=train, materialize=True
+        ).collect()
+    }
+    assert got == base
