@@ -725,6 +725,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         synthetic.audio_df(s, 300, partitions=8, dup_every=5)
     )
 
+    # --- NEW r5 operators (registered past-window: the r5 window is
+    # --- contractually the r4 complement; these are certified by the
+    # --- full-contract sweep this round and rotate in next window) ---
+    # exact w-gram Jaccard join via PPJoin prefix filtering — same
+    # semantics as ngram_jaccard at t=0.5, but candidate generation
+    # only joins each doc's rarest (n - ceil(t*n) + 1) shingles, so
+    # boilerplate hot shingles generate ZERO candidate pairs
+    q["prefix_jaccard"] = lambda s, d: dedup.prefix_jaccard_pairs(_docs(s, d))
+    # ε-DP Laplace release of the zone-population histogram
+    # (sensitivity-1 counts; deterministic seeded draw so both gate
+    # engines reproduce it — see dp_zone_counts docstring)
+    q["dp_zone_counts"] = lambda s, d: zones.dp_zone_counts(_zoned(s, d))
+    # leakage-safe user-level split: split label is a pure function
+    # of user_id, so no user straddles a train/eval boundary
+    q["group_split_stats"] = lambda s, d: sampling.group_split_stats(
+        _events(s, d)
+    )
+
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
@@ -946,6 +964,10 @@ def oracle_sql() -> dict[str, str]:
     o["zone_assignment"] = (
         f"{zone_base} SELECT zone_id, count(*) AS n_events FROM zoned GROUP BY zone_id"
     )
+    # NEW r5: Laplace-noised zone histogram (deterministic seeded
+    # draw — the noise expression is the same dialect-free SQL text
+    # on both engines)
+    o["dp_zone_counts"] = f"{zone_base} " + zones.dp_zone_counts_oracle("zoned")
     o["cell_counts_res8"] = (
         f"{base} SELECT {geo.cell_id_sql('lat', 'lon', 8)} AS cell_id, "
         "count(*) AS n_events FROM cdr GROUP BY cell_id"
@@ -1180,6 +1202,11 @@ def oracle_sql() -> dict[str, str]:
     o["text_repetition"] = textops.repetition_scores_oracle()
     o["cross_doc_spans"] = textops.cross_doc_spans_oracle()
     o["substring_dedup"] = textops.substring_dedup_oracle()
+    # NEW r5: brute-force sparse-join ground truth at the prefix
+    # threshold — the Spark side must reproduce it through the
+    # prefix-filtered candidate path exactly
+    o["prefix_jaccard"] = dedup.prefix_jaccard_oracle()
+    o["group_split_stats"] = sampling.group_split_stats_oracle()
     o["domain_mixture"] = textops.domain_mixture_oracle()
     o["vocab_ngram_counts"] = textops.vocab_ngram_counts_oracle()
     o["tfidf_keywords"] = textops.tfidf_keywords_oracle()

@@ -351,15 +351,132 @@ def ngram_jaccard_pairs(
     return _jaccard(inter, counts, threshold)
 
 
-def ngram_jaccard_oracle(view: str = "documents") -> str:
+def ngram_jaccard_oracle(
+    view: str = "documents", threshold: float = NGRAM_THRESHOLD
+) -> str:
     return (
         f"WITH {_shingle_cte(view)}, "
         "n AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
         "FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id "
         "GROUP BY 1, 2) "
-        + _JACCARD_TAIL.format(thr=NGRAM_THRESHOLD)
+        + _JACCARD_TAIL.format(thr=threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# 3b. prefix-filtered exact Jaccard join (PPJoin candidate generation)
+
+PREFIX_JACCARD_THRESHOLD = 0.5
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    w: int = NGRAM_W,
+    threshold: float = PREFIX_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact w-gram Jaccard >= threshold join via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07 "all-pairs").
+
+    Identical output to :func:`ngram_jaccard_pairs` at the same
+    threshold — this is a second PHYSICAL strategy whose candidate
+    generation survives boilerplate skew. Under a global shingle
+    order (document frequency asc, shingle asc), each document only
+    indexes its first ``n - ceil(t*n) + 1`` RAREST shingles; any pair
+    with J >= t provably shares a prefix shingle (its smallest common
+    shingle sits within both prefixes: a document with n shingles and
+    intersection I >= ceil(t*n) has at most n - I non-common shingles
+    before it), so joining prefix-to-prefix loses nothing.
+
+    Scale contract (100 TB): the sparse join in ngram_jaccard_pairs
+    pays sum over shingles of C(df, 2) — one boilerplate shingle in k
+    docs costs k^2/2 candidate pairs. Here a high-df shingle sorts
+    LAST in the global order and falls outside every document's
+    prefix, so it generates zero candidates; candidate cost
+    concentrates on rare shingles where df (hence C(df, 2)) is small.
+    At t = 0.5 the prefix is ~half of each document — half the join
+    input, with the quadratic hot keys gone. The verify stage is an
+    equi-join of the (sparse) candidate pair list against per-doc
+    shingle ARRAYS built map-only (no shuffle), then an in-row
+    ``array_intersect`` — exact, no LSH false negatives.
+
+    The prefix length is computed in INTEGER arithmetic
+    (``ceil(t*n)`` as ``(t_num*n + t_den - 1) div t_den``): a float
+    ``ceil`` can round 0.1*30 up to 4 and silently shorten the
+    prefix, which is a recall bug, not noise.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    frac = Fraction(str(threshold))
+    tn, td = frac.numerator, frac.denominator
+    ds = _distinct_shingles(docs, w)
+    # global order (df asc, s asc); both windows over doc_id share one
+    # exchange, the df window shuffles on the same key the candidate
+    # join uses
+    ranked = (
+        ds.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"({tn} * n + {td} - 1) div {td}") + F.lit(1)
+    ).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # per-doc shingle arrays, map-only (doc_id unique per input row)
+    tok = th.tokens_sql("text", "spark")
+    sh = th.shingles_sql(tok, w, "spark")
+    arrs = _spread(docs).select(
+        "doc_id", F.expr(f"array_distinct({sh})").alias("ss")
+    )
+    verified = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr("size(array_intersect(sa, sb))")
+                / (
+                    F.expr("size(sa)")
+                    + F.expr("size(sb)")
+                    - F.expr("size(array_intersect(sa, sb))")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def prefix_jaccard_oracle(
+    view: str = "documents", threshold: float = PREFIX_JACCARD_THRESHOLD
+) -> str:
+    """Brute-force twin: same semantics, so the sparse-join oracle at
+    the prefix threshold is the ground truth."""
+    return ngram_jaccard_oracle(view, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,57 @@ def dataset_split_oracle(
     )
 
 
+GROUP_SPLIT_SEED = 987127
+
+
+def group_split_stats(
+    events: DataFrame,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = GROUP_SPLIT_SEED,
+    group_col: str = "user_id",
+) -> DataFrame:
+    """(split, n_users, n_events): GROUP-level train/val/test split —
+    the split is a pure function of the grouping id, so every event
+    of a user lands in the same split by construction.
+
+    This is the leakage-safe variant of dataset_split: splitting
+    fact rows independently puts one user's history on both sides of
+    a train/eval boundary, which inflates eval on any model that
+    memorizes user behavior (same failure mode split_contamination
+    detects post-hoc for documents — this prevents it structurally).
+
+    Scale shape: the label is inlined into the fact scan (map-only
+    codegen CASE, no distinct-users table, no join), then one
+    partial-aggregated groupBy on the 3-value split key. countDistinct
+    over users shuffles (user, split) pairs once — |users| rows, not
+    |events|.
+    """
+    return (
+        events.select(
+            F.expr(split_case_sql(group_col, splits, seed)).alias("split"),
+            group_col,
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct(group_col).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def group_split_stats_oracle(
+    view: str = "events",
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    seed: int = GROUP_SPLIT_SEED,
+    group_col: str = "user_id",
+) -> str:
+    return (
+        f"SELECT {split_case_sql(group_col, splits, seed)} AS split, "
+        f"count(DISTINCT {group_col}) AS n_users, count(*) AS n_events "
+        f"FROM {view} GROUP BY 1"
+    )
+
+
 def quota_sample(
     docs: DataFrame,
     per_group: int = DEFAULT_PER_GROUP,

@@ -99,3 +99,89 @@ def zone_population(zoned: DataFrame, towers: DataFrame, uid_col: str = "uid") -
         agg.join(F.broadcast(towers.select("zone_id", "admin1")), "zone_id", "left")
         .select("zone_id", "admin1", "total_events", "unique_uids")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private zone counts (Laplace mechanism)
+
+DP_EPSILON = 1.0
+DP_SEED = 424243
+
+
+def laplace_noise_sql(id_col: str, scale: float, seed: int = DP_SEED) -> str:
+    """Laplace(scale) sample by inverse CDF over a seeded uniform.
+
+    The uniform is the engine's 3-step MINSTD integer hash of
+    ``id_col`` (operators/sampling.split_u_sql — the same SQL text
+    evaluates identically in Spark and DuckDB), shifted to the OPEN
+    interval (0, 1) by ``(h + 0.5) / M`` so neither ln() branch can
+    see 0. Inverse CDF, branch-split to keep every float op in the
+    same order on both engines:
+
+        u < 0.5:  scale * ln(2u)          (negative tail)
+        u >= 0.5: -scale * ln(2 - 2u)     (positive tail)
+
+    ln() cross-engine parity is the same bet ngram_perplexity already
+    won (both are IEEE-754 doubles through the same libm-exact
+    inputs); consumers round the noisy value before comparing.
+    """
+    from cdr_analysis_tools_hadoop_spark.operators.sampling import (
+        MINSTD_MOD,
+        minstd_h_sql,
+    )
+
+    u = f"((({minstd_h_sql(id_col, seed)}) + 0.5) / {MINSTD_MOD}.0)"
+    s = f"{scale!r}"
+    return (
+        f"(CASE WHEN ({u}) < 0.5 THEN ({s}) * ln(2.0 * ({u})) "
+        f"ELSE -({s}) * ln(2.0 - 2.0 * ({u})) END)"
+    )
+
+
+def dp_zone_counts(
+    zoned: DataFrame, epsilon: float = DP_EPSILON, seed: int = DP_SEED
+) -> DataFrame:
+    """(zone_id, noisy_events): event-level ε-DP release of the
+    zone-population histogram via the Laplace mechanism.
+
+    Calibration is the textbook one (Dwork et al., TCC'06): one event
+    changes one zone count by 1, so sensitivity is 1 and each count
+    gets independent Laplace(1/ε) noise. The DRAW is deterministic —
+    seeded from (zone_id, seed) so reruns, resumes, and both engines
+    of the correctness gate reproduce it bit-for-bit; a production
+    release would swap the seeded uniform for a private RNG (one-line
+    change in laplace_noise_sql) while keeping this exact mechanism
+    and scale. Zones with zero events emit no row (they never enter
+    the aggregate) — a full-domain release would union the zone
+    dimension in first; the histogram-of-present-zones form is what
+    the reference's zone_population computes, so that is what gets
+    noised.
+
+    Scale shape: one partial-aggregated groupBy on zone_id (the only
+    fact-scale work), then the noise term is a zero-shuffle codegen
+    projection over the |zones|-row result.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    noise = laplace_noise_sql("zone_id", 1.0 / epsilon, seed)
+    return (
+        zoned.groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "zone_id",
+            F.expr(f"round(n + {noise}, 6)").alias("noisy_events"),
+        )
+    )
+
+
+def dp_zone_counts_oracle(
+    zoned_from: str, epsilon: float = DP_EPSILON, seed: int = DP_SEED
+) -> str:
+    """DuckDB twin; ``zoned_from`` is a FROM-able relation with a
+    zone_id column (the caller's zoned CTE)."""
+    noise = laplace_noise_sql("zone_id", 1.0 / epsilon, seed)
+    return (
+        f"SELECT zone_id, round(n + {noise}, 6) AS noisy_events "
+        f"FROM (SELECT zone_id, count(*) AS n FROM {zoned_from} "
+        "GROUP BY zone_id)"
+    )

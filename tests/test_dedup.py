@@ -265,3 +265,78 @@ def test_dedup_clusters_ignores_foreign_pair_ids(spark):
         for r in dedup.dedup_clusters(docs, pairs=pairs).collect()
     }
     assert out == {5: (5, True), 6: (6, True)}
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard join (r5)
+
+
+def _brute_jaccard_pairs(texts: dict[int, str], w: int, t: float):
+    import math
+
+    shs = {}
+    for i, txt in texts.items():
+        toks = txt.split(" ")
+        shs[i] = (
+            set(" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1))
+            if len(toks) >= w
+            else set()
+        )
+    out = set()
+    ids = sorted(shs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a]) + len(shs[b]) - inter
+            if union and round(inter / union, 6) >= t:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_jaccard_matches_sparse_join_on_corpus(docs):
+    """Same semantics, different physical strategy: the prefix-filter
+    path must reproduce the sparse shingle join exactly at the same
+    threshold (both exact by construction)."""
+    t = dedup.PREFIX_JACCARD_THRESHOLD
+    a = sorted(
+        map(tuple, dedup.prefix_jaccard_pairs(docs, threshold=t).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=t).collect())
+    )
+    assert a == b
+    assert len(a) > 0  # the corpus plants near-dups
+
+
+def test_prefix_jaccard_matches_brute_force_random(spark):
+    """Recall completeness across thresholds, including ones whose
+    t*n hits float-ceil edge cases (0.1*30 rounds UP in binary)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for i in range(60):
+        n = rng.randint(1, 25)
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+    # planted near-identical pair
+    texts[100] = texts[0] + " extra"
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for t in (0.1, 0.3, 0.5, 0.75, 1.0):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.prefix_jaccard_pairs(df, threshold=t).collect()
+        }
+        want = _brute_jaccard_pairs(texts, dedup.NGRAM_W, t)
+        assert got == want, f"t={t}: {got ^ want}"
+
+
+def test_prefix_jaccard_rejects_bad_threshold(docs):
+    import pytest as _pytest
+
+    for bad in (0.0, -0.5, 1.5):
+        with _pytest.raises(ValueError):
+            dedup.prefix_jaccard_pairs(docs, threshold=bad)

@@ -328,3 +328,46 @@ def test_weighted_sample_k_bounded_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # local top-k, driver merges k/task
+
+
+# ---------------------------------------------------------------------------
+# group-level split (r5)
+
+
+def test_group_split_no_user_straddles_splits(spark):
+    """The invariant the operator exists for: a user's events all
+    carry one split label (checked on the raw per-event labels)."""
+    from cdr_analysis_tools_hadoop_spark.operators.sampling import (
+        GROUP_SPLIT_SEED,
+        split_case_sql,
+    )
+
+    events = spark.createDataFrame(
+        [(e, e % 37) for e in range(500)], "event_id long, user_id long"
+    )
+    labeled = events.select(
+        "user_id",
+        F.expr(split_case_sql("user_id", seed=GROUP_SPLIT_SEED)).alias("split"),
+    )
+    per_user = (
+        labeled.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_user)
+
+
+def test_group_split_stats_partition_totals(spark):
+    from cdr_analysis_tools_hadoop_spark.operators import sampling as _s
+
+    events = spark.createDataFrame(
+        [(e, e % 211) for e in range(2000)], "event_id long, user_id long"
+    )
+    rows = _s.group_split_stats(events).collect()
+    assert sum(r.n_events for r in rows) == 2000
+    assert sum(r.n_users for r in rows) == 211  # disjoint by construction
+    # roughly weight-proportional over 211 users (default 80/10/10)
+    by = {r.split: r.n_users for r in rows}
+    assert by.get("train", 0) > by.get("val", 0)
+    assert by.get("train", 0) > by.get("test", 0)
+    assert by.get("train", 0) / 211 > 0.6

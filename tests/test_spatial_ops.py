@@ -912,3 +912,75 @@ def test_dhash_deterministic_and_gradient_sensitive(spark):
     # tiny/empty images are deterministic, not NaN-collapsed
     assert codec.dhash(img[:2, :3]) == codec.dhash(img[:2, :3])
     assert codec.dhash(np.zeros((0, 0, 3), dtype=np.uint8)) == 0
+
+
+# ---------------------------------------------------------------------------
+# DP zone counts (r5)
+
+
+def test_dp_zone_counts_noise_matches_python(spark):
+    """Deterministic Laplace draw: recompute the inverse-CDF in
+    Python from the same MINSTD uniform and compare after round-6."""
+    import math
+
+    from cdr_analysis_tools_hadoop_spark.operators import zones as _z
+    from cdr_analysis_tools_hadoop_spark.operators.sampling import (
+        MINSTD_MOD,
+        MINSTD_MULT,
+    )
+
+    zoned = spark.createDataFrame(
+        [(z, i) for z in range(12) for i in range(z + 1)],
+        "zone_id long, uid long",
+    )
+    eps = 0.7
+    got = {
+        r.zone_id: r.noisy_events
+        for r in _z.dp_zone_counts(zoned, epsilon=eps).collect()
+    }
+
+    def _noise(zid: int) -> float:
+        h = ((zid % MINSTD_MOD) + MINSTD_MOD + _z.DP_SEED) % MINSTD_MOD
+        for _ in range(3):
+            h = h * MINSTD_MULT % MINSTD_MOD
+        u = (h + 0.5) / MINSTD_MOD
+        b = 1.0 / eps
+        return b * math.log(2.0 * u) if u < 0.5 else -b * math.log(2.0 - 2.0 * u)
+
+    for z in range(12):
+        assert got[z] == pytest.approx(round((z + 1) + _noise(z), 6), abs=1e-9)
+
+
+def test_dp_zone_counts_deterministic_and_validated(spark):
+    from cdr_analysis_tools_hadoop_spark.operators import zones as _z
+
+    zoned = spark.createDataFrame(
+        [(z % 5, z) for z in range(100)], "zone_id long, uid long"
+    )
+    a = sorted(map(tuple, _z.dp_zone_counts(zoned).collect()))
+    b = sorted(map(tuple, _z.dp_zone_counts(zoned).collect()))
+    assert a == b and len(a) == 5
+    with pytest.raises(ValueError):
+        _z.dp_zone_counts(zoned, epsilon=0.0)
+
+
+def test_dp_zone_counts_noise_is_laplace_shaped(spark):
+    """Over many zones the seeded draws must look Laplace(1/eps):
+    mean ~ 0, ~half negative, and P(|X| > 3b) = e^-3 ~ 5%."""
+    from cdr_analysis_tools_hadoop_spark.operators import zones as _z
+
+    n_zones = 2000
+    zoned = spark.createDataFrame(
+        [(z,) for z in range(n_zones)], "zone_id long"
+    )
+    noise = [
+        r.noisy_events - 1.0
+        for r in _z.dp_zone_counts(zoned, epsilon=1.0).collect()
+    ]
+    assert abs(sum(noise) / n_zones) < 0.1
+    neg = sum(1 for x in noise if x < 0) / n_zones
+    assert 0.45 < neg < 0.55
+    import math
+
+    tail = sum(1 for x in noise if abs(x) > 3.0) / n_zones
+    assert abs(tail - math.exp(-3.0)) < 0.02
