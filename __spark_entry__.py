@@ -742,6 +742,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["group_split_stats"] = lambda s, d: sampling.group_split_stats(
         _events(s, d)
     )
+    # Douglas-Peucker trace compression (rows-only: the recursive
+    # max-deviation split has no SQL form; pinned in pytest against
+    # an independent recursive implementation + the deviation-bound
+    # property)
+    q["trajectory_simplify"] = lambda s, d: interpolation.trajectory_simplify(
+        _cdr(s, d)
+    )
 
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.

@@ -759,3 +759,109 @@ def trip_od_stay_oracle(trips_sql: str, towers_cte: str) -> str:
         "prev_gcode AS origin_gcode, gcode AS dest_gcode, "
         "pdt || ' ' || hms AS ts FROM lagged WHERE prev_ccode IS NOT NULL"
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Trajectory simplification (Douglas-Peucker)
+
+SIMPLIFY_EPS_M = 500.0
+
+
+def _dp_keep_mask(lat, lon, eps_m: float):
+    """Iterative Douglas-Peucker over one ts-ordered trace.
+
+    Distances are point-to-SEGMENT (clamped projection) in the local
+    planar metric (geo.planar_d2_np scaled to meters by M_PER_DEG) —
+    the same projection that defines the engine's Voronoi zones, so
+    "within eps of the simplified line" means the same thing here as
+    everywhere else. Pure numpy; each stack segment's distances are
+    one vectorized pass, no per-point Python.
+    """
+    import numpy as np
+
+    from ..functions.geo import LON_SCALE, M_PER_DEG
+
+    n = len(lat)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    x = np.asarray(lon, dtype=np.float64) * (LON_SCALE * M_PER_DEG)
+    y = np.asarray(lat, dtype=np.float64) * M_PER_DEG
+    eps2 = float(eps_m) * float(eps_m)
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d2 = (px - x[i]) ** 2 + (py - y[i]) ** 2
+        else:
+            t = ((px - x[i]) * dx + (py - y[i]) * dy) / seg2
+            t = np.clip(t, 0.0, 1.0)
+            d2 = (px - (x[i] + t * dx)) ** 2 + (py - (y[i] + t * dy)) ** 2
+        k = int(np.argmax(d2))
+        if d2[k] > eps2:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def trajectory_simplify(
+    pts: DataFrame,
+    eps_m: float = SIMPLIFY_EPS_M,
+    uid_col: str = "uid",
+    ts_col: str = "call_time",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(uid, seq, ts, lat, lon): Douglas-Peucker simplification of
+    each user's trace — the GPS-compression pass a 100 TB trajectory
+    store runs before archiving (dropped points are guaranteed within
+    ``eps_m`` of the kept polyline, endpoints always survive).
+
+    Rows-only by design: DP's recursive max-deviation split has no
+    SQL form (the split point depends on a data-dependent argmax per
+    segment); correctness is pytest-pinned against an independent
+    recursive implementation plus the deviation-bound property.
+
+    Scale shape: ONE shuffle (groupBy uid), then per-trace numpy
+    inside applyInPandas — Arrow-batched, no per-row Python. Traces
+    are ts-ordered with a (ts, lat, lon) total order so resumes and
+    repartitions reproduce identical output. Per-user state is the
+    trace itself (bounded by the per-user event count, the same bound
+    trajectory_collect already carries); a multi-year unbounded trace
+    would be windowed by day first, as trip_segments does.
+    """
+    import pandas as pd
+
+    if eps_m < 0:
+        raise ValueError(f"eps_m must be >= 0, got {eps_m}")
+
+    schema = (
+        f"{uid_col} long, seq int, ts timestamp, lat double, lon double"
+    )
+
+    def simplify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [ts_col, lat_col, lon_col], kind="mergesort"
+        ).reset_index(drop=True)
+        mask = _dp_keep_mask(
+            pdf[lat_col].to_numpy(), pdf[lon_col].to_numpy(), eps_m
+        )
+        out = pdf.loc[mask, [uid_col, ts_col, lat_col, lon_col]].copy()
+        out.insert(1, "seq", [int(i) for i in out.index])
+        return out.rename(
+            columns={ts_col: "ts", lat_col: "lat", lon_col: "lon"}
+        )
+
+    return (
+        pts.select(uid_col, ts_col, lat_col, lon_col)
+        .groupBy(uid_col)
+        .applyInPandas(simplify, schema)
+    )
