@@ -333,6 +333,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantics -> in-window driver row
     q["od_matrix_kanon"] = _od_kanon
 
+    def _od_dp(s, d):
+        sited = trajectory.with_site(_zoned(s, d))
+        home = trajectory.user_home_site(sited)
+        return trajectory.od_sum_dp(trajectory.od_edges(sited, home))
+
+    # NEW r5 (past-window, full-sweep certified): ε-DP Laplace OD
+    # release — the perturbative sibling of the kanon suppression gate
+    q["od_matrix_dp"] = _od_dp
+
     def _od_gravity(s, d):
         sited = trajectory.with_site(_zoned(s, d))
         home = trajectory.user_home_site(sited)
@@ -1069,6 +1078,12 @@ def oracle_sql() -> dict[str, str]:
         "count(DISTINCT uid) AS tusercount FROM edges "
         "WHERE origin_zone IS NOT NULL AND dest_zone IS NOT NULL "
         "GROUP BY pdt, origin_zone, dest_zone"
+    )
+    # NEW r5: Laplace-noised OD release over the same rollup cells
+    o["od_matrix_dp"] = f"{_OD_CTES} " + trajectory.od_sum_dp_oracle(
+        "SELECT pdt, origin_zone, dest_zone, count(*) AS tcount "
+        "FROM edges WHERE origin_zone IS NOT NULL "
+        "AND dest_zone IS NOT NULL GROUP BY pdt, origin_zone, dest_zone"
     )
     o["od_matrix_kanon"] = (
         f"{_OD_CTES} SELECT pdt, origin_zone, dest_zone, count(*) AS tcount, "

@@ -209,6 +209,76 @@ def od_sum_kanon(edges: DataFrame, k: int = OD_KANON_K) -> DataFrame:
     return od_sum(edges).filter(F.col("tusercount") >= k)
 
 
+OD_DP_EPSILON = 1.0
+OD_DP_SEED = 771133
+
+
+def _od_dp_key_sql(dialect: str) -> str:
+    """Integer noise key for one OD cell: md5-int of
+    'pdt|origin|dest' — both engines render dates as yyyy-MM-dd and
+    ints without padding, so the hashed string is byte-identical."""
+    from ..functions import texthash as th
+
+    return th.md5_int_sql(
+        "concat(cast(pdt as string), '|', "
+        "cast(origin_zone as string), '|', cast(dest_zone as string))",
+        dialect,
+    )
+
+
+def od_sum_dp(
+    edges: DataFrame,
+    epsilon: float = OD_DP_EPSILON,
+    seed: int = OD_DP_SEED,
+) -> DataFrame:
+    """Event-level ε-DP OD-matrix release: the A13 rollup's trip
+    counts with Laplace(1/ε) noise per (pdt, origin, dest) cell —
+    the perturbative sibling of od_sum_kanon's suppressive gate (a
+    release pipeline typically offers both: suppression preserves
+    exact large cells, DP bounds what ANY cell reveals).
+
+    Sensitivity 1: one trip edge lands in exactly one cell. The
+    distinct-user column is dropped — user counts have unbounded
+    event-level sensitivity and are precisely the identifying signal.
+    The draw is seeded from the cell key (md5-int → the shared
+    inverse-CDF in zones.laplace_noise_sql) so reruns and both gate
+    engines reproduce it; a production release swaps in a private
+    RNG, keeping mechanism and calibration.
+
+    Scale shape: identical to od_sum (one partial-aggregated groupBy)
+    plus a zero-shuffle codegen noise projection on the |cells|-row
+    result.
+    """
+    from .zones import laplace_noise_sql
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    noise = laplace_noise_sql(_od_dp_key_sql("spark"), 1.0 / epsilon, seed)
+    return od_sum(edges).select(
+        "pdt",
+        "origin_zone",
+        "dest_zone",
+        F.expr(f"round(tcount + {noise}, 6)").alias("noisy_trips"),
+    )
+
+
+def od_sum_dp_oracle(
+    od_cells_sql: str,
+    epsilon: float = OD_DP_EPSILON,
+    seed: int = OD_DP_SEED,
+) -> str:
+    """DuckDB twin; ``od_cells_sql`` selects the A13 rollup with
+    (pdt, origin_zone, dest_zone, tcount)."""
+    from .zones import laplace_noise_sql
+
+    noise = laplace_noise_sql(_od_dp_key_sql("duckdb"), 1.0 / epsilon, seed)
+    return (
+        "SELECT pdt, origin_zone, dest_zone, "
+        f"round(tcount + {noise}, 6) AS noisy_trips "
+        f"FROM ({od_cells_sql})"
+    )
+
+
 def od_gravity(edges: DataFrame, towers: DataFrame) -> DataFrame:
     """Gravity-model diagnostics over the OD matrix: per directed
     zone pair, the observed flow against the classic

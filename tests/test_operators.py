@@ -364,3 +364,59 @@ def test_od_gravity_broadcasts_all_dims(spark):
     )
     # masses + tower dims all broadcast: no sort-merge join anywhere
     assert "SortMergeJoin" not in plan
+
+
+def test_od_dp_noise_matches_python_recompute(spark, sf_dir):
+    """od_sum_dp (r5): deterministic Laplace per OD cell — recompute
+    the md5-int -> MINSTD-free inverse-CDF draw in Python and match
+    after round-6; released schema drops the user-count column."""
+    import hashlib
+    import math
+
+    from cdr_analysis_tools_hadoop_spark.operators import (
+        prepare,
+        trajectory,
+        zones,
+    )
+    from cdr_analysis_tools_hadoop_spark.operators.sampling import (
+        MINSTD_MOD,
+        MINSTD_MULT,
+    )
+    from cdr_analysis_tools_hadoop_spark.sources import synthetic as syn
+
+    zoned = zones.assign_zone(
+        prepare.events_as_cdr(spark, sf_dir), syn.towers_df(spark, sf_dir)
+    )
+    sited = trajectory.with_site(zoned)
+    home = trajectory.user_home_site(sited)
+    edges = trajectory.od_edges(sited, home).localCheckpoint()
+    eps = 1.0
+    full = {
+        (str(r.pdt), r.origin_zone, r.dest_zone): r.tcount
+        for r in trajectory.od_sum(edges).collect()
+    }
+    rel = {
+        (str(r.pdt), r.origin_zone, r.dest_zone): r.noisy_trips
+        for r in trajectory.od_sum_dp(edges, epsilon=eps).collect()
+    }
+    assert set(rel) == set(full)
+
+    def _noise(key: str) -> float:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        h = ((h % MINSTD_MOD) + MINSTD_MOD + trajectory.OD_DP_SEED) % MINSTD_MOD
+        for _ in range(3):
+            h = h * MINSTD_MULT % MINSTD_MOD
+        u = (h + 0.5) / MINSTD_MOD
+        return (
+            (1.0 / eps) * math.log(2.0 * u)
+            if u < 0.5
+            else -(1.0 / eps) * math.log(2.0 - 2.0 * u)
+        )
+
+    for (pdt, o, d), noisy in rel.items():
+        want = round(full[(pdt, o, d)] + _noise(f"{pdt}|{o}|{d}"), 6)
+        assert noisy == pytest.approx(want, abs=1e-9), (pdt, o, d)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trajectory.od_sum_dp(edges, epsilon=-1.0)
