@@ -758,6 +758,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trajectory_simplify"] = lambda s, d: interpolation.trajectory_simplify(
         _cdr(s, d)
     )
+    # standard geohash grid rollup (base32 interop encode as one
+    # dialect-free arithmetic expression — oracle hash-exact)
+    def _geohash_counts(s, d):
+        from cdr_analysis_tools_hadoop_spark.operators import tiling as _t
+
+        return _t.geohash_counts(_cdr(s, d))
+
+    q["geohash_counts"] = _geohash_counts
 
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
@@ -988,6 +996,10 @@ def oracle_sql() -> dict[str, str]:
         f"{base} SELECT {geo.cell_id_sql('lat', 'lon', 8)} AS cell_id, "
         "count(*) AS n_events FROM cdr GROUP BY cell_id"
     )
+    # NEW r5: geohash interop rollup (dialect-free arithmetic encode)
+    from cdr_analysis_tools_hadoop_spark.operators import tiling as _tl
+
+    o["geohash_counts"] = f"{base} " + _tl.geohash_counts_oracle("cdr")
     pyramid_parts = " UNION ALL ".join(
         f"SELECT {z} AS zoom, {geo.tile_x_sql('lon', z)} AS tile_x, "
         f"{geo.tile_y_sql('lat', z)} AS tile_y, count(*) AS n_events "

@@ -313,3 +313,101 @@ def polygon_cover(ring: np.ndarray, res: int) -> list[int]:
         for iy in range(iy0, iy1 + 1):
             cells.append(xy_to_cell(res, ix, iy))
     return cells
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public-domain base32 grid code; Niemeyer 2008)
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat_col: str, lon_col: str, precision: int = 6) -> str:
+    """Standard geohash string of ``precision`` chars — ONE dialect-
+    free arithmetic expression (floor / % / concat / substr evaluate
+    identically in Spark and DuckDB, like the tile snippets above).
+
+    Geohash interleaves lon/lat bits MSB-first (lon gets the even
+    positions) and maps each 5-bit group onto the base32 alphabet.
+    Instead of the textbook per-bit refinement loop, both coordinate
+    integers are quantized ONCE (lon to ceil(5p/2) bits, lat to
+    floor(5p/2)) and every output char's index is the sum of five
+    ``floor(q / 2^j) % 2`` bit extracts, shifted — integer-exact,
+    no bitwise ops, no loops, whole-stage-codegen friendly.
+
+    Out-of-range coordinates clamp to the last cell (same contract
+    as tile_x_sql); the +-90/+-180 edges land in the top cell, as in
+    reference implementations.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = (
+        f"least({(1 << lon_bits) - 1}, greatest(0, cast(floor("
+        f"(({lon_col}) + {dlit(180.0)}) / {dlit(360.0)} * {1 << lon_bits}"
+        ") as bigint)))"
+    )
+    lat_q = (
+        f"least({(1 << lat_bits) - 1}, greatest(0, cast(floor("
+        f"(({lat_col}) + {dlit(90.0)}) / {dlit(180.0)} * {1 << lat_bits}"
+        ") as bigint)))"
+    )
+    # bit i (0 = MSB) of the geohash comes from lon when i is even:
+    # lon bit (lon_bits - 1 - i/2); from lat when odd: lat bit
+    # (lat_bits - 1 - (i-1)/2)
+    chars = []
+    for ci in range(precision):
+        terms = []
+        for bi in range(5):
+            i = ci * 5 + bi
+            shift = 1 << (4 - bi)
+            if i % 2 == 0:
+                src, bit = "__ghlon", lon_bits - 1 - i // 2
+            else:
+                src, bit = "__ghlat", lat_bits - 1 - (i - 1) // 2
+            terms.append(
+                f"(floor({src} / {1 << bit}) % 2) * {shift}"
+            )
+        idx = " + ".join(terms)
+        chars.append(
+            f"substr('{GEOHASH_BASE32}', cast(({idx}) as int) + 1, 1)"
+        )
+    concat = "concat(" + ", ".join(chars) + ")"
+    # one-level lateral alias keeps the quantizers evaluated once per
+    # row in both engines (plain subexpression in a projection)
+    return (
+        f"(SELECT {concat} FROM (SELECT {lon_q} AS __ghlon, "
+        f"{lat_q} AS __ghlat) __gh)"
+    )
+
+
+def geohash_np(lat: np.ndarray, lon: np.ndarray, precision: int = 6) -> list[str]:
+    """Vectorized numpy twin (test yardstick + Arrow-kernel use)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = np.clip(
+        np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
+        0,
+        (1 << lon_bits) - 1,
+    )
+    lat_q = np.clip(
+        np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
+        0,
+        (1 << lat_bits) - 1,
+    )
+    out = []
+    for lq, aq in zip(lon_q, lat_q):
+        bits = 0
+        for i in range(total):
+            if i % 2 == 0:
+                b = (lq >> (lon_bits - 1 - i // 2)) & 1
+            else:
+                b = (aq >> (lat_bits - 1 - (i - 1) // 2)) & 1
+            bits = (bits << 1) | int(b)
+        s = ""
+        for ci in range(precision):
+            s += GEOHASH_BASE32[(bits >> (5 * (precision - 1 - ci))) & 31]
+        out.append(s)
+    return out

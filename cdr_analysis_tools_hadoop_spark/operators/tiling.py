@@ -317,3 +317,53 @@ def zone_raster_oracle(towers_sql: str, zoom: int = 13) -> str:
         "FROM p CROSS JOIN towers t) "
         f"SELECT {zoom} AS z, x, y, zone_id FROM r WHERE rn = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash rollup (r5): standard base32 grid interop
+
+GEOHASH_PRECISION = 6
+
+
+def geohash_counts(
+    df: DataFrame,
+    precision: int = GEOHASH_PRECISION,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(geohash, n_events): event counts on the standard geohash grid
+    — the interop encoding external GIS stacks expect, alongside the
+    engine's own cell (H3-analogue), XYZ-tile, and HMesh encodings.
+
+    The encode is ONE dialect-free arithmetic SQL expression
+    (functions/geo.geohash_sql): both engines quantize each
+    coordinate once and assemble base32 chars from shifted bit
+    extracts, so the DuckDB oracle is expression-identical and the
+    value hash matches bit-for-bit.
+
+    Scale shape: map-only codegen projection + one partial-aggregated
+    groupBy on the geohash key — identical to tile_counts; prefix
+    aggregation to a coarser precision is a substr() regroup, no
+    re-encode.
+    """
+    return (
+        df.select(
+            F.expr(geo.geohash_sql(lat_col, lon_col, precision)).alias(
+                "geohash"
+            )
+        )
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def geohash_counts_oracle(
+    from_sql: str,
+    precision: int = GEOHASH_PRECISION,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> str:
+    return (
+        f"SELECT {geo.geohash_sql(lat_col, lon_col, precision)} AS geohash, "
+        f"count(*) AS n_events FROM {from_sql} GROUP BY geohash"
+    )

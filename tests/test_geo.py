@@ -159,3 +159,99 @@ def test_haversine_sql_clamps_antipodal_and_propagates_null(spark):
     # matches the numpy twin on the ordinary pair
     got = geo.haversine_np([35.0], [139.0], [35.1], [139.1])[0]
     assert abs(row[2].d - got) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# geohash (r5)
+
+
+def _geohash_textbook(lat, lon, precision):
+    """Independent per-bit interval-refinement implementation
+    (Niemeyer's algorithm as usually written) — the test yardstick
+    for the engine's closed-form quantize-once encode."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, n, even, out = 0, 0, True, ""
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = bits * 2 + 1
+                lon_lo = mid
+            else:
+                bits = bits * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = bits * 2 + 1
+                lat_lo = mid
+            else:
+                bits = bits * 2
+                lat_hi = mid
+        even = not even
+        n += 1
+        if n == 5:
+            out += b32[bits]
+            bits, n = 0, 0
+    return out
+
+
+def test_geohash_np_matches_textbook_and_known_value():
+    import random
+
+    assert geo.geohash_np([57.64911], [10.40744], 11) == ["u4pruydqqvj"]
+    rng = random.Random(23)
+    lats = [rng.uniform(-89.9, 89.9) for _ in range(300)]
+    lons = [rng.uniform(-179.9, 179.9) for _ in range(300)]
+    for p in (1, 5, 6, 12):
+        got = geo.geohash_np(lats, lons, p)
+        for la, lo, g in zip(lats, lons, got):
+            assert g == _geohash_textbook(la, lo, p), (la, lo, p)
+
+
+def test_geohash_sql_matches_np_on_spark_and_duckdb(spark):
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    rows = [
+        (i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(200)
+    ]
+    want = dict(
+        zip(
+            [r[0] for r in rows],
+            geo.geohash_np([r[1] for r in rows], [r[2] for r in rows], 7),
+        )
+    )
+    df = spark.createDataFrame(rows, "i long, lat double, lon double")
+    got_spark = {
+        r.i: r.gh
+        for r in df.select(
+            "i", F.expr(geo.geohash_sql("lat", "lon", 7)).alias("gh")
+        ).collect()
+    }
+    assert got_spark == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in rows)
+        + ") v(i, lat, lon)"
+    )
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {geo.geohash_sql('lat', 'lon', 7)} FROM t"
+        ).fetchall()
+    )
+    assert got_duck == want
+    # boundary clamps: the +90/+180 edges stay in the top cell
+    assert geo.geohash_np([90.0], [180.0], 4) == [
+        _geohash_textbook(89.999999999, 179.999999999, 4)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geo.geohash_sql("lat", "lon", 0)
