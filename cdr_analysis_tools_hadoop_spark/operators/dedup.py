@@ -370,6 +370,50 @@ def ngram_jaccard_oracle(
 PREFIX_JACCARD_THRESHOLD = 0.5
 
 
+def _prefix_candidates(
+    docs: DataFrame, w: int, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the prefix-prefix join —
+    the stage whose volume the prefix filter exists to bound (split
+    out so tests can measure it directly against the plain sparse
+    join's candidate volume)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    frac = max(
+        Fraction(str(threshold)) - Fraction(1, 10**6), Fraction(0)
+    )
+    tn, td = frac.numerator, frac.denominator
+    ds = _distinct_shingles(docs, w)
+    # global order (df asc, s asc); both windows over doc_id share one
+    # exchange, the df window shuffles on the same key the candidate
+    # join uses
+    ranked = (
+        ds.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"({tn} * n + {td} - 1) div {td}") + F.lit(1)
+    ).select("doc_id", "s")
+    return (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     w: int = NGRAM_W,
@@ -412,41 +456,7 @@ def prefix_jaccard_pairs(
     output of the sparse join while generating zero prefix
     candidates here (an input-size-dependent silent recall gap).
     """
-    from fractions import Fraction
-
-    from pyspark.sql import Window
-
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    frac = max(
-        Fraction(str(threshold)) - Fraction(1, 10**6), Fraction(0)
-    )
-    tn, td = frac.numerator, frac.denominator
-    ds = _distinct_shingles(docs, w)
-    # global order (df asc, s asc); both windows over doc_id share one
-    # exchange, the df window shuffles on the same key the candidate
-    # join uses
-    ranked = (
-        ds.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "s")
-            ),
-        )
-    )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.expr(f"({tn} * n + {td} - 1) div {td}") + F.lit(1)
-    ).select("doc_id", "s")
-    cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _prefix_candidates(docs, w, threshold)
     # per-doc shingle arrays, map-only (doc_id unique per input row)
     tok = th.tokens_sql("text", "spark")
     sh = th.shingles_sql(tok, w, "spark")

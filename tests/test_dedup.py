@@ -340,3 +340,38 @@ def test_prefix_jaccard_rejects_bad_threshold(docs):
     for bad in (0.0, -0.5, 1.5):
         with _pytest.raises(ValueError):
             dedup.prefix_jaccard_pairs(docs, threshold=bad)
+
+
+def test_prefix_jaccard_boilerplate_generates_no_candidates(spark):
+    """The scale claim, measured: a boilerplate shingle shared by ALL
+    docs contributes C(n,2) candidate pairs to the plain sparse join
+    but ZERO to the prefix join (high df sorts it out of every
+    prefix). Output equality must still hold."""
+    import random
+
+    rng = random.Random(97)
+    n_docs = 120
+    texts = {}
+    for i in range(n_docs):
+        # 12 random bigrams of unique-per-doc words + one boilerplate
+        # tail every doc shares ("wiki footer")
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        texts[i] = body + " wiki footer"
+    # two planted near-dup pairs
+    texts[200] = texts[0]
+    texts[201] = texts[1] + " extra"
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    t = 0.5
+    cand = dedup._prefix_candidates(df, dedup.NGRAM_W, t)
+    n_cand = cand.count()
+    # sparse-join volume from the boilerplate shingle alone would be
+    # C(122, 2) = 7381; the prefix join must stay within the planted
+    # structure (each doc's prefix = its RARE half, which excludes
+    # 'wiki footer' / 'footer'-suffix shingles)
+    assert n_cand < 50, n_cand
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.prefix_jaccard_pairs(df, threshold=t).collect()
+    }
+    want = _brute_jaccard_pairs(texts, dedup.NGRAM_W, t)
+    assert got == want and (0, 200) in got
