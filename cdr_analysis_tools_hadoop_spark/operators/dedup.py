@@ -404,11 +404,42 @@ def _prefix_candidates(
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("n") - F.expr(f"({tn} * n + {td} - 1) div {td}") + F.lit(1)
-    ).select("doc_id", "s")
+    ).select("doc_id", "s", "pos", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("pos").alias("pa"),
+        F.col("n").alias("na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "s",
+        F.col("pos").alias("pb"),
+        F.col("n").alias("nb"),
+    )
+    # the other two standard PPJoin prunes, both codegen predicates
+    # BEFORE the distinct (recall-safe for J >= t_eff by the classic
+    # arguments; on dense low-skew corpora they do most of the work
+    # the df ordering can't):
+    # - size filter: J >= t forces t*nb <= na (a is the smaller side
+    #   by symmetry of the two directed conditions below)
+    # - positional filter: a shared shingle at positions (pa, pb)
+    #   caps the total overlap at min(na - pa, nb - pb) + 1, which
+    #   must reach alpha = ceil(t/(1+t) * (na+nb))
+    an, ad = tn, tn + td  # t/(1+t) as an exact fraction
+    alpha = f"(({an} * (na + nb) + {ad} - 1) div {ad})"
     return (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("na") * td >= F.lit(tn) * F.col("nb"))
+            & (F.col("nb") * td >= F.lit(tn) * F.col("na"))
+        )
+        .filter(
+            F.expr(
+                f"least(na - pa, nb - pb) + 1 >= {alpha}"
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -441,8 +472,18 @@ def prefix_jaccard_pairs(
     At t = 0.5 the prefix is ~half of each document — half the join
     input, with the quadratic hot keys gone. The verify stage is an
     equi-join of the (sparse) candidate pair list against per-doc
-    shingle ARRAYS built map-only (no shuffle), then an in-row
-    ``array_intersect`` — exact, no LSH false negatives.
+    shingle-HASH ARRAYS built map-only (no shuffle), then an in-row
+    ``array_intersect`` — exact, no LSH false negatives. The size
+    and positional filters (Bayardo/Xiao) prune candidates before
+    the distinct.
+
+    Strategy guidance (measured, BENCH/R5OPS_SF01.json): prefix wins
+    when the shingle df distribution is heavy-tailed — the real-text
+    case (1.5 s at 50k docs sharing a boilerplate bigram whose
+    sparse-join hot key alone is ~1.25e9 pairs). On LOW-skew corpora
+    where every shingle is common (tiny vocabularies), df-ordering
+    cannot prune and the plain sparse join's aggregate-count verify
+    is ~6x cheaper — keep ngram_jaccard_pairs for those.
 
     The prefix length is computed in INTEGER arithmetic
     (``ceil(t*n)`` as ``(t_num*n + t_den - 1) div t_den``): a float
@@ -457,31 +498,29 @@ def prefix_jaccard_pairs(
     candidates here (an input-size-dependent silent recall gap).
     """
     cand = _prefix_candidates(docs, w, threshold)
-    # per-doc shingle arrays, map-only (doc_id unique per input row)
-    tok = th.tokens_sql("text", "spark")
-    sh = th.shingles_sql(tok, w, "spark")
-    arrs = _spread(docs).select(
-        "doc_id", F.expr(f"array_distinct({sh})").alias("ss")
-    )
+    # per-doc DISTINCT shingle-HASH arrays, map-only (the minhash
+    # family's frame): int64 array_intersect is ~5x the throughput of
+    # string compares on the multi-million-candidate verify a dense
+    # corpus produces, and the oracle mirrors the same md5 hashing
+    # (_hashed_shingle_cte) so results stay bit-identical modulo the
+    # documented P < 1e-9 collision bet
+    arrs = _shingle_hash_arrays(docs, w)
     verified = (
         cand.join(
-            arrs.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")),
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa")),
             "doc_a",
         )
         .join(
-            arrs.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")),
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb")),
             "doc_b",
         )
+        .withColumn("inter", F.expr("size(array_intersect(sa, sb))"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.expr("size(array_intersect(sa, sb))")
-                / (
-                    F.expr("size(sa)")
-                    + F.expr("size(sb)")
-                    - F.expr("size(array_intersect(sa, sb))")
-                ),
+                F.col("inter")
+                / (F.expr("size(sa)") + F.expr("size(sb)") - F.col("inter")),
                 6,
             ).alias("jaccard"),
         )
@@ -493,9 +532,17 @@ def prefix_jaccard_pairs(
 def prefix_jaccard_oracle(
     view: str = "documents", threshold: float = PREFIX_JACCARD_THRESHOLD
 ) -> str:
-    """Brute-force twin: same semantics, so the sparse-join oracle at
-    the prefix threshold is the ground truth."""
-    return ngram_jaccard_oracle(view, threshold)
+    """Brute-force twin over the SAME md5 shingle hashes the verify
+    stage compares (the minhash-oracle pattern), so the value hash
+    matches bit-for-bit."""
+    return (
+        f"WITH {_hashed_shingle_cte(view)}, "
+        "n AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
+        "FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        + _JACCARD_TAIL.format(thr=threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
