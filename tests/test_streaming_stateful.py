@@ -256,3 +256,43 @@ def test_streaming_co_presence_matches_batch(spark, tmp_path):
     }
     assert want  # the fixture must actually produce contacts
     assert got == want
+
+
+def test_streaming_geohash_counts_matches_batch(spark, sited_static, tmp_path):
+    """The r5 geohash rollup is a pure projection + aggregate, so the
+    SAME operator body must run on a streaming frame (complete-mode
+    global aggregate) and agree with batch after a bounded drain —
+    the module's stream == batch contract extended to the new op."""
+    import glob
+    import shutil
+
+    from cdr_analysis_tools_hadoop_spark.operators import tiling
+
+    pdf = sited_static.orderBy("call_time", "event_id").toPandas()
+    n = len(pdf)
+    cuts = [0, n // 2, n]
+    in_dir = tmp_path / "gh_stream_in"
+    in_dir.mkdir()
+    for i in range(2):
+        part = pdf.iloc[cuts[i]:cuts[i + 1]]
+        slice_dir = tmp_path / f"gh_slice_{i}"
+        spark.createDataFrame(part).coalesce(1).write.parquet(str(slice_dir))
+        src = glob.glob(str(slice_dir / "part-*.parquet"))[0]
+        shutil.copy(src, in_dir / f"{i:03d}.parquet")
+
+    schema = spark.createDataFrame(pdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    res = tiling.geohash_counts(stream)
+    zone_stream.run_available_now(
+        res, "ghc", str(tmp_path / "gh_ckpt"), output_mode="complete"
+    )
+    got = {r.geohash: r.n_events for r in spark.table("ghc").collect()}
+    want = {
+        r.geohash: r.n_events
+        for r in tiling.geohash_counts(sited_static).collect()
+    }
+    assert got == want and len(want) > 10
