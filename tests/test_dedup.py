@@ -347,14 +347,12 @@ def test_prefix_jaccard_boilerplate_generates_no_candidates(spark):
     docs contributes C(n,2) candidate pairs to the plain sparse join
     but ZERO to the prefix join (high df sorts it out of every
     prefix). Output equality must still hold."""
-    import random
-
-    rng = random.Random(97)
     n_docs = 120
     texts = {}
     for i in range(n_docs):
-        # 12 random bigrams of unique-per-doc words + one boilerplate
-        # tail every doc shares ("wiki footer")
+        # 12 unique-per-doc words (deterministic — the n_cand bound
+        # below depends on this df structure) + one boilerplate tail
+        # every doc shares ("wiki footer")
         body = " ".join(f"w{i}x{j}" for j in range(12))
         texts[i] = body + " wiki footer"
     # two planted near-dup pairs

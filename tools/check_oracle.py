@@ -50,15 +50,22 @@ def main() -> int:
     con = duckdb.connect()
     # large-sf runs: bound DuckDB's memory and give it a spill dir —
     # an in-memory connection otherwise grows unbounded on the
-    # brute-force oracles (the sf0.1 DBSCAN closure ate >100 GiB)
-    con.execute("SET memory_limit='40GB'")
+    # brute-force oracles (the sf0.1 DBSCAN closure ate >100 GiB).
+    # Cap at min(40 GiB, 60% of RAM) so smaller hosts spill instead
+    # of tripping the kernel OOM killer
+    with open("/proc/meminfo") as f:
+        total_kib = int(f.readline().split()[1])
+    cap_gib = max(1, min(40, int(total_kib * 0.6 / 1024**2)))
+    con.execute(f"SET memory_limit='{cap_gib}GB'")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     # ORACLE_SKIP: comma-separated query names whose ORACLE side is
     # infeasible at this sf (quadratic-by-design small-scale
     # yardsticks); they are recorded as skipped, not silently absent
     skip = {
-        s for s in os.environ.get("ORACLE_SKIP", "").split(",") if s
+        s.strip()
+        for s in os.environ.get("ORACLE_SKIP", "").split(",")
+        if s.strip()
     }
     for t in TABLES:
         con.execute(
