@@ -121,9 +121,13 @@ def laplace_noise_sql(id_col: str, scale: float, seed: int = DP_SEED) -> str:
         u < 0.5:  scale * ln(2u)          (negative tail)
         u >= 0.5: -scale * ln(2 - 2u)     (positive tail)
 
-    ln() cross-engine parity is the same bet ngram_perplexity already
-    won (both are IEEE-754 doubles through the same libm-exact
-    inputs); consumers round the noisy value before comparing.
+    ln() is NOT bit-identical across engines — the JVM's and
+    DuckDB's libm differ at the ~1e-13 relative level (measured,
+    tests/test_spatial_ops.py::test_laplace_noise_sql_parity_*) —
+    so consumers MUST round the noisy value before comparing
+    (round-6 here), the same round-then-compare discipline every
+    ln()-bearing oracle in this engine follows (ngram_perplexity,
+    tfidf, NB).
     """
     from cdr_analysis_tools_hadoop_spark.operators.sampling import (
         MINSTD_MOD,
